@@ -1,0 +1,64 @@
+"""Benchmark harness (driver contract).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Results are materialized with the noop sink (full plan execution, no
+driver-side collect) — the number measures the engine, not pandas
+conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from open_energy_data_server_spark import get_spark
+    from open_energy_data_server_spark.queries import QUERIES
+
+    spark = get_spark(app_name="spark-oeds-bench")
+
+    # warm the JVM + parquet footers once so per-query times measure steady state
+    try:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    except Exception as exc:
+        print(f"bench: warm-up failed (continuing): {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # never let one query kill the bench line
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Query registry — the conformance surface of the engine.
+
+Every operator from SURVEY.md §2 gets at least one named query here,
+expressed against the driver's testdata tables, together with the
+ANSI-SQL oracle string DuckDB runs on the same parquet files
+(__spark_entry__ contract). Registration is decorator-based so each
+module stays self-contained.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as queries()[name]; ``oracle`` is the DuckDB SQL.
+
+    ``oracle=None`` marks a genuinely non-SQL-expressible operator —
+    the driver then records a weaker rows-only check.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # import for registration side effects
+    from open_energy_data_server_spark.queries import relational  # noqa: F401
+
+
+_load_all()

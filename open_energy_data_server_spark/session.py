@@ -1,0 +1,80 @@
+"""SparkSession factory for the engine.
+
+Defaults chosen for the driver's harness (local[N], 128 GiB host) but
+every setting is the one you'd want on a 1000-executor cluster too:
+AQE on (skew-join + partition coalescing — the reference's
+country-keyed energy data is DE-skewed, SURVEY §4), UTC session
+timezone (the reference stores tz-naive UTC,
+/root/reference/crawler/netztransparenz.py:98-107), Arrow-enabled
+Python interop for the few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-oeds",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    shuffle partitions default to the same so a local shuffle does not
+    over-split tiny data. On a real cluster both would be set by the
+    deployment, not here — everything else carries over unchanged.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("SPARK_OEDS_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    register_engine_functions(spark)
+    return spark
+
+
+def register_engine_functions(spark: SparkSession) -> None:
+    """Register the engine's SQL compatibility functions.
+
+    ``time_bucket(seconds, ts)`` mirrors TimescaleDB's
+    ``time_bucket(interval, ts)`` used throughout the reference's
+    dashboards (/root/reference/data/provisioning/grafana/dashboards/
+    refit.json:111, entsoe.json:147): floor the timestamp to a
+    fixed-width bucket. Pure built-in expression — stays inside
+    whole-stage codegen, no UDF.
+    """
+    # the driver supplies its own SparkSession — pin the runtime-settable
+    # confs our queries depend on (oracle comparison assumes UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION time_bucket(width_s BIGINT, ts TIMESTAMP)
+        RETURNS TIMESTAMP
+        RETURN timestamp_seconds(CAST(floor(unix_timestamp(ts) / width_s) AS BIGINT) * width_s)
+        """
+    )

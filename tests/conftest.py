@@ -1,0 +1,14 @@
+from __future__ import annotations
+
+import pytest
+
+SF_DIR_SMOKE = "/root/testdata/sf0.001"
+SF_DIR_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from open_energy_data_server_spark import get_spark
+
+    s = get_spark(app_name="spark-oeds-tests", shuffle_partitions=8)
+    yield s
