@@ -37,7 +37,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def _load_all() -> None:
     # import for registration side effects
-    from open_energy_data_server_spark.queries import relational  # noqa: F401
+    from open_energy_data_server_spark.queries import (  # noqa: F401
+        aggregates,
+        joins,
+        relational,
+        windows,
+    )
 
 
 _load_all()

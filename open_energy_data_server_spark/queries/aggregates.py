@@ -1,0 +1,224 @@
+"""Aggregation conformance queries (SURVEY §2.5, A1–A10).
+
+Models: time-bucketed dashboard aggregation (A2,
+/root/reference/data/provisioning/grafana/dashboards/refit.json:111),
+multi-measure panels (A3, entsoe.json:1248), watermark probes (A5,
+/root/reference/crawler/entsoe_crawler.py:241-247), distinct dimension
+extraction (A6, /root/reference/crawler/entsoe_crawler.py:497-503),
+keep-first dedup (A7, /root/reference/crawler/smard.py:168-171),
+histogram counts (A8, jao.json rawSql), catalog stats sweep (A9/A10,
+/root/reference/docs/source/examples/metadata_sql_helpers.sql:1-63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.queries import query
+from open_energy_data_server_spark.queries._util import (
+    SCALE,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_ts_str,
+    ts_str,
+)
+
+
+@query(
+    "q_time_bucket_hourly",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           {sql_davg("value")} AS avg_value,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: TimescaleDB ``time_bucket('1 hour', ts)`` + avg/sum.
+
+    Exercises the engine's registered ``time_bucket`` SQL function
+    (session.register_engine_functions) through the SQL surface — the
+    same shape every Grafana dashboard panel uses. Single hash-agg
+    exchange; bucket expression is codegen'd, no UDF.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        SELECT date_format(time_bucket(3600, ts), 'yyyy-MM-dd HH:mm:ss') AS bucket,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS DOUBLE) / {SCALE}.0
+                 / COUNT(value) AS avg_value,
+               CAST(CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS BIGINT)
+                 AS DOUBLE) / {SCALE}.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        """
+    )
+
+
+@query(
+    "q_multi_measure_by_type",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {sql_dsum("value")} AS sum_value,
+           {sql_davg("value")} AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_multi_measure_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: one wide agg with heterogeneous measures per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+        davg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "q_watermark_probe",
+    oracle=f"""
+    SELECT {sql_ts_str("MIN(ts)")} AS first_ts,
+           {sql_ts_str("MAX(ts)")} AS last_ts,
+           COUNT(*) AS n
+    FROM events
+    """,
+)
+def q_watermark_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/T1: scalar min/max watermark probe — the crawl resume point.
+
+    At 100 TB this should read partition metadata, not data; on a
+    date-partitioned lake the same probe is a listing operation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        ts_str(F.min("ts")).alias("first_ts"),
+        ts_str(F.max("ts")).alias("last_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_distinct_dims",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def q_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: SELECT DISTINCT → dimension table extraction."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q_dedup_keep_first",
+    oracle=f"""
+    SELECT user_id, event_type, event_id, {sql_ts_str("ts")} AS ts, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/K9: keep-first dedup on a key with an explicit ordering.
+
+    The reference relies on incidental pandas order
+    (/root/reference/crawler/smard.py:168-171); distributed semantics
+    require pinning the order column — (ts, event_id) here. One shuffle
+    on the dedup key; at scale this is the write-path PK enforcement.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", ts_str("ts").alias("ts"), "value")
+    )
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50) AS INTEGER) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: histogram-style count over a derived bucket (jao.json shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_catalog_stats",
+    oracle=f"""
+    SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+           {sql_ts_str("MIN(o_orderdate)")} AS t_min, {sql_ts_str("MAX(o_orderdate)")} AS t_max
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), {sql_ts_str("MIN(l_shipdate)")}, {sql_ts_str("MAX(l_shipdate)")}
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', COUNT(*), {sql_ts_str("MIN(ts)")}, {sql_ts_str("MAX(ts)")}
+    FROM events
+    """,
+)
+def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/A10: per-table row count + temporal extent sweep.
+
+    The reference does this as a dynamic PL/pgSQL loop over every
+    timestamp column (metadata_sql_helpers.sql:1-63); here it is a
+    driver-side loop over the catalog emitting one union-all plan —
+    each leg scans only its time column (column pruning).
+    """
+    legs = []
+    for tbl, ts_col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate"), ("events", "ts")):
+        legs.append(
+            load_table(spark, sf_dir, tbl).agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).alias("n_rows"),
+                ts_str(F.min(ts_col)).alias("t_min"),
+                ts_str(F.max(ts_col)).alias("t_max"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+@query(
+    "q_json_extract_agg",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: JSON-API payload flattening — extract a typed field from a
+    JSON string column (the reference flattens nested API JSON at
+    ingest, /root/reference/crawler/e2watch.py:131-152)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy((k % 10).alias("k_mod")).agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,180 @@
+"""Window / ordered-operator conformance queries (SURVEY §2.6, W1–W6).
+
+Models: per-series lag-diff de-accumulation (W1,
+/root/reference/crawler/ecmwf.py:158-166), latest-row-per-key (W2,
+/root/reference/crawler/e2watch.py:166-180), forward/backward fill
+(W3, /root/reference/crawler/instrat_pl.py:64-65), snapshot-at-latest
+subqueries (W4, weather.json rawSql), top-k (W6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.queries import query
+from open_energy_data_server_spark.queries._util import SCALE, sql_ts_str, ts_str
+
+
+@query(
+    "q_lag_diff_decumulate",
+    oracle=f"""
+    SELECT event_id, user_id, {sql_ts_str("ts")} AS ts,
+           GREATEST(value - LAG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta
+    FROM events
+    """,
+)
+def q_lag_diff_decumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+P14: per-series diff with clip-at-zero.
+
+    The reference de-accumulates 24h-cumulative radiation with a
+    *global* pandas ``diff()`` that leaks across series boundaries
+    (/root/reference/crawler/ecmwf.py:158-166); the window version is
+    the correct semantics — PARTITION BY pins the series. Per-row
+    double subtraction is deterministic, so no fixed-point needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.greatest(F.col("value") - F.lag("value").over(w), F.lit(0.0))
+    return ev.select("event_id", "user_id", ts_str("ts").alias("ts"), delta.alias("delta"))
+
+
+@query(
+    "q_latest_per_user",
+    oracle=f"""
+    SELECT user_id, event_id, event_type, {sql_ts_str("ts")} AS ts, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: latest-row-per-key — the 'current state' dashboard query.
+
+    row_number (not max+self-join) → single shuffle on the key. At
+    100 TB prefer a date-partition prefilter so the scan doesn't read
+    all history to find the newest row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", ts_str("ts").alias("ts"), "value")
+    )
+
+
+@query(
+    "q_ffill_bfill",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 IN (0, 1) THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+    FROM sparse
+    """,
+)
+def q_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/P4: forward + backward fill over ordered series.
+
+    ffill = last non-null over an unbounded-preceding row frame,
+    per-series (PARTITION BY) — never a global sort. Nulls are
+    synthesized deterministically (event_id % 7) since the testdata
+    has none.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 < 2, F.lit(None).cast("double")).otherwise(F.col("value"))
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return ev.withColumn("v", v).select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(wf).alias("v_ffill"),
+        F.first("v", ignorenulls=True).over(wb).alias("v_bfill"),
+    )
+
+
+@query(
+    "q_running_sum",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / {SCALE}.0 AS running_value
+    FROM events
+    """,
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-series sum (fixed-point: window-sum tree shapes
+    differ between engines, so double accumulation would drift)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.round(F.col("value") * SCALE, 0).cast("bigint")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (running.cast("double") / F.lit(float(SCALE))).alias("running_value"),
+    )
+
+
+@query(
+    "q_snapshot_at_latest",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, {sql_ts_str("ts")} AS ts, value
+    FROM events
+    WHERE ts = (SELECT MAX(ts) FROM events)
+    """,
+)
+def q_snapshot_at_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: snapshot at the global latest timestamp
+    (``WHERE time = (SELECT MAX(time) ...)``, weather.json rawSql)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.join(F.broadcast(latest), ev.ts == F.col("max_ts"))
+        .select("event_id", "user_id", "event_type", ts_str("ts").alias("ts"), "value")
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 variant: deterministic top-k per group (ties pinned by key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
