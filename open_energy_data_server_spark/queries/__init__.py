@@ -41,6 +41,8 @@ def _load_all() -> None:
         aggregates,
         joins,
         relational,
+        reshape_asof,
+        scalars,
         windows,
     )
 

@@ -1,0 +1,275 @@
+"""Scalar-transform conformance queries (SURVEY §2.3, P5–P14).
+
+Each exercises one kit function from
+``open_energy_data_server_spark.functions`` / ``sanitize`` against a
+DuckDB oracle. All expressions are per-row deterministic doubles /
+strings, so no fixed-point is needed except where sums appear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.functions.numeric import (
+    clip,
+    kelvin_to_celsius,
+    parse_locale_number,
+    usd_barrel_to_eur_kwh,
+)
+from open_energy_data_server_spark.functions.timeutil import (
+    combine_date_time,
+    epoch_ms_to_ts,
+    localize_to_utc,
+    utc_to_zone,
+)
+from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.queries import query
+from open_energy_data_server_spark.queries._util import sql_ts_str, ts_str
+from open_energy_data_server_spark.sanitize import sanitize_columns
+
+
+@query(
+    "q_sanitize_columns",
+    oracle=f"""
+    SELECT o_orderkey AS bestell_nr_id,
+           {sql_ts_str("o_orderdate")} AS datum_utc,
+           o_totalprice AS preis_mwh,
+           o_orderstatus AS oesterreich_status_a_b
+    FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def q_sanitize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: DB-safe snake_case column names, verified through the
+    driver's schema comparison — the projection is aliased to the raw
+    source headers and run through sanitize_columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    ugly = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderkey").alias("Bestell-Nr. (ID)"),
+        ts_str("o_orderdate").alias("Datum  [UTC]"),
+        F.col("o_totalprice").alias("Preis €/MWh"),
+        F.col("o_orderstatus").alias("Österreich Status: A/B"),
+    )
+    return sanitize_columns(ugly)
+
+
+@query(
+    "q_locale_number_parse",
+    oracle="""
+    WITH raw(id, s) AS (VALUES
+      (1, '1.234.567,89'), (2, ' 42,5 '), (3, 'N.A.'), (4, '-'),
+      (5, '1.000'), (6, '0,5'), (7, '  -12,25'), (8, 'n.a.')
+    )
+    SELECT id,
+           CAST(REPLACE(REPLACE(CASE WHEN TRIM(s) IN ('N.A.','n.a.','n/a','N/A','-','','NA')
+                 THEN NULL ELSE TRIM(s) END, '.', ''), ',', '.') AS DOUBLE) AS parsed
+    FROM raw
+    """,
+)
+def q_locale_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/S2: decimal-comma + thousands-dot + NA-marker parsing — the
+    post-CSV scalar step Spark's reader lacks (pandas ``decimal=','``,
+    /root/reference/crawler/netztransparenz.py:88-98)."""
+    raw = spark.createDataFrame(
+        [
+            (1, "1.234.567,89"),
+            (2, " 42,5 "),
+            (3, "N.A."),
+            (4, "-"),
+            (5, "1.000"),
+            (6, "0,5"),
+            (7, "  -12,25"),
+            (8, "n.a."),
+        ],
+        "id int, s string",
+    )
+    return raw.select("id", parse_locale_number("s").alias("parsed"))
+
+
+@query(
+    "q_case_when_classify",
+    oracle="""
+    SELECT CONCAT_WS('-',
+             CASE WHEN o_totalprice < 50000 THEN 'small'
+                  WHEN o_totalprice < 150000 THEN 'mid'
+                  ELSE 'large' END,
+             CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'final'
+                  ELSE 'partial' END) AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q_case_when_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/P12: dict-mapping + case-when derivation + composite-ID
+    build (/root/reference/crawler/iwugebaeudetypen.py:87-138) —
+    chained when/otherwise, never a row-wise apply."""
+    orders = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("large")
+    )
+    status_map = {"O": "open", "F": "final"}
+    label = F.col("o_orderstatus")
+    mapped = F.lit("partial")
+    for k, v in reversed(status_map.items()):
+        mapped = F.when(label == k, v).otherwise(mapped)
+    return (
+        orders.groupBy(F.concat_ws("-", tier, mapped).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_string_kit",
+    oracle=r"""
+    SELECT CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
+           split_part(p_type, ' ', 1) AS type_head,
+           UPPER(split_part(p_name, ' ', 1)) AS name_head,
+           COUNT(*) AS n
+    FROM part GROUP BY 1, 2, 3
+    """,
+)
+def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: regexp_extract / split / upper string kit
+    (/root/reference/crawler/regelleistung.py:540-543)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
+            F.split("p_type", " ").getItem(0).alias("type_head"),
+            F.upper(F.split("p_name", " ").getItem(0)).alias("name_head"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_date_arithmetic",
+    oracle=f"""
+    SELECT o_orderkey,
+           {sql_ts_str("o_orderdate + INTERVAL (o_orderkey % 24) HOUR")} AS due_ts,
+           {sql_ts_str("date_trunc('month', o_orderdate)")} AS month_start,
+           date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch_start
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: interval arithmetic from a derived offset — the reference's
+    product-hour offsets (/root/reference/crawler/regelleistung.py:540-546)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        ts_str(
+            F.col("o_orderdate")
+            + F.expr("make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT), 0, 0)")
+        ).alias("due_ts"),
+        ts_str(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@query(
+    "q_tz_roundtrip",
+    oracle=f"""
+    SELECT event_id,
+           {sql_ts_str("timezone('UTC', timezone('Europe/Berlin', CAST(ts AS TIMESTAMP)))")}
+             AS ts_if_berlin,
+           {sql_ts_str("timezone('Europe/Berlin', timezone('UTC', CAST(ts AS TIMESTAMP)))")}
+             AS ts_in_berlin
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def q_tz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: tz localize/convert — store UTC-naive, render zone-local
+    (/root/reference/crawler/vea_industrial_load_profiles.py:93-101).
+    DST correctness is unit-tested on transition days; the testdata is
+    January (fixed +01:00)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        ts_str(localize_to_utc("ts", "Europe/Berlin")).alias("ts_if_berlin"),
+        ts_str(utc_to_zone("ts", "Europe/Berlin")).alias("ts_in_berlin"),
+    )
+
+
+@query(
+    "q_timestamp_assembly",
+    oracle=f"""
+    SELECT event_id,
+           {sql_ts_str("strptime(CONCAT(strftime(ts, '%Y-%m-%d'), ' ', strftime(ts, '%H:%M:%S')), '%Y-%m-%d %H:%M:%S')")}
+             AS assembled,
+           {sql_ts_str("make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000)")} AS from_ms
+    FROM events WHERE event_id % 100 = 1
+    """,
+)
+def q_timestamp_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: date+time string assembly → timestamp, and epoch-ms parse
+    (/root/reference/crawler/netztransparenz.py:98-107,
+    /root/reference/crawler/smard.py:112)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.date_format("ts", "yyyy-MM-dd")
+    t = F.date_format("ts", "HH:mm:ss")
+    return ev.filter(F.col("event_id") % 100 == 1).select(
+        "event_id",
+        ts_str(combine_date_time(d, t)).alias("assembled"),
+        ts_str(epoch_ms_to_ts(F.unix_millis("ts"))).alias("from_ms"),
+    )
+
+
+@query(
+    "q_unit_conversions",
+    oracle="""
+    SELECT event_id,
+           value - 273.15 AS celsius,
+           SQRT(value * value + (value / 2) * (value / 2)) AS wind_speed,
+           GREATEST(value - 400, 0.0) AS clipped_excess,
+           value / 1.1 / 159.0 / 10.0 AS eur_per_kwh
+    FROM events WHERE event_id % 50 = 0
+    """,
+)
+def q_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/P14: the crawler unit-conversion chains (K→°C, √(u²+v²),
+    clip-at-zero, ÷159÷10 OPEC chain). Squares are written ``x*x`` —
+    ``pow`` is not correctly-rounded in either engine, multiply is."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.filter(F.col("event_id") % 50 == 0).select(
+        "event_id",
+        kelvin_to_celsius(v).alias("celsius"),
+        F.sqrt(v * v + (v / 2) * (v / 2)).alias("wind_speed"),
+        clip(v - 400, lower=0.0).alias("clipped_excess"),
+        usd_barrel_to_eur_kwh(v, F.lit(1.1)).alias("eur_per_kwh"),
+    )
+
+
+@query(
+    "q_null_handling",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v1,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value * 2 END AS v2
+      FROM events
+    )
+    SELECT event_id,
+           COALESCE(v1, 0.0) AS v1_filled,
+           COALESCE(v2, v1, -1.0) AS v2_cascade
+    FROM sparse
+    WHERE NOT (v1 IS NULL AND v2 IS NULL)
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4: dropna(how='all', subset=...) + fillna / coalesce
+    cascade (/root/reference/crawler/regelleistung.py:309-312)."""
+    ev = load_table(spark, sf_dir, "events")
+    v1 = F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value"))
+    v2 = F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value") * 2)
+    sparse = ev.select("event_id", v1.alias("v1"), v2.alias("v2"))
+    return sparse.na.drop(how="all", subset=["v1", "v2"]).select(
+        "event_id",
+        F.coalesce("v1", F.lit(0.0)).alias("v1_filled"),
+        F.coalesce("v2", "v1", F.lit(-1.0)).alias("v2_cascade"),
+    )

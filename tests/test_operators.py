@@ -1,0 +1,184 @@
+"""Unit tests for the operator library on small synthetic frames."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.functions.numeric import parse_locale_number
+from open_energy_data_server_spark.functions.timeutil import (
+    bucket_width_seconds,
+    quarter_hour_calendar_utc,
+    time_bucket,
+)
+from open_energy_data_server_spark.operators.asof import asof_join, bfill, ffill
+from open_energy_data_server_spark.operators.dedup import keep_first, keep_min
+from open_energy_data_server_spark.operators.reshape import (
+    melt,
+    melt_by_suffix,
+    transpose_small,
+    union_by_name,
+)
+from open_energy_data_server_spark.sanitize import sanitize_columns, sanitize_name
+
+
+def test_sanitize_name():
+    assert sanitize_name("Österreich Demand (MW)") == "oesterreich_demand_mw"
+    assert sanitize_name("  Preis €/MWh ") == "preis_mwh"
+    assert sanitize_name("2024 Total") == "c_2024_total"
+    assert sanitize_name("___") == "col"
+    # idempotent
+    assert sanitize_name(sanitize_name("A  B-C")) == sanitize_name("A  B-C")
+
+
+def test_sanitize_columns_dedupe(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["A B", "a_b", "a-b"])
+    assert sanitize_columns(df).columns == ["a_b", "a_b_1", "a_b_2"]
+
+
+def test_bucket_width():
+    assert bucket_width_seconds("15 minutes") == 900
+    assert bucket_width_seconds("1 hour") == 3600
+    assert bucket_width_seconds(7200) == 7200
+
+
+def test_time_bucket_column(spark):
+    df = spark.createDataFrame([("2024-01-05 13:47:11",)], ["s"]).select(
+        time_bucket("1 hour", F.col("s").cast("timestamp")).alias("b")
+    )
+    assert str(df.collect()[0].b) == "2024-01-05 13:00:00"
+
+
+def test_quarter_hour_calendar_dst(spark):
+    """2016: leap year, Europe/Berlin → 35,136 slots; spring-forward
+    local hour absent, fall-back hour doubled (the VEA grid)."""
+    cal = quarter_hour_calendar_utc(spark, 2016).cache()
+    assert cal.count() == 35136
+    # 2016-03-27 02:xx local does not exist (spring forward)
+    spring = cal.filter(
+        F.date_format("ts_local", "yyyy-MM-dd HH").startswith("2016-03-27 02")
+    )
+    assert spring.count() == 0
+    # 2016-10-30 02:xx local occurs twice (fall back) → 8 quarter-hours
+    fall = cal.filter(F.date_format("ts_local", "yyyy-MM-dd HH").startswith("2016-10-30 02"))
+    assert fall.count() == 8
+
+
+def test_melt_matches_pandas(spark):
+    pdf = pd.DataFrame({"id": [1, 2], "a": [1.0, 2.0], "b": [3.0, 4.0], "c": [5.0, 6.0]})
+    got = (
+        melt(spark.createDataFrame(pdf), ["id"], ["a", "b", "c"], chunk_size=2)
+        .toPandas()
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.melt(id_vars=["id"], value_vars=["a", "b", "c"])
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_melt_by_suffix(spark):
+    df = spark.createDataFrame(
+        [("x", 1.0, 2.0, 3.0, 4.0)],
+        ["k", "de_demand_mw", "de_price_eur", "at_demand_mw", "at_price_eur"],
+    )
+    out = melt_by_suffix(
+        df, ["k"], {"demand_mw": "demand", "price_eur": "price"}, group_name="area"
+    )
+    rows = {r.area: (r.demand, r.price) for r in out.collect()}
+    assert rows == {"de": (1.0, 2.0), "at": (3.0, 4.0)}
+
+
+def test_melt_by_suffix_missing_measure(spark):
+    df = spark.createDataFrame([("x", 1.0, 2.0)], ["k", "de_demand", "at_price"])
+    out = melt_by_suffix(df, ["k"], {"demand": "demand", "price": "price"})
+    rows = {r.area: (r.demand, r.price) for r in out.collect()}
+    assert rows == {"de": (1.0, None), "at": (None, 2.0)}
+
+
+def test_transpose_small(spark):
+    df = spark.createDataFrame([("r1", 1, 2), ("r2", 3, 4)], ["idx", "a", "b"])
+    out = transpose_small(df, "idx").toPandas().set_index("variable")
+    assert out.loc["a", "r1"] == 1 and out.loc["b", "r2"] == 4
+
+
+def test_union_by_name_evolution(spark):
+    old = spark.createDataFrame([(1, "x")], ["id", "a"])
+    new = spark.createDataFrame([(2, "y", 9.0)], ["id", "a", "b"])
+    out = union_by_name([old, new]).toPandas().sort_values("id")
+    assert list(out.columns) == ["id", "a", "b"]
+    assert pd.isna(out.iloc[0].b) and out.iloc[1].b == 9.0
+
+
+def test_asof_join_matches_merge_asof(spark):
+    left = pd.DataFrame(
+        {"k": ["a"] * 4 + ["b"] * 3, "t": [1, 3, 5, 9, 2, 4, 6], "lid": range(7)}
+    )
+    right = pd.DataFrame({"k": ["a", "a", "b"], "t": [2, 5, 5], "val": [10.0, 20.0, 30.0]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right.rename(columns={"t": "rt"})),
+            left_on="t",
+            right_on="rt",
+            value_cols=["val"],
+            by=["k"],
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k"
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["val"], want["val"], check_dtype=False)
+
+
+def test_asof_join_forward(spark):
+    left = pd.DataFrame({"k": ["a", "a"], "t": [1, 6], "lid": [0, 1]})
+    right = pd.DataFrame({"k": ["a", "a"], "rt": [3, 7], "val": [1.0, 2.0]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            left_on="t",
+            right_on="rt",
+            value_cols=["val"],
+            by=["k"],
+            direction="forward",
+        )
+        .toPandas()
+        .sort_values("lid")
+    )
+    assert list(got["val"]) == [1.0, 2.0]
+
+
+def test_ffill_bfill(spark):
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5.0), ("a", 3, None), ("b", 1, None)],
+        "k string, t int, v double",
+    )
+    f = ffill(df, ["v"], order_by=["t"], partition_by=["k"]).toPandas().set_index(["k", "t"])
+    assert f.loc[("a", 3), "v"] == 5.0 and pd.isna(f.loc[("a", 1), "v"])
+    b = bfill(df, ["v"], order_by=["t"], partition_by=["k"]).toPandas().set_index(["k", "t"])
+    assert b.loc[("a", 1), "v"] == 5.0 and pd.isna(b.loc[("b", 1), "v"])
+
+
+def test_keep_first_vs_keep_min(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "late"), ("k1", 1, "early"), ("k2", 5, "only")],
+        "k string, ord int, payload string",
+    )
+    a = {r.k: r.payload for r in keep_first(df, ["k"], ["ord"]).collect()}
+    b = {r.k: r.payload for r in keep_min(df, ["k"], "ord").collect()}
+    assert a == b == {"k1": "early", "k2": "only"}
+
+
+def test_parse_locale_number(spark):
+    df = spark.createDataFrame([("1.234,5",), ("N.A.",), (" 7 ",)], ["s"])
+    vals = [r.v for r in df.select(parse_locale_number("s").alias("v")).collect()]
+    assert vals == [1234.5, None, 7.0]
