@@ -1,0 +1,240 @@
+"""Near-duplicate detection for document corpora — the LLM-pipeline
+dedup suite (BASELINE.json north star): exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Everything is expressed relationally (explode → join → agg) with
+md5-derived 60-bit hashes, so (a) the whole pipeline is JVM-built-ins
+at scan speed — no Python UDFs — and (b) DuckDB can replay it exactly
+for the oracle gate.
+
+Scale design (the point of each shape):
+- Exact dedup: hash-groupBy on a 16-byte fingerprint — one shuffle of
+  (fingerprint, id), never of the text.
+- Jaccard pairs: *inverted shingle index* self-join, not a cross
+  join — candidate pairs are generated only where a shingle collides;
+  hot shingles (stopword runs) are the skew risk → drop shingles with
+  document frequency > df_cap before pairing (standard posting-list
+  pruning; changes recall only for near-universal shingles).
+- MinHash: k hash functions simulated as (aᵢ·h + bᵢ) mod P over one
+  base hash (Broder's scheme); signatures shuffle (doc, i, value) —
+  k·|docs| rows regardless of text size.
+- LSH: band signature = concat of r adjacent minhashes; candidates
+  join on (band, signature) — |docs|·(k/r) rows shuffled.
+- SimHash: 60 per-bit conditional sums in ONE hash-agg pass per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.operators.textops import (
+    fingerprint_normalized,
+    hash60,
+    shingles,
+    tokens,
+)
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_params(k: int = 16) -> list[tuple[int, int, int]]:
+    """Deterministic (i, aᵢ, bᵢ) rows — shared with the SQL oracle."""
+    return [(i, 1 + 2 * i, 7 + 13 * i) for i in range(k)]
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small-file source across the cluster before CPU-heavy
+    per-row work — a compact parquet lands in one task otherwise and
+    the explode/md5 stage runs single-threaded. Cost: one shuffle of
+    the raw (id, text) rows, repaid by full parallelism downstream."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct shingle set per document."""
+    return _spread(df).select(
+        F.col(id_col).alias("doc"), F.explode(shingles(tokens(text_col), n)).alias("s")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: normalized-md5 fingerprint + per-fingerprint count
+    and keeper (min id). dup_count == 1 → unique document."""
+    fp = df.select(F.col(id_col).alias("doc"), fingerprint_normalized(text_col).alias("fp"))
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "doc",
+        "fp",
+        F.count(F.lit(1)).over(w).alias("dup_count"),
+        F.min("doc").over(w).alias("keeper"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via the inverted shingle index.
+
+    Returns (doc_a, doc_b, inter, size_a, size_b, jaccard ≥ threshold).
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    if df_cap is not None:
+        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap)
+        sh = sh.join(hot, "s", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("doc_a"), "s")
+    b = sh.select(F.col("doc").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("size_b"))
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_wide(df: DataFrame, id_col: str, text_col: str, k: int = 16) -> DataFrame:
+    """(doc, mh0..mh{k-1}) — all k minhashes in ONE hash-agg pass.
+
+    k min-aggregates over the exploded (doc, shingle-hash) stream:
+    no k× row blowup, and the shuffle carries one k-column row per doc
+    per input partition (map-side partial min) — the shape that holds
+    at 100 TB."""
+    sh = doc_shingles(df, id_col, text_col).withColumn("h", hash60("s") % MINHASH_P)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, a, b in minhash_params(k)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16) -> DataFrame:
+    """(doc, i, mh) long form — melt of minhash_wide (flatMap, no
+    extra shuffle)."""
+    wide = minhash_wide(df, id_col, text_col, k)
+    pairs = ", ".join(f"{i}, mh{i}" for i in range(k))
+    return wide.selectExpr("doc", f"stack({k}, {pairs}) AS (i, mh)").select(
+        "doc", F.col("i").cast("int").alias("i"), "mh"
+    )
+
+
+def lsh_candidate_pairs_wide(
+    wide: DataFrame, k: int = 16, rows_per_band: int = 2, min_shared_bands: int = 1
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) from minhash_wide output.
+
+    Band signatures are built as string expressions straight from the
+    wide columns (sort_array of per-row 'i:mh' strings — identical
+    format to the long-form/oracle path), stacked to (doc, band, sig)
+    rows — a flatMap — and self-joined on (band, sig). Total shuffle:
+    |docs|·(k/rows_per_band) short strings."""
+    n_bands = k // rows_per_band
+    banded_legs = []
+    for b in range(n_bands):
+        members = [
+            F.concat_ws(":", F.lit(i), F.col(f"mh{i}"))
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        banded_legs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", F.sort_array(F.array(*members))).alias("sig"),
+            )
+        )
+    banded = wide.select(
+        "doc", F.explode(F.array(*banded_legs)).alias("bs")
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "sig")
+    b_ = banded.select(F.col("doc").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b_, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 2, min_shared_bands: int = 1
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) — documents colliding in ≥1 LSH
+    band. signatures = output of minhash_signatures (long form)."""
+    banded = (
+        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "i", "mh")))).alias(
+                "sig"
+            )
+        )
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "sig")
+    b = banded.select(F.col("doc").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """(doc, simhash) — 60-bit SimHash over token hashes.
+
+    One exploded (doc, token-hash) pass, then `bits` conditional sums
+    in a single hash aggregate; bit j of the result is set when more
+    token hashes have bit j set than not.
+    """
+    th = _spread(df).select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", hash60("t"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{j}"
+        )
+        for j in range(bits)
+    ]
+    agg = th.groupBy("doc").agg(*bit_sums)
+    sim = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+    return agg.select("doc", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    sims: DataFrame, by: DataFrame | None = None, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Without a blocking key this is O(n²)/2 — callers at scale pass a
+    blocking DataFrame (doc, block) to bound the candidate set."""
+    if by is not None:
+        sims = sims.join(by, "doc")
+        a = sims.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "block")
+        b = sims.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "block")
+        pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    else:
+        a = sims.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"))
+        b = sims.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"))
+        pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language
+ID, quality scoring, token counting, document fingerprinting. All
+built-in expressions (split / transform / aggregate / md5) — JVM-side,
+no Python in the hot path, so a 100 TB documents table runs at scan
+speed with zero shuffles for the per-doc features.
+
+Cross-engine determinism: fingerprints use md5 (identical in DuckDB);
+integer token arithmetic is exact; 60-bit hashes come from the first
+15 hex chars of md5 so they stay positive in a signed 64-bit lane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language marker sets for the n-gram/stopword heuristic language ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "in", "to", "for")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    r"""Whitespace tokenization of lowercased text (split on \s+)."""
+    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+
+
+def word_count_regex(col: Column | str, pattern: str = "[a-z0-9]+") -> Column:
+    """BPE-ish regex token count — counts maximal word-char runs."""
+    return F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(pattern), F.lit(0)))
+
+
+def token_length_sum(toks: Column) -> Column:
+    """Exact integer sum of token lengths (fold — order-stable ints)."""
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    ).cast("bigint")
+
+
+def stopword_count(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def punct_count(col: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit(r"[.,;:!?]"), F.lit(0)))
+
+
+def quality_score(n_tokens: Column, n_chars: Column, n_stop: Column, n_punct: Column) -> Column:
+    """Deterministic heuristic quality in [0,1]: rewards healthy token
+    length and some stopword density, penalizes punctuation soup.
+    (Float arithmetic only — every term is a per-row deterministic op.)
+    """
+    avg_len = n_chars / n_tokens
+    stop_ratio = n_stop / n_tokens
+    punct_ratio = n_punct / n_chars
+    return F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(0.4) * F.least(avg_len / 8.0, F.lit(1.0))
+            + F.lit(0.4) * F.least(stop_ratio * 5.0, F.lit(1.0))
+            + F.lit(0.2) * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))),
+        ),
+    )
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Marker-hit count per language (the n-gram heuristic)."""
+    return {lang: stopword_count(toks, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def predict_lang(toks: Column) -> Column:
+    """argmax over lang_scores with a fixed tie order (dict order)."""
+    scores = lang_scores(toks)
+    best_lang = F.lit("und")
+    best_score = F.lit(-1)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Exact-content fingerprint."""
+    return F.md5(_c(col))
+
+
+def fingerprint_normalized(col: Column | str) -> Column:
+    """Whitespace/case-insensitive content fingerprint — the exact-dedup
+    key (collapse runs of whitespace, trim, lowercase, md5)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " "))
+
+
+def hash60(col: Column | str) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — the shared base
+    hash for minhash/simhash (DuckDB twin:
+    ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (empty array when < n tokens)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

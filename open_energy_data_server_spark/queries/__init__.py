@@ -40,6 +40,8 @@ def _load_all() -> None:
     from open_energy_data_server_spark.queries import (  # noqa: F401
         aggregates,
         joins,
+        llm_similarity,
+        llm_text,
         relational,
         reshape_asof,
         scalars,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-SCALE = 1_000_000  # 6 decimal digits of fixed point
+from open_energy_data_server_spark.constants import SCALE  # noqa: F401
 
 
 def _c(col: Column | str) -> Column:

@@ -1,0 +1,131 @@
+"""Similarity-search + multimodal conformance queries on the
+``embeddings`` / ``documents`` tables (north-star extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.operators.multimodal import decode_features
+from open_energy_data_server_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_buckets,
+)
+from open_energy_data_server_spark.queries import query
+from open_energy_data_server_spark.queries._util import SCALE
+
+# DuckDB twin of operators.similarity.unpack_components (zipped unnest
+# is 0-based via range(), matching posexplode)
+SQL_COMP = """
+  comp AS (
+    SELECT vec_id AS vid,
+           unnest(range(len(embedding))) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+  )"""
+
+_FS = f"CAST(SUM(CAST(ROUND(({{expr}}) * {SCALE}, 0) AS BIGINT)) AS DOUBLE) / {SCALE}.0"
+
+
+@query(
+    "q_ann_bruteforce_topk",
+    oracle=f"""
+    WITH {SQL_COMP},
+    norms AS (
+      SELECT vid, {_FS.format(expr="val * val")} AS norm2 FROM comp GROUP BY vid
+    ),
+    q AS (
+      SELECT vid AS qid, pos, val AS qval FROM comp WHERE vid < 10
+    ),
+    dots AS (
+      SELECT c.vid, q.qid, {_FS.format(expr="c.val * q.qval")} AS dot
+      FROM comp c JOIN q ON c.pos = q.pos AND c.vid <> q.qid
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.qid AS query_id, d.vid AS neighbor_id,
+             d.dot / (SQRT(nq.norm2) * SQRT(nn.norm2)) AS cosine
+      FROM dots d
+      JOIN norms nq ON d.qid = nq.vid
+      JOIN norms nn ON d.vid = nn.vid
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a 10-vector query set against the whole
+    corpus — the ANN correctness baseline. Relational formulation
+    (posexplode + fixed-point dot) so DuckDB replays it exactly; the
+    engine-internal fast path is ``similarity.cosine_zip`` (zip_with,
+    no explode). Query side is broadcast → corpus scan stays one pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, "vec_id", "embedding", query_ids=list(range(10)), k=5)
+
+
+@query(
+    "q_ann_lsh_buckets",
+    oracle=f"""
+    WITH {SQL_COMP},
+    planes AS (SELECT CAST(unnest(range(12)) AS INTEGER) AS j),
+    sums AS (
+      SELECT vid, j,
+             {_FS.format(expr="val * (1 - 2 * ((pos * 31 + j * 17) % 2))")} AS proj
+      FROM comp, planes GROUP BY 1, 2
+    )
+    SELECT vid AS id,
+           CAST(SUM(CASE WHEN proj >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS bucket
+    FROM sums GROUP BY vid
+    """,
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH hyperplane bucketing (12 arithmetic ±1 planes → 4096
+    buckets) — the ANN scale path: bucket once at ingest, probe only
+    matching buckets at query time; bucket id becomes the partition
+    key at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_buckets(emb, "vec_id", "embedding", n_planes=12)
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           strlen(text) AS n_bytes,
+           CAST(list_aggregate([ascii(substr(text, i+1, 1)) FOR i IN range(length(text))], 'sum')
+             AS BIGINT) AS sum_bytes,
+           CAST(len(list_distinct([ascii(substr(text, i+1, 1)) FOR i IN range(length(text))]))
+             AS INTEGER) AS n_distinct_bytes,
+           CAST(list_aggregate([ascii(substr(text, i+1, 1)) FOR i IN range(length(text))], 'sum')
+             AS DOUBLE) / strlen(text) AS mean_byte
+    FROM documents
+    WHERE strlen(text) = length(text)
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, end to end: documents.text encoded to a
+    binary payload column, features extracted by the Arrow-batched
+    mapInPandas fake decoder (operators.multimodal — the decode is the
+    documented stub; the batch plumbing is real). Restricted to
+    ASCII-pure rows so the byte-level oracle is SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.filter(F.octet_length("text") == F.length("text")).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = decode_features(assets)
+    # python ints sum exactly; mean recomputed as double for parity
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "sum_bytes",
+        "n_distinct_bytes",
+        (F.col("sum_bytes").cast("double") / F.col("n_bytes")).alias("mean_byte"),
+    )

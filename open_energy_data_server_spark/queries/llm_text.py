@@ -1,0 +1,272 @@
+"""LLM-data-pipeline text conformance queries: text analysis, exact
+dedup, n-gram Jaccard, MinHash+LSH, SimHash — on the ``documents``
+table, each hash-verified against a DuckDB oracle that replays the
+identical md5-based arithmetic.
+
+The shared CTE fragments below mirror
+``operators.textops`` / ``operators.dedup_text`` expression by
+expression; keep them in sync when editing either side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.operators import dedup_text, textops
+from open_energy_data_server_spark.queries import query
+
+# ---- DuckDB twins of the textops primitives -------------------------------
+
+SQL_TOKS = r"""
+  toks AS (
+    SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+    FROM documents
+  )"""
+
+SQL_SHINGLES = r"""
+  sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] FOR i IN range(len(t) - 2)]
+                  ELSE []::VARCHAR[] END)) AS s
+    FROM toks
+  )"""
+
+SQL_HASH60 = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+SQL_MINHASH = f"""
+  hashed AS (
+    SELECT doc_id, {SQL_HASH60.format(expr='s')} % 2147483647 AS h FROM sh
+  ),
+  params AS (
+    SELECT CAST(i AS INTEGER) AS i, 1 + 2*i AS a, 7 + 13*i AS b
+    FROM (SELECT unnest(range(16)) AS i)
+  ),
+  sig AS (
+    SELECT doc_id AS doc, i, MIN((a * h + b) % 2147483647) AS mh
+    FROM hashed, params GROUP BY 1, 2
+  )"""
+
+
+def _sql_simhash_cte(bits: int = 60) -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    recon = " + ".join(f"(CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(bits))
+    return f"""
+  th AS (
+    SELECT doc_id, {SQL_HASH60.format(expr="tok")} AS h
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  ),
+  bitsums AS (
+    SELECT doc_id, {sums}
+    FROM th GROUP BY doc_id
+  ),
+  simhash AS (
+    SELECT doc_id AS doc, {recon} AS simhash FROM bitsums
+  )"""
+
+
+@query(
+    "q_text_stats",
+    oracle=rf"""
+    WITH {SQL_TOKS}
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+           length(text) AS n_chars,
+           CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS token_len_sum,
+           len(list_filter(t, x -> x IN ('the','a','an','of','and','or','is','in','to','for')))
+             AS n_stop,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           LEAST(1.0, GREATEST(0.0,
+             0.4 * LEAST((length(text) / len(t)) / 8.0, 1.0)
+             + 0.4 * LEAST((len(list_filter(t, x -> x IN
+                 ('the','a','an','of','and','or','is','in','to','for'))) / len(t)) * 5.0, 1.0)
+             + 0.2 * (1.0 - LEAST((len(regexp_extract_all(text, '[.,;:!?]')) / length(text))
+                 * 10.0, 1.0)))) AS quality
+    FROM toks JOIN documents USING (doc_id)
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (north-star text analysis):
+    whitespace tokens, BPE-ish regex words, exact integer length sums,
+    stopword/punctuation ratios, deterministic quality heuristic. All
+    built-ins — a 100 TB corpus runs this at scan speed, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = textops.tokens("text")
+    n_tokens = F.size(t)
+    n_stop = textops.stopword_count(t)
+    n_punct = textops.punct_count("text")
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        textops.word_count_regex("text").alias("n_words"),
+        n_chars.alias("n_chars"),
+        textops.token_length_sum(t).alias("token_len_sum"),
+        n_stop.alias("n_stop"),
+        n_punct.alias("n_punct"),
+        textops.quality_score(n_tokens, n_chars, n_stop, n_punct).alias("quality"),
+    )
+
+
+def _sql_lang_pred() -> str:
+    """Build the argmax CASE chain with the same loop as predict_lang."""
+    expr_lang, expr_score = "'und'", "-1"
+    for lang, markers in textops.LANG_MARKERS.items():
+        mset = ", ".join(f"'{m}'" for m in markers)
+        score = f"len(list_filter(t, x -> x IN ({mset})))"
+        expr_lang = f"CASE WHEN {score} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {score} > {expr_score} THEN {score} ELSE {expr_score} END"
+    return expr_lang
+
+
+@query(
+    "q_lang_id",
+    oracle=rf"""
+    WITH {SQL_TOKS}
+    SELECT doc_id, lang AS labeled_lang,
+           {_sql_lang_pred()} AS predicted_lang,
+           len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS score_en,
+           len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS score_de
+    FROM toks
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker scoring with fixed tie order —
+    the n-gram heuristic (the synthetic corpus shares one vocabulary,
+    so predictions are uniform; the operator is what is under test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = textops.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        textops.predict_lang(t).alias("predicted_lang"),
+        textops.stopword_count(t, textops.LANG_MARKERS["en"]).alias("score_en"),
+        textops.stopword_count(t, textops.LANG_MARKERS["de"]).alias("score_de"),
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id AS doc,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT doc, fp,
+           COUNT(*) OVER (PARTITION BY fp) AS dup_count,
+           MIN(doc) OVER (PARTITION BY fp) AS keeper
+    FROM fp
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized md5 fingerprint (hash-groupBy): the
+    shuffle carries 16-byte fingerprints, never document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_text.exact_dup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH {SQL_TOKS}, {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.inter, sa.sz AS size_a, sb.sz AS size_b,
+           p.inter / (sa.sz + sb.sz - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.inter / (sa.sz + sb.sz - p.inter) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs via the inverted shingle
+    index (no cross join — candidates only where shingles collide).
+    Finds the generator's planted near-duplicates (jaccard ≈ 0.99)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_text.jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+@query(
+    "q_minhash_signatures",
+    oracle=f"""
+    WITH {SQL_TOKS}, {SQL_SHINGLES}, {SQL_MINHASH}
+    SELECT doc, i, mh FROM sig
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16, Broder affine scheme over a shared
+    md5-derived 60-bit base hash): (doc, i, mh) long form — k·|docs|
+    rows shuffle regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_text.minhash_signatures(docs, "doc_id", "text")
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SQL_TOKS}, {SQL_SHINGLES}, {SQL_MINHASH},
+    banded AS (
+      SELECT doc, CAST(i // 2 AS INTEGER) AS band,
+             array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))), ',')
+               AS bsig
+      FROM sig GROUP BY 1, 2
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared_bands
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc
+    GROUP BY 1, 2
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 8 bands × 2 rows; documents join
+    on (band, band-signature) — |docs|·8 rows shuffled, never pairs²."""
+    docs = load_table(spark, sf_dir, "documents")
+    wide = dedup_text.minhash_wide(docs, "doc_id", "text")
+    return dedup_text.lsh_candidate_pairs_wide(wide, k=16, rows_per_band=2)
+
+
+@query(
+    "q_simhash",
+    oracle=f"""
+    WITH {SQL_TOKS}, {_sql_simhash_cte()}
+    SELECT doc, simhash FROM simhash
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document — one exploded pass + one hash agg
+    with 60 conditional sums (all codegen; no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_text.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "q_simhash_pairs",
+    oracle=f"""
+    WITH {SQL_TOKS}, {_sql_simhash_cte()},
+    blocked AS (
+      SELECT s.doc, s.simhash, d.lang FROM simhash s JOIN documents d ON s.doc = d.doc_id
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM blocked a JOIN blocked b ON a.lang = b.lang AND a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, blocked by language (the blocking key
+    bounds the pair space — at 100 TB block on simhash prefix bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sims = dedup_text.simhash(docs, "doc_id", "text")
+    blocks = docs.select(F.col("doc_id").alias("doc"), F.col("lang").alias("block"))
+    return dedup_text.simhash_pairs(sims, by=blocks, max_hamming=8)

@@ -1,0 +1,58 @@
+"""Unit tests for the LLM-pipeline operators (dedup/similarity/
+multimodal) beyond the oracle-parity coverage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.operators import multimodal
+from open_energy_data_server_spark.operators.dedup_text import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from open_energy_data_server_spark.operators.similarity import cosine_zip
+from tests.conftest import SF_DIR_ORACLE
+
+
+def test_lsh_recall_of_planted_near_dups(spark):
+    """Every planted near-dup (jaccard ≥ 0.95) must appear among the
+    MinHash-LSH candidates — the banding is tuned for high-sim pairs."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    true_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.95).collect()
+    }
+    assert true_pairs, "generator should plant near-duplicates"
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    candidates = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs, rows_per_band=2).collect()
+    }
+    missed = true_pairs - candidates
+    assert not missed, f"LSH missed planted near-dups: {missed}"
+
+
+def test_cosine_zip_self_similarity(spark):
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").limit(20)
+    out = emb.select(cosine_zip(F.col("embedding"), F.col("embedding")).alias("c")).collect()
+    assert all(abs(r.c - 1.0) < 1e-9 for r in out)
+
+
+def test_fake_decode_bytes():
+    feats = multimodal.fake_decode_bytes(b"abca")
+    assert feats == {
+        "n_bytes": 4,
+        "sum_bytes": 97 + 98 + 99 + 97,
+        "n_distinct_bytes": 3,
+        "mean_byte": (97 + 98 + 99 + 97) / 4,
+    }
+
+
+def test_multimodal_stubs_raise(spark):
+    df = spark.range(1)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(df, 64, 64)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(df, 1.0)
