@@ -1,0 +1,107 @@
+"""Lake writer (SURVEY K1–K9).
+
+Layout: ``lake/<schema>/<table>/`` partitioned parquet. Design
+mapping from the reference:
+
+- hypertable chunking (K7, ``create_hypertable`` post-load,
+  /root/reference/crawler/entsoe_crawler.py:317-320) → ``partitionBy``
+  a derived date column at write time; chunk exclusion ≡ partition
+  pruning, and there is no post-hoc migration step at all.
+- secondary (key, time) indexes (K8,
+  /root/reference/crawler/entsoe_crawler.py:303-309) →
+  ``sortWithinPartitions(keys)`` before write: parquet row-group
+  min/max stats then skip like a coarse index.
+- append / replace (K1/K2) → save modes.
+- schema-evolution append (K3, the read-concat-replace fallback,
+  /root/reference/crawler/entsoe_crawler.py:196-212) → parquet append
+  of the new schema + ``mergeSchema`` on read; evolution is metadata-
+  only, no rewrite of old files.
+- PK dedup (K9, /root/reference/crawler/mastr.py:139-150) →
+  ``dedup_keys`` applies keep-first against existing data
+  (left-anti + in-batch keep_first) before the append.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.operators.dedup import keep_first
+
+
+def table_path(lake_root: str, schema: str, table: str) -> str:
+    return os.path.join(lake_root, schema, table)
+
+
+def write_table(
+    df: DataFrame,
+    lake_root: str,
+    schema: str,
+    table: str,
+    mode: str = "append",
+    time_col: str | None = None,
+    sort_keys: list[str] | None = None,
+    dedup_keys: list[str] | None = None,
+    dedup_order: list[str] | None = None,
+) -> str:
+    """Write a table into the lake; returns its path.
+
+    ``time_col`` → adds a ``p_date`` partition column (hypertable
+    analog). ``sort_keys`` → sortWithinPartitions for row-group
+    skipping. ``dedup_keys`` → enforce PK: drop batch rows whose key
+    already exists (left-anti vs existing) and keep-first within the
+    batch (ordering pinned by ``dedup_order``).
+    """
+    path = table_path(lake_root, schema, table)
+    spark = df.sparkSession
+
+    if dedup_keys:
+        df = keep_first(df, dedup_keys, dedup_order or dedup_keys)
+        existing = read_table_or_none(spark, lake_root, schema, table)
+        if existing is not None and mode == "append":
+            df = df.join(
+                existing.select(*dedup_keys).distinct(), dedup_keys, "left_anti"
+            )
+
+    partition_cols: list[str] = []
+    if time_col is not None:
+        df = df.withColumn("p_date", F.to_date(F.col(time_col)))
+        partition_cols = ["p_date"]
+
+    if sort_keys:
+        df = df.sortWithinPartitions(*sort_keys)
+
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    return path
+
+
+def read_table_or_none(
+    spark: SparkSession, lake_root: str, schema: str, table: str
+) -> DataFrame | None:
+    """Read a lake table with schema merge (evolution-tolerant), or
+    None if it does not exist yet."""
+    path = table_path(lake_root, schema, table)
+    if not os.path.isdir(path):
+        return None
+    try:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    except Exception:
+        return None
+
+
+def append_evolve(
+    df: DataFrame, lake_root: str, schema: str, table: str, **write_kwargs
+) -> str:
+    """K3: append a batch whose schema may have new columns.
+
+    Parquet directories tolerate heterogeneous file schemas; readers
+    get the union via mergeSchema (read_table_or_none). Old files are
+    never rewritten — the reference re-reads and replaces the whole
+    table on UndefinedColumn; here evolution is free.
+    """
+    return write_table(df, lake_root, schema, table, mode="append", **write_kwargs)

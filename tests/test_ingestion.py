@@ -1,0 +1,220 @@
+"""End-to-end tests of the ingestion framework: locale CSV (the F10
+torture dialect), record-mux, JSON flattening, landing+zip, lake
+writer (partitioning / evolution / PK dedup), watermark resume, and
+the metadata catalog."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.catalog import read_metadata, upsert_metadata
+from open_energy_data_server_spark.operators.incremental import (
+    WatermarkStore,
+    align_to_period,
+    backfill_windows,
+    incremental_append,
+    probe_watermark,
+)
+from open_energy_data_server_spark.sources.csv_locale import CsvDialect, read_locale_csv
+from open_energy_data_server_spark.sources.json_flat import explode_series, flatten_structs
+from open_energy_data_server_spark.sources.landing import land, local_file_fetcher
+from open_energy_data_server_spark.sources.record_mux import read_record_mux
+from open_energy_data_server_spark.sinks.writer import (
+    append_evolve,
+    read_table_or_none,
+    write_table,
+)
+
+DIRTY_CSV = """junk preamble line 1
+junk preamble line 2
+Datum;Anlage (MW);Preis €/MWh;Status
+2024-03-01;1.234,5;  42,7 ;ok
+2024-03-02;N.A.;-;fail
+2024-03-03; 7;0,25;ok
+
+"""
+
+
+def test_locale_csv_dirty(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text(DIRTY_CSV)
+    dialect = CsvDialect(
+        skiprows=2, numeric_columns=["Anlage (MW)", "Preis €/MWh"], sanitize=True
+    )
+    df = read_locale_csv(spark, str(p), dialect)
+    assert df.columns == ["datum", "anlage_mw", "preis_mwh", "status"]
+    rows = {r.datum: (r.anlage_mw, r.preis_mwh) for r in df.collect()}
+    assert rows["2024-03-01"] == (1234.5, 42.7)
+    assert rows["2024-03-02"] == (None, None)
+    assert rows["2024-03-03"] == (7.0, 0.25)
+
+
+def test_locale_csv_no_skiprows(spark, tmp_path):
+    p = tmp_path / "plain.csv"
+    p.write_text("a;b\n1;2,5\n")
+    df = read_locale_csv(spark, str(p), CsvDialect(numeric_columns=["b"]))
+    assert df.collect()[0].b == 2.5
+
+
+def test_record_mux(spark, tmp_path):
+    p = tmp_path / "eex.txt"
+    p.write_text(
+        "# comment header\n"
+        "ST;base;100.5\n"
+        "PR;2024-01-01;42.0;7\n"
+        "ST;peak;200.25\n"
+        "garbage line\n"
+    )
+    out = read_record_mux(
+        spark,
+        str(p),
+        {"ST": "name STRING, v DOUBLE", "PR": "d STRING, price DOUBLE, n INT"},
+    )
+    st = {r.name: r.v for r in out["ST"].collect()}
+    assert st == {"base": 100.5, "peak": 200.25}
+    pr = out["PR"].collect()
+    assert len(pr) == 1 and pr[0].price == 42.0 and pr[0].record_type == "PR"
+
+
+def test_json_flatten_and_series(spark, tmp_path):
+    p = tmp_path / "api.jsonl"
+    p.write_text(
+        '{"meta": {"station": {"id": 7, "city": "aachen"}}, "series": [[1704067200000, 1.5], [1704070800000, 2.5]]}\n'
+    )
+    df = spark.read.json(str(p))
+    flat = flatten_structs(df)
+    assert "meta_station_id" in flat.columns and "meta_station_city" in flat.columns
+    long = explode_series(flat, "series", ["ts_ms", "mwh"])
+    rows = sorted((r.ts_ms, r.mwh) for r in long.collect())
+    assert rows == [(1704067200000, 1.5), (1704070800000, 2.5)]
+
+
+def test_landing_zip_roundtrip(spark, tmp_path):
+    src = tmp_path / "payload.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("a.csv", "x;y\n1;2\n")
+        zf.writestr("b.csv", "x;y\n3;4\n")
+    landed = land(str(src), str(tmp_path / "landing"), "payload.zip")
+    assert os.path.isdir(landed)
+    df = spark.read.option("sep", ";").option("header", "true").csv(landed)
+    assert df.count() == 2
+
+
+def test_landing_retry_then_fail(tmp_path):
+    calls = []
+
+    def flaky(url):
+        calls.append(url)
+        raise OSError("boom")
+
+    with pytest.raises(RuntimeError, match="fetch failed"):
+        land("u", str(tmp_path / "l"), "f", fetcher=flaky, retries=3, backoff_s=0)
+    assert len(calls) == 3
+
+
+def test_write_partitioned_and_pruned(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 5), 10.0), (2, dt.datetime(2024, 1, 2, 6), 20.0)],
+        "id long, ts timestamp, v double",
+    )
+    write_table(df, lake, "smard", "gen", mode="overwrite", time_col="ts", sort_keys=["id"])
+    assert os.path.isdir(os.path.join(lake, "smard", "gen", "p_date=2024-01-01"))
+    back = read_table_or_none(spark, lake, "smard", "gen")
+    pruned = back.filter(F.col("p_date") == "2024-01-02")
+    assert pruned.count() == 1
+    # partition filter must reach the scan
+    assert "p_date" in pruned._jdf.queryExecution().executedPlan().toString()
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    v1 = spark.createDataFrame([(1, 1.0)], "id long, a double")
+    v2 = spark.createDataFrame([(2, 2.0, "new")], "id long, a double, b string")
+    append_evolve(v1, lake, "s", "t")
+    append_evolve(v2, lake, "s", "t")
+    back = read_table_or_none(spark, lake, "s", "t").toPandas().sort_values("id")
+    assert list(back.columns) == ["id", "a", "b"]
+    assert back.iloc[0].b is None and back.iloc[1].b == "new"
+
+
+def test_pk_dedup_on_write(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    b1 = spark.createDataFrame([(1, "x", 1), (1, "dup", 2), (2, "y", 1)], "k long, v string, seq int")
+    write_table(b1, lake, "s", "t", mode="append", dedup_keys=["k"], dedup_order=["seq"])
+    # second batch: existing key 1 dropped, new key 3 kept
+    b2 = spark.createDataFrame([(1, "again", 9), (3, "z", 1)], "k long, v string, seq int")
+    write_table(b2, lake, "s", "t", mode="append", dedup_keys=["k"], dedup_order=["seq"])
+    back = {r.k: r.v for r in read_table_or_none(spark, lake, "s", "t").collect()}
+    assert back == {1: "x", 2: "y", 3: "z"}
+
+
+def test_incremental_watermark_resume(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda hrs: spark.createDataFrame(  # noqa: E731
+        [(h, t0 + dt.timedelta(hours=h)) for h in hrs], "id long, ts timestamp"
+    )
+    _, n1 = incremental_append(mk(range(5)), lake, "s", "t", "ts")
+    assert n1 == 5
+    # overlapping batch: only hours 5..7 are new
+    _, n2 = incremental_append(mk(range(3, 8)), lake, "s", "t", "ts")
+    assert n2 == 3
+    assert probe_watermark(spark, lake, "s", "t", "ts") == t0 + dt.timedelta(hours=7)
+    # quality delay: nothing newer than now-2h gets in (T3)
+    _, n3 = incremental_append(
+        mk(range(8, 12)),
+        lake,
+        "s",
+        "t",
+        "ts",
+        quality_delay=dt.timedelta(hours=2),
+        now=t0 + dt.timedelta(hours=11),
+    )
+    assert n3 == 1  # only hour 8 < now-2h
+
+
+def test_watermark_store_and_alignment(tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    assert store.get("k") is None
+    store.set("k", dt.datetime(2024, 3, 1, 12, 30))
+    assert store.get("k") == dt.datetime(2024, 3, 1, 12, 30)
+    # T4: floor onto weekly grid anchored Sunday 22:00 (smard)
+    aligned = align_to_period(
+        dt.datetime(2024, 3, 6, 9, 15),
+        dt.timedelta(days=7),
+        origin=dt.datetime(2024, 2, 25, 22, 0),
+    )
+    assert aligned == dt.datetime(2024, 3, 3, 22, 0)
+    wins = backfill_windows(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20), dt.timedelta(days=8))
+    assert [w[0].day for w in wins] == [1, 9, 17] and wins[-1][1].day == 20
+
+
+def test_catalog_upsert(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 2, 1))], "id long, ts timestamp"
+    )
+    write_table(df, lake, "smard", "gen", mode="overwrite")
+    cat = upsert_metadata(
+        spark,
+        lake,
+        "smard",
+        data_source="https://example.org",
+        license="CC-BY",
+        tables_and_ts={"gen": "ts"},
+    )
+    row = cat.filter(F.col("schema_name") == "smard").collect()[0]
+    assert row.tables == 1 and row.size > 0
+    assert row.temporal_start == dt.datetime(2024, 1, 1)
+    assert row.temporal_end == dt.datetime(2024, 2, 1)
+    # second upsert replaces, not duplicates
+    cat2 = upsert_metadata(spark, lake, "smard", data_source="v2")
+    assert cat2.filter(F.col("schema_name") == "smard").count() == 1
+    assert cat2.collect()[0].data_source == "v2"
+    assert read_metadata(spark, lake).count() == 1
