@@ -1,0 +1,114 @@
+"""Geospatial kit (SURVEY §2.8, G1–G4, J4).
+
+The reference stores PostGIS geometries and does point-in-polygon
+joins at ingest (/root/reference/crawler/ecmwf.py:195-199,
+/root/reference/crawler/dwd.py:46-59) and GeoJSON rendering in
+dashboards (open_nrw.json rawSql ``ST_AsGeoJSON``). This engine keeps
+geometry as WKT string columns; the compute kit is dependency-free:
+
+- WKT polygon parsing + ray-cast point-in-polygon + shoelace centroid
+  in numpy (no shapely in the container; the algorithms are textbook),
+- WKT→GeoJSON as pure string expressions (codegen, no UDF).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WKT_POLY = re.compile(r"POLYGON\s*\(\s*(.+)\s*\)\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def parse_wkt_polygon(wkt: str) -> list[np.ndarray]:
+    """'POLYGON ((x y, ...), (hole ...))' → [outer_ring, *holes],
+    each an (n, 2) float array."""
+    m = _WKT_POLY.match(wkt.strip())
+    if not m:
+        raise ValueError(f"not a WKT polygon: {wkt[:50]!r}")
+    body = m.group(1)
+    rings = []
+    for ring_txt in re.findall(r"\(([^()]+)\)", body):
+        pts = [
+            [float(p) for p in pair.strip().split()[:2]]
+            for pair in ring_txt.split(",")
+            if pair.strip()
+        ]
+        rings.append(np.asarray(pts, dtype=np.float64))
+    if not rings:
+        raise ValueError(f"empty polygon: {wkt[:50]!r}")
+    return rings
+
+
+def _ray_cast(ring: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: (n_points,) bool for one ring."""
+    inside = np.zeros(x.shape, dtype=bool)
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    for xa, ya, xb, yb in zip(x1, y1, x2, y2):
+        crosses = (ya > y) != (yb > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = xa + (y - ya) * (xb - xa) / (yb - ya)
+        inside ^= crosses & (x < xint)
+    return inside
+
+
+def points_in_polygon(rings: list[np.ndarray], x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Even-odd inclusion over outer ring and holes."""
+    result = _ray_cast(rings[0], x, y)
+    for hole in rings[1:]:
+        result &= ~_ray_cast(hole, x, y)
+    return result
+
+
+def polygon_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
+    outer = rings[0]
+    return (
+        float(outer[:, 0].min()),
+        float(outer[:, 1].min()),
+        float(outer[:, 0].max()),
+        float(outer[:, 1].max()),
+    )
+
+
+def polygon_centroid(rings: list[np.ndarray]) -> tuple[float, float]:
+    """Shoelace-weighted centroid of the outer ring
+    (the nuts_mapper ``centroid.x/.y``, nuts_mapper.py:44-46)."""
+    ring = rings[0]
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    xn, yn = ring[1:, 0], ring[1:, 1]
+    cross = x * yn - xn * y
+    area = cross.sum() / 2.0
+    if area == 0:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + xn) * cross).sum() / (6.0 * area)
+    cy = ((y + yn) * cross).sum() / (6.0 * area)
+    return float(cx), float(cy)
+
+
+def wkt_point(lon: Column | str, lat: Column | str) -> Column:
+    """ST_MakePoint analog: 'POINT (lon lat)' WKT string."""
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    la = F.col(lat) if isinstance(lat, str) else lat
+    return F.concat(F.lit("POINT ("), lo.cast("string"), F.lit(" "), la.cast("string"), F.lit(")"))
+
+
+def wkt_polygon_to_geojson(wkt: Column | str) -> Column:
+    """ST_AsGeoJSON for single-ring WKT polygons as pure string ops
+    (no numeric round trip → no float-formatting divergence):
+    'POLYGON ((1 2, 3 4, 1 2))' →
+    '{"type":"Polygon","coordinates":[[[1,2],[3,4],[1,2]]]}'."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    inner = F.regexp_replace(c, r"^POLYGON\s*\(\(", "")
+    inner = F.regexp_replace(inner, r"\)\)\s*$", "")
+    pairs = F.transform(
+        F.split(inner, r",\s*"),
+        lambda p: F.concat(F.lit("["), F.regexp_replace(F.trim(p), r"\s+", ","), F.lit("]")),
+    )
+    return F.concat(
+        F.lit('{"type":"Polygon","coordinates":[['),
+        F.array_join(pairs, ","),
+        F.lit("]]}"),
+    )

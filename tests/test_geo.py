@@ -1,0 +1,61 @@
+"""Unit tests for the dependency-free geo kit: WKT parsing, ray
+casting (incl. non-convex + holes), centroid, grid index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from open_energy_data_server_spark.functions.geo import (
+    parse_wkt_polygon,
+    points_in_polygon,
+    polygon_bbox,
+    polygon_centroid,
+)
+from open_energy_data_server_spark.operators.spatial import polygon_grid_index
+
+
+def test_parse_wkt_with_hole():
+    rings = parse_wkt_polygon(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    assert len(rings) == 2 and rings[0].shape == (5, 2)
+    with pytest.raises(ValueError):
+        parse_wkt_polygon("LINESTRING (0 0, 1 1)")
+
+
+def test_ray_cast_square_and_hole():
+    rings = parse_wkt_polygon(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    x = np.array([5.0, 1.0, 11.0, 5.0])
+    y = np.array([5.0, 1.0, 5.0, 3.0])
+    # center is inside the hole → excluded; (1,1) inside; (11,5) outside
+    assert list(points_in_polygon(rings, x, y)) == [False, True, False, True]
+
+
+def test_ray_cast_nonconvex():
+    # U-shape: the notch (5, 8) is outside
+    rings = parse_wkt_polygon(
+        "POLYGON ((0 0, 10 0, 10 10, 7 10, 7 3, 3 3, 3 10, 0 10, 0 0))"
+    )
+    x = np.array([5.0, 1.5, 8.5, 5.0])
+    y = np.array([8.0, 9.0, 9.0, 1.0])
+    assert list(points_in_polygon(rings, x, y)) == [False, True, True, True]
+
+
+def test_centroid_rect_and_triangle():
+    rect = parse_wkt_polygon("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+    assert polygon_centroid(rect) == (2.0, 1.0)
+    tri = parse_wkt_polygon("POLYGON ((0 0, 3 0, 0 3, 0 0))")
+    cx, cy = polygon_centroid(tri)
+    assert abs(cx - 1.0) < 1e-12 and abs(cy - 1.0) < 1e-12
+    assert polygon_bbox(rect) == (0.0, 0.0, 4.0, 2.0)
+
+
+def test_polygon_grid_index(spark):
+    polys = spark.createDataFrame(
+        [(1, "POLYGON ((0.1 0.1, 1.9 0.1, 1.9 0.9, 0.1 0.9, 0.1 0.1))")], "pid int, wkt string"
+    )
+    cells = {(r.cell_x, r.cell_y) for r in polygon_grid_index(polys, "pid", "wkt", 1.0).collect()}
+    assert cells == {(0, 0), (1, 0)}

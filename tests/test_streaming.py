@@ -1,0 +1,123 @@
+"""Structured Streaming tests: the window builders under a real
+streaming lineage (file source → memory sink), watermark late-data
+drop across micro-batches, and the applyInPandasWithState operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.streaming.stateful import running_user_stats
+from open_energy_data_server_spark.streaming.windows import tumbling_agg
+
+EVENTS_DDL = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(hours_minutes, start_id=0):
+    t0 = dt.datetime(2024, 1, 1)
+    return [
+        (start_id + i, t0 + dt.timedelta(hours=h, minutes=m), 1, 1.0)
+        for i, (h, m) in enumerate(hours_minutes)
+    ]
+
+
+def test_stream_tumbling_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, _rows([(10, 5), (10, 20), (11, 30), (12, 1)]))
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    agged = tumbling_agg(stream, "ts", "1 hour", watermark="10 minutes")
+    q = (
+        agged.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumble_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r.window_start), r.n) for r in spark.sql("SELECT * FROM tumble_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = tumbling_agg(spark.read.schema(EVENTS_DDL).parquet(src), "ts", "1 hour")
+    want = {(str(r.window_start), r.n) for r in batch.collect()}
+    assert got == want == {
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 11:00:00", 1),
+        ("2024-01-01 12:00:00", 1),
+    }
+
+
+def test_stream_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + 10-minute watermark: a row arriving hours behind
+    the stream's max event time must not resurrect its window (T3 —
+    the reference's quality-assurance delay as a stream semantic)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, _rows([(10, 0), (10, 30), (11, 10)]))
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    agged = tumbling_agg(stream, "ts", "1 hour", watermark="10 minutes")
+    q = (
+        agged.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one very-late row (08:15, far below watermark 11:00)
+        # and one new row advancing the stream
+        _write_batch(spark, src, _rows([(8, 15), (13, 0)], start_id=100))
+        q.processAllAvailable()
+        # batch 3: push watermark far ahead so earlier windows finalize
+        _write_batch(spark, src, _rows([(18, 0)], start_id=200))
+        q.processAllAvailable()
+        rows = {str(r.window_start): r.n for r in spark.sql("SELECT * FROM late_out").collect()}
+    finally:
+        q.stop()
+    assert "2024-01-01 08:00:00" not in rows, "late row must be dropped"
+    assert rows.get("2024-01-01 10:00:00") == 2
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, dt.datetime(2024, 1, 1, 10), 7, 10.0),
+            (2, dt.datetime(2024, 1, 1, 11), 7, 20.0),
+            (3, dt.datetime(2024, 1, 1, 10, 30), 8, 5.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, [(4, dt.datetime(2024, 1, 1, 12), 7, 30.0)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM state_out ORDER BY user_id, n"
+        ).collect()
+    finally:
+        q.stop()
+    # user 7: first batch n=2/total=30, after second batch n=3/total=60
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.n, r.total, r.last_value))
+    assert by_user[7][-1] == (3, 60.0, 30.0)
+    assert by_user[8] == [(1, 5.0, 5.0)]
