@@ -1,0 +1,195 @@
+"""API-surface conformance queries: the PostgREST param grammar and
+the stored-procedure view (SURVEY §3.3, U4), plus the remaining
+dashboard rawSql shapes (refit EXTRACT filter, gie distinct-subquery
+join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.plans.postgrest import translate
+from open_energy_data_server_spark.plans.procedures import call_procedure, register_procedure
+from open_energy_data_server_spark.queries import query
+from open_energy_data_server_spark.queries._util import (
+    SCALE,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_ts_str,
+    ts_str,
+)
+
+
+@query(
+    "q_postgrest_filter_project",
+    oracle=f"""
+    SELECT event_id, {sql_ts_str("ts")} AS when_ts, value
+    FROM events
+    WHERE value >= 100 AND event_type = 'click'
+    ORDER BY event_id
+    LIMIT 50
+    """,
+)
+def q_postgrest_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3: ``?value=gte.100&event_type=eq.click&select=event_id,
+    ts:when_ts,value&order=event_id.asc&limit=50`` through the
+    translator — filter+project+order+limit compile to one pruned
+    scan (PushedFilters in the plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = translate(
+        ev,
+        {
+            "value": "gte.100",
+            "event_type": "eq.click",
+            "select": "event_id,ts:when_ts,value",
+            "order": "event_id.asc",
+            "limit": "50",
+        },
+    )
+    return out.withColumn("when_ts", ts_str("when_ts"))
+
+
+@query(
+    "q_postgrest_aggregate",
+    oracle="""
+    SELECT event_type, COUNT(*) AS count, MAX(value) AS value_max, MIN(value) AS value_min
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_postgrest_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 aggregate mode: ``select=event_type,count(),value.max(),
+    value.min()`` → groupBy on the plain columns (the PostgREST
+    ``power.sum()`` example, http_export_examples.md:17-22)."""
+    ev = load_table(spark, sf_dir, "events")
+    return translate(
+        ev,
+        {
+            "value": "not.is.null",
+            "select": "event_type,count(),value.max(),value.min()",
+        },
+    )
+
+
+@query(
+    "q_postgrest_in_like",
+    oracle="""
+    SELECT event_id, event_type, props
+    FROM events
+    WHERE CAST(event_type AS VARCHAR) IN ('click', 'view') AND props LIKE '%9}'
+    ORDER BY event_id
+    LIMIT 40
+    """,
+)
+def q_postgrest_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3: ``in.(...)`` list filter + ``like.*pat`` wildcard."""
+    ev = load_table(spark, sf_dir, "events")
+    return translate(
+        ev,
+        {
+            "event_type": "in.(click,view)",
+            "props": "like.*9}",
+            "select": "event_id,event_type,props",
+            "order": "event_id.asc",
+            "limit": "40",
+        },
+    )
+
+
+register_procedure(
+    "proc_revenue_year_region",
+    f"""
+    SELECT year(o_orderdate) AS year,
+           r_name AS region,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+
+
+@query(
+    "q_stored_procedure_view",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           r_name AS region,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stored_procedure_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: the opsd stored procedure re-expressed as a registered SQL
+    view (postgrest_stored_procedure.sql:12-31 — grouped totals per
+    year/dimension), callable by name like ``/rpc/<name>``."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return call_procedure(spark, "proc_revenue_year_region")
+
+
+@query(
+    "q_extract_year_filter",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           {sql_davg("value")} AS avg_value
+    FROM events
+    WHERE EXTRACT(YEAR FROM ts) = 2024 AND EXTRACT(DOW FROM ts) NOT IN (0, 6)
+    GROUP BY 1
+    """,
+)
+def q_extract_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """refit.json:111 shape: time_bucket hourly avg with
+    EXTRACT(YEAR)/weekday predicates (Spark dayofweek is 1=Sunday;
+    DuckDB DOW is 0=Sunday — mapped accordingly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.year("ts") == 2024) & (~F.dayofweek("ts").isin(1, 7))  # 1=Sun, 7=Sat
+        )
+        .groupBy(
+            F.date_format(
+                F.timestamp_seconds((F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("bucket")
+        )
+        .agg(davg("value").alias("avg_value"))
+    )
+
+
+@query(
+    "q_join_distinct_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, big.o_orderpriority
+    FROM customer c
+    JOIN (SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+          WHERE o_totalprice > 250000) big
+      ON c.c_custkey = big.o_custkey
+    """,
+)
+def q_join_distinct_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gie.json shape (J5): join through a DISTINCT subquery
+    (``location JOIN (SELECT DISTINCT parent, name FROM company)``)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        orders.filter(F.col("o_totalprice") > 250000)
+        .select("o_custkey", "o_orderpriority")
+        .distinct()
+    )
+    return customer.join(big, customer.c_custkey == big.o_custkey).select(
+        "c_custkey", "c_name", "o_orderpriority"
+    )
