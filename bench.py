@@ -29,9 +29,18 @@ def main() -> None:
 
     spark = get_spark(app_name="spark-oeds-bench")
 
-    # warm the JVM + parquet footers once so per-query times measure steady state
+    # Warm-up: parquet footers, codegen infra, and the Python worker
+    # pool (mapInPandas queries otherwise pay worker startup in their
+    # measured time). One-time session costs, not steady-state work.
     try:
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        import pandas as pd  # noqa: F401
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li.count()
+        li.limit(1000).groupBy("l_returnflag").count().collect()
+        spark.range(64).repartition(32).mapInPandas(
+            lambda it: (pdf for pdf in it), "id long"
+        ).count()
     except Exception as exc:
         print(f"bench: warm-up failed (continuing): {exc}", file=sys.stderr)
 

@@ -52,10 +52,17 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct shingle set per document."""
-    return _spread(df).select(
-        F.col(id_col).alias("doc"), F.explode(shingles(tokens(text_col), n)).alias("s")
+    """(id, shingle) exploded distinct shingle set per document.
+
+    The token array is materialized through a generator barrier
+    (``explode(array(tokens))``) before the shingle transform:
+    without it Catalyst collapses the projections and every
+    ``element_at`` re-evaluates ``split`` — O(tokens²) CPU per
+    document (measured 4× slowdown at 5k docs)."""
+    tok = _spread(df).select(
+        F.col(id_col).alias("doc"), F.explode(F.array(tokens(text_col))).alias("toks")
     )
+    return tok.select("doc", F.explode(shingles(F.col("toks"), n)).alias("s"))
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -83,15 +90,25 @@ def jaccard_pairs(
 
     Returns (doc_a, doc_b, inter, size_a, size_b, jaccard ≥ threshold).
     """
-    sh = doc_shingles(df, id_col, text_col, n)
+    # join on the 60-bit shingle hash, not the string: shuffle rows are
+    # (doc, bigint) instead of (doc, ~20-char text) and the equi-join
+    # compares longs. Collision risk 2^-60 per pair — the same hash
+    # family the minhash path already relies on (oracle replays it).
+    sh = doc_shingles(df, id_col, text_col, n).select("doc", hash60("s").alias("h"))
     if df_cap is not None:
-        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap)
-        sh = sh.join(hot, "s", "left_anti")
+        hot = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap)
+        sh = sh.join(hot, "h", "left_anti")
+    # the hashed stream feeds three consumers (sizes + both join
+    # sides) — persist it so the text pipeline runs once (at cluster
+    # scale: MEMORY_AND_DISK, ~16 bytes/shingle; Spark LRU evicts)
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc").alias("doc_a"), "s")
-    b = sh.select(F.col("doc").alias("doc_b"), "s")
+    a = sh.select(F.col("doc").alias("doc_a"), "h")
+    b = sh.select(F.col("doc").alias("doc_b"), "h")
     inter = (
-        a.join(b, "s")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))

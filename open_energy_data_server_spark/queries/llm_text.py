@@ -176,10 +176,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram_jaccard",
     oracle=rf"""
     WITH {SQL_TOKS}, {SQL_SHINGLES},
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    shh AS (SELECT doc_id, {SQL_HASH60.format(expr='s')} AS h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT p.doc_a, p.doc_b, p.inter, sa.sz AS size_a, sb.sz AS size_b,
