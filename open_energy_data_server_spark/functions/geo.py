@@ -88,6 +88,35 @@ def polygon_centroid(rings: list[np.ndarray]) -> tuple[float, float]:
     return float(cx), float(cy)
 
 
+def convex_hull_wkt(points: list[tuple[float, float]]) -> str:
+    """Monotone-chain convex hull → WKT polygon (G2: the metadata
+    footprint field; the reference uses ST_ConcaveHull on a sampled
+    point set, metadata_sql_helpers.sql:86-124 — convex hull is the
+    dependency-free stand-in, same bounded-size driver-side shape,
+    swappable for a concave implementation)."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        raise ValueError("convex hull needs ≥3 distinct points")
+
+    def half(seq):
+        out: list[tuple[float, float]] = []
+        for p in seq:
+            while (
+                len(out) >= 2
+                and (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                <= 0
+            ):
+                out.pop()
+            out.append(p)
+        return out
+
+    lower, upper = half(pts), half(reversed(pts))
+    ring = lower[:-1] + upper[:-1] + [lower[0]]
+    body = ", ".join(f"{x} {y}" for x, y in ring)
+    return f"POLYGON (({body}))"
+
+
 def wkt_point(lon: Column | str, lat: Column | str) -> Column:
     """ST_MakePoint analog: 'POINT (lon lat)' WKT string."""
     lo = F.col(lon) if isinstance(lon, str) else lon

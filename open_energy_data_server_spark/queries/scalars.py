@@ -246,6 +246,58 @@ def q_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_interpolate_linear",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_id % 4 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    neigh AS (
+      SELECT event_id, user_id, v,
+             CAST(epoch_us(ts) AS DOUBLE) AS xd,
+             last_value(v IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(ts) AS DOUBLE) END
+               IGNORE NULLS) OVER wb AS prev_x,
+             first_value(v IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(ts) AS DOUBLE) END
+               IGNORE NULLS) OVER wf AS next_x
+      FROM sparse
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v) * (xd - prev_x) / (next_x - prev_x)
+           END AS v_interp
+    FROM neigh
+    """,
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15: linear series interpolation as pure window expressions
+    (the windmodel power-curve fill,
+    /root/reference/crawler/windmodel.py:83 — cubic variant is
+    scipy-gated in operators.interpolate). x is exact epoch-micros so
+    both engines interpolate on identical doubles."""
+    from open_energy_data_server_spark.operators.interpolate import interpolate_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("x_us"),
+        F.when(F.col("event_id") % 4 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(sparse, "v", "x_us", partition_by=["user_id"], out_col="v_interp")
+    return out.select("event_id", "user_id", "v_interp")
+
+
+@query(
     "q_null_handling",
     oracle="""
     WITH sparse AS (

@@ -45,6 +45,7 @@ def write_table(
     sort_keys: list[str] | None = None,
     dedup_keys: list[str] | None = None,
     dedup_order: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> str:
     """Write a table into the lake; returns its path.
 
@@ -74,6 +75,11 @@ def write_table(
         df = df.sortWithinPartitions(*sort_keys)
 
     writer = df.write.mode(mode)
+    if max_records_per_file:
+        # K5: bounded output file sizes (the reference's 200k-row write
+        # slices, vea_industrial_load_profiles.py:136-150) — built-in
+        # option, no repartition needed
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)

@@ -1,0 +1,128 @@
+"""Tests for the remaining source formats (sqlite, XML, GRIB
+plumbing, Excel gate) and the interpolation/hull operators."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.functions.geo import convex_hull_wkt, parse_wkt_polygon
+from open_energy_data_server_spark.operators.interpolate import (
+    interpolate_cubic,
+    interpolate_linear,
+)
+from open_energy_data_server_spark.sources.excel import HAS_OPENPYXL, read_excel
+from open_energy_data_server_spark.sources.grib import read_grib, stub_decoder
+from open_energy_data_server_spark.sources.sqlite import list_tables, read_sqlite_table
+from open_energy_data_server_spark.sources.xml_source import read_xml, read_xml_files
+
+
+def test_sqlite_roundtrip(spark, tmp_path):
+    db = str(tmp_path / "opsd.sqlite")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE household (id INTEGER, ts TEXT, kwh REAL)")
+        con.executemany(
+            "INSERT INTO household VALUES (?, ?, ?)",
+            [(1, "2024-01-01", 1.5), (2, "2024-01-02", 2.5)],
+        )
+    assert list_tables(db) == ["household"]
+    df = read_sqlite_table(spark, db, "household")
+    assert df.columns == ["id", "ts", "kwh"]
+    assert df.agg(F.sum("kwh")).collect()[0][0] == 4.0
+
+
+OPEC_XML = """<?xml version="1.0"?>
+<prices>
+  <item date="2024-01-02"><value>78.5</value></item>
+  <item date="2024-01-03"><value>79.25</value></item>
+</prices>
+"""
+
+
+def test_xml_driver_side(spark, tmp_path):
+    p = tmp_path / "opec.xml"
+    p.write_text(OPEC_XML)
+    df = read_xml(spark, str(p), "item", {"date": "@date", "usd": "value"})
+    rows = {r.date: r.usd for r in df.collect()}
+    assert rows == {"2024-01-02": "78.5", "2024-01-03": "79.25"}
+
+
+def test_xml_distributed(spark, tmp_path):
+    d = tmp_path / "xmls"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.xml").write_text(
+            f'<r><rec k="{i}"><v>{i * 10}</v></rec><rec k="x{i}"><v>{i}</v></rec></r>'
+        )
+    df = read_xml_files(spark, str(d), "rec", {"k": "@k", "v": "v"})
+    assert df.count() == 6
+    assert {r.v for r in df.filter(F.col("k") == "2").collect()} == {"20"}
+
+
+def test_grib_stub_and_injected_decoder(spark, tmp_path):
+    p = tmp_path / "g"
+    p.mkdir()
+    (p / "a.grib").write_bytes(b"\x01\x02\x03")
+    with pytest.raises(Exception, match="GRIB decoding requires"):
+        read_grib(spark, str(p)).collect()
+
+    def fake(raw: bytes) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "time": [pd.Timestamp("2024-01-01")] * len(raw),
+                "latitude": [50.0 + b for b in raw],
+                "longitude": [6.0] * len(raw),
+                "variable": ["temp_air"] * len(raw),
+                "value": [273.15 + b for b in raw],
+            }
+        )
+
+    out = read_grib(spark, str(p), decoder=fake)
+    assert out.count() == 3
+    assert out.agg(F.max("latitude")).collect()[0][0] == 53.0
+
+
+def test_excel_gate(spark, tmp_path):
+    if HAS_OPENPYXL:
+        pytest.skip("openpyxl present — gate not exercised")
+    with pytest.raises(ImportError, match="openpyxl"):
+        read_excel(spark, str(tmp_path / "x.xlsx"))
+
+
+def test_interpolate_linear_values(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 10, None), ("a", 20, None), ("a", 40, 8.0),
+         ("a", 50, None), ("b", 0, None), ("b", 10, 5.0)],
+        "k string, x long, v double",
+    )
+    out = {
+        (r.k, r.x): r.v
+        for r in interpolate_linear(df, "v", "x", partition_by=["k"]).collect()
+    }
+    assert out[("a", 10)] == 2.0 and out[("a", 20)] == 4.0  # linear between 0→8 over 40
+    assert out[("a", 50)] == 8.0  # trailing gap → previous
+    assert out[("b", 0)] == 5.0  # leading gap → next
+
+
+def test_interpolate_cubic_gate(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, x long, v double")
+    try:
+        import scipy  # noqa: F401
+
+        pytest.skip("scipy present — gate not exercised")
+    except ImportError:
+        with pytest.raises(ImportError, match="scipy"):
+            interpolate_cubic(df, "v", "x", ["k"])
+
+
+def test_convex_hull():
+    wkt = convex_hull_wkt([(0, 0), (4, 0), (4, 3), (0, 3), (2, 1), (1, 2)])
+    rings = parse_wkt_polygon(wkt)
+    # interior points excluded, ring closed
+    assert rings[0].shape == (5, 2)
+    assert set(map(tuple, rings[0][:-1])) == {(0, 0), (4, 0), (4, 3), (0, 3)}
+    with pytest.raises(ValueError):
+        convex_hull_wkt([(0, 0), (1, 1)])
