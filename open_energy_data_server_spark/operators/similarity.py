@@ -111,19 +111,19 @@ def hyperplane_buckets(df: DataFrame, id_col: str, vec_col: str, n_planes: int =
     flips on an exact-zero sum are excluded by the fixed-point sum).
     """
     comp = unpack_components(df, id_col, vec_col)
-    plane_sign = 1 - 2 * ((F.col("pos") * 31 + F.col("j") * 17) % 2)
-    planes = df.sparkSession.range(n_planes).select(F.col("id").cast("int").alias("j"))
-    sums = (
-        comp.crossJoin(F.broadcast(planes))
-        .groupBy("vid", "j")
-        .agg(_fixed_sum(F.col("val") * plane_sign).alias("proj"))
-    )
-    bit = F.when(F.col("proj") >= 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(
-        F.lit(0).cast("bigint")
-    )
-    return (
-        sums.withColumn("bit", bit)
-        .groupBy("vid")
-        .agg(F.sum("bit").alias("bucket"))
-        .select(F.col("vid").alias("id"), "bucket")
-    )
+    # all planes in ONE agg pass (minhash_wide pattern): n_planes
+    # conditional fixed-point sums per vector — no plane crossJoin, no
+    # second aggregation; shuffle carries one wide row per vector
+    projs = [
+        _fixed_sum(
+            F.col("val") * (1 - 2 * ((F.col("pos") * 31 + j * 17) % 2))
+        ).alias(f"p{j}")
+        for j in range(n_planes)
+    ]
+    sums = comp.groupBy("vid").agg(*projs)
+    bucket = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        bucket = bucket + F.when(
+            F.col(f"p{j}") >= 0, F.lit(2**j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sums.select(F.col("vid").alias("id"), bucket.alias("bucket"))
