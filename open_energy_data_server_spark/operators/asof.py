@@ -14,7 +14,7 @@ in the `by` key, where AQE skew handling applies.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

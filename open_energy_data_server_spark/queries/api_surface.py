@@ -13,9 +13,7 @@ from open_energy_data_server_spark.plans.postgrest import translate
 from open_energy_data_server_spark.plans.procedures import call_procedure, register_procedure
 from open_energy_data_server_spark.queries import query
 from open_energy_data_server_spark.queries._util import (
-    SCALE,
     davg,
-    dsum,
     sql_davg,
     sql_dsum,
     sql_ts_str,

@@ -10,7 +10,7 @@ expression; keep them in sync when editing either side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.io import load_table

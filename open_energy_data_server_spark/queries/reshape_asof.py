@@ -14,7 +14,6 @@ from open_energy_data_server_spark.operators.reshape import melt, melt_by_suffix
 from open_energy_data_server_spark.functions.timeutil import day_calendar
 from open_energy_data_server_spark.queries import query
 from open_energy_data_server_spark.queries._util import (
-    SCALE,
     davg,
     dsum,
     sql_davg,
