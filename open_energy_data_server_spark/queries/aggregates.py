@@ -208,6 +208,72 @@ def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_net_generation",
+    oracle=f"""
+    WITH measures AS (
+      SELECT user_id,
+             {sql_dsum("CASE WHEN event_type = 'view' THEN value END")} AS aggregated_mwh,
+             {sql_dsum("CASE WHEN event_type = 'click' THEN value END")} AS consumption_mwh
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, aggregated_mwh, consumption_mwh,
+           COALESCE(aggregated_mwh, 0.0) - COALESCE(consumption_mwh, 0.0) AS net_mwh
+    FROM measures
+    """,
+)
+def q_net_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 signature op: ENTSO-E net generation = actual_aggregated −
+    actual_consumption with null-as-zero semantics
+    (/root/reference/crawler/entsoe_crawler.py:80-118)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = dsum(F.when(F.col("event_type") == "view", F.col("value")))
+    cons = dsum(F.when(F.col("event_type") == "click", F.col("value")))
+    out = ev.groupBy("user_id").agg(
+        agg.alias("aggregated_mwh"), cons.alias("consumption_mwh")
+    )
+    return out.select(
+        "user_id",
+        "aggregated_mwh",
+        "consumption_mwh",
+        (
+            F.coalesce("aggregated_mwh", F.lit(0.0)) - F.coalesce("consumption_mwh", F.lit(0.0))
+        ).alias("net_mwh"),
+    )
+
+
+@query(
+    "q_union_cte_count",
+    oracle="""
+    WITH all_bids AS (
+      SELECT user_id, CAST(FLOOR(CAST(FLOOR(value) AS INTEGER) / 10) AS INTEGER) AS days
+      FROM events WHERE event_type = 'click'
+      UNION
+      SELECT user_id, CAST(FLOOR(CAST(FLOOR(value) AS INTEGER) / 10) AS INTEGER)
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT days, COUNT(*) AS n FROM all_bids GROUP BY days
+    """,
+)
+def q_union_cte_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jao.json rawSql shape: UNION (distinct!) CTE over two bid
+    tables, then COUNT grouped by a derived duration bucket
+    (``productMinutesDelivered/60/24 AS days``)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = F.floor(F.floor("value").cast("int") / 10).cast("int").alias("days")
+
+    def leg(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select("user_id", days)
+
+    return (
+        leg("click")
+        .union(leg("view"))
+        .distinct()
+        .groupBy("days")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "q_json_extract_agg",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
