@@ -127,3 +127,48 @@ def hyperplane_buckets(df: DataFrame, id_col: str, vec_col: str, n_planes: int =
             F.col(f"p{j}") >= 0, F.lit(2**j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return sums.select(F.col("vid").alias("id"), bucket.alias("bucket"))
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-suite member
+    for vector columns): all (a, b) with cosine ≥ threshold.
+
+    Relational fixed-point formulation (oracle-replayable). Candidate
+    generation is O(pairs·d) within a block — callers MUST bound the
+    pair space at scale: pass ``block_col`` (LSH bucket from
+    ``hyperplane_buckets``, a label, or a shard key); unblocked input
+    is for sampled/small sets only.
+    """
+    comp = unpack_components(df, id_col, vec_col)
+    if block_col is not None:
+        blocks = df.select(F.col(id_col).alias("vid"), F.col(block_col).alias("__blk"))
+        comp = comp.join(blocks, "vid")
+        join_keys = ["pos", "__blk"]
+    else:
+        join_keys = ["pos"]
+    norms = comp.groupBy("vid").agg(_fixed_sum(F.col("val") * F.col("val")).alias("norm2"))
+
+    a = comp.select(*([F.col("vid").alias("va"), "pos", F.col("val").alias("xa")] + ([F.col("__blk")] if block_col else [])))
+    b = comp.select(*([F.col("vid").alias("vb"), "pos", F.col("val").alias("xb")] + ([F.col("__blk")] if block_col else [])))
+    dots = (
+        a.join(b, join_keys)
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(_fixed_sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = norms.select(F.col("vid").alias("va"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("vid").alias("vb"), F.col("norm2").alias("nb"))
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+    return (
+        dots.join(na, "va")
+        .join(nb, "vb")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("va").alias("id_a"), F.col("vb").alias("id_b"), "cosine")
+    )

@@ -129,3 +129,40 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_bytes",
         (F.col("sum_bytes").cast("double") / F.col("n_bytes")).alias("mean_byte"),
     )
+
+
+@query(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH sample AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
+    ),
+    comp AS (
+      SELECT vec_id AS vid,
+             unnest(range(len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM sample
+    ),
+    norms AS (
+      SELECT vid, {_FS.format(expr="val * val")} AS norm2 FROM comp GROUP BY vid
+    ),
+    dots AS (
+      SELECT a.vid AS va, b.vid AS vb, {_FS.format(expr="a.val * b.val")} AS dot
+      FROM comp a JOIN comp b ON a.pos = b.pos AND a.vid < b.vid
+      GROUP BY 1, 2
+    )
+    SELECT d.va AS id_a, d.vb AS id_b,
+           d.dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine
+    FROM dots d JOIN norms na ON d.va = na.vid JOIN norms nb ON d.vb = nb.vid
+    WHERE d.dot / (SQRT(na.norm2) * SQRT(nb.norm2)) >= 0.3
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup-suite member for vector
+    columns) over a deterministic 1/17 sample — the operator itself
+    (similarity.cosine_neardup_pairs) takes a blocking column
+    (LSH bucket / label) to bound the pair space at corpus scale."""
+    from open_energy_data_server_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 17 == 0)
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3)

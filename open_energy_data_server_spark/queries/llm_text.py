@@ -114,12 +114,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lang_pred() -> str:
-    """Build the argmax CASE chain with the same loop as predict_lang."""
-    expr_lang, expr_score = "'und'", "-1"
+def _sql_lang_scores() -> str:
+    """Score columns, computed once per doc (CTE materialization)."""
+    cols = []
     for lang, markers in textops.LANG_MARKERS.items():
         mset = ", ".join(f"'{m}'" for m in markers)
-        score = f"len(list_filter(t, x -> x IN ({mset})))"
+        cols.append(f"len(list_filter(t, x -> x IN ({mset}))) AS score_{lang}")
+    return ",\n             ".join(cols)
+
+
+def _sql_lang_pred() -> str:
+    """argmax CASE chain over the score COLUMNS — same fold as
+    predict_lang_from_scores (exponential expression blowup avoided
+    on both engines by referencing materialized columns)."""
+    expr_lang, expr_score = "'und'", "-1"
+    for lang in textops.LANG_MARKERS:
+        score = f"score_{lang}"
         expr_lang = f"CASE WHEN {score} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
         expr_score = f"CASE WHEN {score} > {expr_score} THEN {score} ELSE {expr_score} END"
     return expr_lang
@@ -128,12 +138,16 @@ def _sql_lang_pred() -> str:
 @query(
     "q_lang_id",
     oracle=rf"""
-    WITH {SQL_TOKS}
+    WITH {SQL_TOKS},
+    scores AS (
+      SELECT doc_id, lang,
+             {_sql_lang_scores()}
+      FROM toks
+    )
     SELECT doc_id, lang AS labeled_lang,
            {_sql_lang_pred()} AS predicted_lang,
-           len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS score_en,
-           len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS score_de
-    FROM toks
+           score_en, score_de
+    FROM scores
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,13 +155,30 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n-gram heuristic (the synthetic corpus shares one vocabulary,
     so predictions are uniform; the operator is what is under test)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = textops.tokens("text")
-    return docs.select(
+    # materialize the token array (generator barrier) then the score
+    # columns (second barrier) so the argmax CASE chain references
+    # plain columns instead of re-evaluating each score 2^k times
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.array(textops.tokens("text"))).alias("toks")
+    )
+    score_cols = {
+        lang: textops.stopword_count(F.col("toks"), markers).alias(f"score_{lang}")
+        for lang, markers in textops.LANG_MARKERS.items()
+    }
+    scored = tok.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(F.struct(*score_cols.values()))).alias("s"),
+    ).select("doc_id", "lang", "s.*")
+    pred = textops.predict_lang_from_scores(
+        {lang: F.col(f"score_{lang}") for lang in textops.LANG_MARKERS}
+    )
+    return scored.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        textops.predict_lang(t).alias("predicted_lang"),
-        textops.stopword_count(t, textops.LANG_MARKERS["en"]).alias("score_en"),
-        textops.stopword_count(t, textops.LANG_MARKERS["de"]).alias("score_de"),
+        pred.alias("predicted_lang"),
+        "score_en",
+        "score_de",
     )
 
 
