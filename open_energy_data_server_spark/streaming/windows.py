@@ -83,3 +83,12 @@ def session_agg(
     df = _maybe_watermark(df, ts_col, watermark)
     agged = df.groupBy(F.session_window(ts_col, gap).alias("session_window"), *keys).agg(*aggs)
     return _flatten(agged, "session_window", "session_start", "session_end", keys)
+
+
+def stream_dedup(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:
+    """Streaming exact dedup on a key set: state holds one entry per
+    key within the watermark horizon, so duplicate events (at-least-
+    once sources, crawler re-fetches) are dropped exactly once and
+    state is bounded by (horizon × key rate) — the streaming form of
+    the write-path PK dedup (A7/K9)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col] if ts_col not in keys else keys)

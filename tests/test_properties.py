@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis): the operators whose semantics
+have a trusted pandas/numpy reference are checked on randomized
+inputs, not just fixtures. Examples are kept small (Spark round-trip
+per example is the cost driver)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from open_energy_data_server_spark.functions.geo import (
+    convex_hull_wkt,
+    parse_wkt_polygon,
+    points_in_polygon,
+)
+from open_energy_data_server_spark.operators.asof import asof_join
+from open_energy_data_server_spark.operators.reshape import melt
+from open_energy_data_server_spark.sanitize import sanitize_name
+
+SETTINGS = settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@given(st.text(min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_sanitize_name_invariants(raw):
+    out = sanitize_name(raw)
+    assert out, "never empty"
+    assert out == sanitize_name(out), "idempotent"
+    assert all(c.islower() or c.isdigit() or c == "_" for c in out)
+    assert not out[0].isdigit()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=100),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@SETTINGS
+def test_asof_join_matches_merge_asof_random(spark, left_rows, right_rows):
+    left = pd.DataFrame(left_rows, columns=["k", "t"]).drop_duplicates(["k", "t"])
+    left["lid"] = range(len(left))
+    right = (
+        pd.DataFrame(right_rows, columns=["k", "rt", "val"])
+        .drop_duplicates(["k", "rt"])
+        .sort_values(["k", "rt"])
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            left_on="t",
+            right_on="rt",
+            value_cols=["val"],
+            by=["k"],
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.rename(columns={"rt": "t"}).sort_values("t"),
+        on="t",
+        by="k",
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["val"], want["val"], check_dtype=False)
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_melt_roundtrip_random(spark, n_rows, n_cols, chunk):
+    pdf = pd.DataFrame(
+        {
+            "id": range(n_rows),
+            **{f"c{j}": [float(i * 10 + j) for i in range(n_rows)] for j in range(n_cols)},
+        }
+    )
+    got = (
+        melt(spark.createDataFrame(pdf), ["id"], chunk_size=chunk)
+        .toPandas()
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.melt(id_vars=["id"])
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=3,
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_convex_hull_contains_all_points(pts):
+    import numpy as np
+
+    distinct = set(pts)
+    if len(distinct) < 3:
+        return
+    xs = {p[0] for p in distinct}
+    ys = {p[1] for p in distinct}
+    if len(xs) == 1 or len(ys) == 1:
+        return  # collinear degenerate — hull is a segment
+    try:
+        wkt = convex_hull_wkt(list(distinct))
+    except ValueError:
+        return  # fully collinear set
+    rings = parse_wkt_polygon(wkt)
+    # every input point is inside or on the hull: test a point nudged
+    # toward the centroid to avoid boundary ambiguity of ray casting
+    cx = sum(p[0] for p in distinct) / len(distinct)
+    cy = sum(p[1] for p in distinct) / len(distinct)
+    eps = 1e-9
+    x = np.array([p[0] + (cx - p[0]) * eps for p in distinct])
+    y = np.array([p[1] + (cy - p[1]) * eps for p in distinct])
+    inside = points_in_polygon(rings, x, y)
+    assert inside.all(), f"hull {wkt} excludes input points"

@@ -121,3 +121,24 @@ def test_stateful_running_stats(spark, tmp_path):
         by_user.setdefault(r.user_id, []).append((r.n, r.total, r.last_value))
     assert by_user[7][-1] == (3, 60.0, 30.0)
     assert by_user[8] == [(1, 5.0, 5.0)]
+
+
+def test_stream_dedup(spark, tmp_path):
+    from open_energy_data_server_spark.streaming.windows import stream_dedup
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 1, 1.0), (1, t0, 1, 1.0), (2, t0 + dt.timedelta(minutes=1), 1, 2.0)]
+    _write_batch(spark, src, rows)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    dedup = stream_dedup(stream.select("event_id", "ts"), ["event_id"], "ts", "10 minutes")
+    q = dedup.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try:
+        q.processAllAvailable()
+        # re-deliver the same events (at-least-once source) in batch 2
+        _write_batch(spark, src, rows)
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) c FROM dedup_out").collect()[0].c
+    finally:
+        q.stop()
+    assert n == 2  # each event_id exactly once across redeliveries
