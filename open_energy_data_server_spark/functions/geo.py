@@ -141,3 +141,18 @@ def wkt_polygon_to_geojson(wkt: Column | str) -> Column:
         F.array_join(pairs, ","),
         F.lit("]]}"),
     )
+
+
+def hull_from_table(df, lon_col: str, lat_col: str, max_sample: int = 10_000) -> str:
+    """Dataset footprint WKT for the metadata catalog (G2): bounded
+    point sample → convex hull — the shape of the reference's
+    ST_ConcaveHull-over-sampled-points metadata sweep
+    (metadata_sql_helpers.sql:86-124). Sample is a limit-scan, so the
+    driver never sees more than ``max_sample`` coordinate pairs."""
+    rows = (
+        df.select(F.col(lon_col).cast("double"), F.col(lat_col).cast("double"))
+        .dropna()
+        .limit(max_sample)
+        .collect()
+    )
+    return convex_hull_wkt([(r[0], r[1]) for r in rows])
