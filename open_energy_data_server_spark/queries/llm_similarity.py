@@ -91,7 +91,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching buckets at query time; bucket id becomes the partition
     key at 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return hyperplane_buckets(emb, "vec_id", "embedding", n_planes=12)
+    return hyperplane_buckets(emb, "vec_id", "embedding", n_planes=12, dim=64)
 
 
 @query(
