@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.functions.geo import wkt_polygon_to_geojson
-from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.io import load_table, local_df
 from open_energy_data_server_spark.operators.spatial import (
     centroids,
     spatial_join_point_in_polygon,
@@ -57,7 +57,7 @@ _SQL_IN_TRI = " AND ".join(
 
 
 def _polygons_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(POLYGONS, "pid int, wkt string")
+    return local_df(spark, POLYGONS, "pid int, wkt string")
 
 
 def _points_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.io import load_table, local_df
 from open_energy_data_server_spark.queries import query
 from open_energy_data_server_spark.queries._util import dsum, sql_dsum, sql_ts_str, ts_str
 
@@ -236,7 +236,7 @@ def q_neighbour_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("NATION_2", "NATION_3"),
         ("NATION_3", "NATION_24"),
     ]
-    pairs_df = spark.createDataFrame(pairs, "src string, dst string")
+    pairs_df = local_df(spark, pairs, "src string, dst string")
     n1 = nation.select(F.col("n_name").alias("src"), F.col("n_nationkey").alias("src_key"))
     n2 = nation.select(F.col("n_name").alias("dst"), F.col("n_nationkey").alias("dst_key"))
     return (

@@ -23,7 +23,7 @@ from open_energy_data_server_spark.functions.timeutil import (
     localize_to_utc,
     utc_to_zone,
 )
-from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.io import load_table, local_df
 from open_energy_data_server_spark.queries import query
 from open_energy_data_server_spark.queries._util import sql_ts_str, ts_str
 from open_energy_data_server_spark.sanitize import sanitize_columns
@@ -70,7 +70,8 @@ def q_locale_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/S2: decimal-comma + thousands-dot + NA-marker parsing — the
     post-CSV scalar step Spark's reader lacks (pandas ``decimal=','``,
     /root/reference/crawler/netztransparenz.py:88-98)."""
-    raw = spark.createDataFrame(
+    raw = local_df(
+        spark,
         [
             (1, "1.234.567,89"),
             (2, " 42,5 "),
