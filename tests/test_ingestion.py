@@ -218,3 +218,30 @@ def test_catalog_upsert(spark, tmp_path):
     assert cat2.filter(F.col("schema_name") == "smard").count() == 1
     assert cat2.collect()[0].data_source == "v2"
     assert read_metadata(spark, lake).count() == 1
+
+
+def test_optimize_layout(spark, tmp_path):
+    """Compaction rewrite: identical rows, multi-split scan, events ts
+    normalized to native TIMESTAMP (pushdown restored)."""
+    from pyspark.sql import types as T
+
+    from open_energy_data_server_spark.io import load_table, optimize_layout
+
+    src = "/root/testdata/sf0.01"
+    dst = optimize_layout(spark, src, str(tmp_path / "layout"))
+
+    li_src = load_table(spark, src, "lineitem")
+    li_dst = load_table(spark, dst, "lineitem")
+    assert li_dst.rdd.getNumPartitions() > 1
+    assert li_dst.count() == li_src.count()
+    assert li_dst.schema == li_src.schema
+    a = li_src.groupBy("l_returnflag").agg(F.sum("l_orderkey").alias("s"))
+    b = li_dst.groupBy("l_returnflag").agg(F.sum("l_orderkey").alias("s"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    ev = load_table(spark, dst, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    # the rewritten file stores native micros — no nanos-as-long cast
+    raw = spark.read.parquet(f"{dst}/events.parquet")
+    assert isinstance(raw.schema["ts"].dataType, T.TimestampType)
+    assert ev.count() == load_table(spark, src, "events").count()
