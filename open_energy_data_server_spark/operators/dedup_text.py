@@ -379,3 +379,46 @@ def simhash_pairs(
     return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """(doc, fp: array<bigint>, n_fp) — MOSS-style winnowed document
+    fingerprints (Schleimer et al., SIGMOD'03): the rolling sequence of
+    word-k-gram hashes, sliced into windows of w consecutive hashes,
+    keeping each window's minimum; the sorted distinct minima are the
+    document's fingerprint set.
+
+    Pure per-row projection (sequence/transform/slice/array_min folds
+    over the ORDERED gram-hash array — position matters here, unlike
+    the distinct shingle set): zero shuffles, a 100 TB corpus
+    fingerprints at scan speed. A doc with fewer than w grams yields
+    one whole-array window; fewer than k tokens yields an empty set.
+    """
+    tok = _spread(df).select(
+        F.col(id_col).alias("doc"), F.explode(F.array(tokens(text_col))).alias("toks")
+    )
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # generator barrier: the window folds below reference the hash
+    # array many times (size + one slice per window) — without it each
+    # reference re-runs tokenize → gram → md5
+    hashed = tok.select("doc", F.explode(F.array(F.transform(grams, hash60))).alias("hs"))
+    hs = F.col("hs")
+    n = F.size(hs)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(hs, j, F.least(F.lit(w), n))),
+    )
+    fp = F.when(n > 0, F.array_sort(F.array_distinct(wins))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return hashed.select("doc", fp.alias("fp"), F.size(fp).alias("n_fp"))

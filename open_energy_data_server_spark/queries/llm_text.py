@@ -303,3 +303,43 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.simhash_pairs_banded(sims, max_hamming=3).select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@query(
+    "q_doc_fingerprint_winnow",
+    oracle=rf"""
+    WITH {SQL_TOKS},
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] FOR i IN range(len(t) - 2)]
+                  ELSE []::VARCHAR[] END AS g
+      FROM toks
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(g, s -> {SQL_HASH60.format(expr='s')}) AS h,
+             len(g) AS n
+      FROM grams
+    )
+    SELECT doc_id AS doc,
+           CASE WHEN n = 0 THEN []::BIGINT[]
+                ELSE list_sort(list_distinct(
+                  [CAST(list_aggregate(h[j+1 : j+least(4, n)], 'min') AS BIGINT)
+                   FOR j IN range(greatest(n - 3, 1))]))
+           END AS fp,
+           CASE WHEN n = 0 THEN 0
+                ELSE len(list_distinct(
+                  [list_aggregate(h[j+1 : j+least(4, n)], 'min')
+                   FOR j IN range(greatest(n - 3, 1))]))
+           END AS n_fp
+    FROM hs
+    """,
+)
+def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling-hash winnowing (north-star
+    text analysis; Schleimer et al. SIGMOD'03): ordered word-3-gram
+    hash sequence → 4-hash sliding windows → per-window minimum →
+    sorted distinct fingerprint set. Per-row array folds only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_text.winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)

@@ -56,3 +56,36 @@ def test_multimodal_stubs_raise(spark):
         multimodal.resize_images(df, 64, 64)
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(df, 1.0)
+
+
+def test_winnow_fingerprints_semantics(spark):
+    """Hand-checkable winnowing: doc with 6 tokens → 4 ordered 3-gram
+    hashes → windows [h1..h4] min plus edge handling for short docs."""
+    from open_energy_data_server_spark.io import local_df
+    from open_energy_data_server_spark.operators.dedup_text import winnow_fingerprints
+    from open_energy_data_server_spark.operators.textops import hash60
+
+    docs = local_df(
+        spark,
+        [(1, "a b c d e f"), (2, "a b c"), (3, "a b")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc"]: r for r in winnow_fingerprints(docs, "doc_id", "text").collect()}
+
+    import pyspark.sql.functions as F
+
+    grams6 = ["a b c", "b c d", "c d e", "d e f"]
+    hs = [
+        r[0]
+        for r in spark.range(1)
+        .select(F.explode(F.array(*[hash60(F.lit(g)) for g in grams6])))
+        .collect()
+    ]
+    # n=4 grams, w=4 → one window covering all four hashes
+    assert out[1]["fp"] == [min(hs)]
+    assert out[1]["n_fp"] == 1
+    # exactly k tokens → a single gram: fingerprint is its own hash
+    h_abc = hs[0]
+    assert out[2]["fp"] == [h_abc]
+    # fewer than k tokens → empty fingerprint set
+    assert out[3]["fp"] == [] and out[3]["n_fp"] == 0
