@@ -260,3 +260,119 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("vid_a").alias("id_a"), F.col("vid_b").alias("id_b"), "cosine")
     )
+
+
+def ivf_scores(
+    vec: Column, norm2: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """array<struct<negcos,cid>> of (exact-arithmetic) cosine scores
+    against literal centroid vectors, sorted best-first — ascending
+    struct order on (−cosine, cid) ≡ cosine DESC, cid ASC, the same
+    tie-break the SQL oracle's ROW_NUMBER uses. Pure projection: the
+    centroid table is plan-embedded (the IVF analog of a broadcast),
+    so coarse quantization of a 100 TB corpus is zero-shuffle."""
+    entries = []
+    for cid, cvec in centroids:
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = fixed_dot(vec, lit_vec) / (
+            F.sqrt(norm2) * F.sqrt(fixed_norm2(lit_vec))
+        )
+        entries.append(F.struct((-cos).alias("negcos"), F.lit(cid).alias("cid")))
+    return F.array_sort(F.array(*entries))
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vid, cluster) — IVF coarse quantization: nearest centroid by
+    cosine. Centroids come from an offline training step (k-means or,
+    for deterministic conformance, a fixed sample); assignment itself
+    is the scan-speed engine op."""
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        fixed_norm2(F.col(vec_col)).alias("norm2"),
+    )
+    # generator barrier: keep one materialized scores array per row
+    scored = base.select(
+        "vid",
+        F.explode(
+            F.array(ivf_scores(F.col("vec"), F.col("norm2"), centroids))
+        ).alias("sc"),
+    )
+    return scored.select("vid", F.col("sc")[0]["cid"].alias("cluster"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k (the ANN scale path beside LSH): coarse
+    centroids = the ``n_centroids`` lowest-id vectors (deterministic
+    stand-in for an offline k-means codebook); every corpus vector is
+    assigned to its nearest centroid (zero-shuffle projection, see
+    ``ivf_assign``); a query probes only its ``nprobe`` nearest
+    centroids' inverted lists and ranks those candidates exactly.
+
+    At 100 TB the corpus is written partitioned/bucketed BY cluster, so
+    a probe reads nprobe/n_centroids of the data — candidate
+    generation here is a broadcast of |Q|·nprobe probe rows against
+    the cluster-assigned corpus, one shuffle for the final top-k
+    window over |candidates| skinny rows."""
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in df.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        fixed_norm2(F.col(vec_col)).alias("norm2"),
+    )
+    scored = base.select(
+        "vid",
+        "vec",
+        "norm2",
+        F.explode(
+            F.array(ivf_scores(F.col("vec"), F.col("norm2"), centroids))
+        ).alias("sc"),
+    )
+    assigned = scored.select(
+        "vid", "vec", "norm2", F.col("sc")[0]["cid"].alias("cluster")
+    )
+    probes = (
+        scored.filter(F.col("vid").isin(query_ids))
+        .select(
+            F.col("vid").alias("qid"),
+            F.col("vec").alias("qvec"),
+            F.col("norm2").alias("qnorm2"),
+            F.explode(F.slice(F.col("sc"), 1, nprobe)).alias("p"),
+        )
+        .select("qid", "qvec", "qnorm2", F.col("p")["cid"].alias("cluster"))
+    )
+    cand = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("vid") != F.col("qid")
+    )
+    cos = fixed_dot(F.col("vec"), F.col("qvec")) / (
+        F.sqrt("norm2") * F.sqrt("qnorm2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

@@ -166,3 +166,68 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 17 == 0)
     return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3)
+
+
+@query(
+    "q_ann_ivf_probe",
+    oracle=f"""
+    WITH {SQL_COMP},
+    norms AS (
+      SELECT vid, {_FS.format(expr="val * val")} AS norm2 FROM comp GROUP BY vid
+    ),
+    centc AS (SELECT vid AS cid, pos, val AS cval FROM comp WHERE vid < 16),
+    cscore AS (
+      SELECT c.vid, cc.cid, {_FS.format(expr="c.val * cc.cval")} AS dot
+      FROM comp c JOIN centc cc ON c.pos = cc.pos
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s.vid, s.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vid
+               ORDER BY s.dot / (SQRT(nv.norm2) * SQRT(nc.norm2)) DESC, s.cid) AS rn
+      FROM cscore s
+      JOIN norms nv ON s.vid = nv.vid
+      JOIN norms nc ON s.cid = nc.vid
+    ),
+    assigned AS (SELECT vid, cid AS cluster FROM ranked WHERE rn = 1),
+    probes AS (SELECT vid AS qid, cid AS cluster FROM ranked WHERE vid < 10 AND rn <= 2),
+    cand AS (
+      SELECT p.qid, a.vid
+      FROM probes p JOIN assigned a USING (cluster)
+      WHERE a.vid <> p.qid
+    ),
+    qdots AS (
+      SELECT cand.qid, cand.vid, {_FS.format(expr="cq.val * cv.val")} AS dot
+      FROM cand
+      JOIN comp cq ON cq.vid = cand.qid
+      JOIN comp cv ON cv.vid = cand.vid AND cv.pos = cq.pos
+      GROUP BY 1, 2
+    ),
+    scoredq AS (
+      SELECT q.qid AS query_id, q.vid AS neighbor_id,
+             q.dot / (SQRT(nq.norm2) * SQRT(nn.norm2)) AS cosine
+      FROM qdots q JOIN norms nq ON q.qid = nq.vid JOIN norms nn ON q.vid = nn.vid
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scoredq
+    ) WHERE rn <= 5
+    """,
+)
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the second scale path beside LSH): 16 deterministic
+    coarse centroids (lowest-id vectors, standing in for the offline
+    k-means codebook), zero-shuffle cosine assignment of the corpus,
+    queries probe their 2 nearest inverted lists, exact top-5 within
+    candidates. At 100 TB the corpus is bucketed by cluster id so a
+    probe reads nprobe/16 of the data."""
+    from open_energy_data_server_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", query_ids=list(range(10)), n_centroids=16,
+        nprobe=2, k=5,
+    )

@@ -89,3 +89,48 @@ def test_winnow_fingerprints_semantics(spark):
     assert out[2]["fp"] == [h_abc]
     # fewer than k tokens → empty fingerprint set
     assert out[3]["fp"] == [] and out[3]["n_fp"] == 0
+
+
+def test_ivf_assign_and_recall(spark):
+    """IVF: every vector lands in exactly one of the 16 clusters;
+    probing 2/16 lists still recovers most of the exact top-5 (the
+    generator's planted neighbors are near, so they share clusters)."""
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter("vec_id < 16").select("vec_id", "embedding").collect()
+    ]
+    assigned = ivf_assign(emb, "vec_id", "embedding", cents)
+    n = emb.count()
+    assert assigned.count() == n
+    clusters = {r["cluster"] for r in assigned.collect()}
+    assert clusters <= set(range(16))
+    # each centroid must be assigned to itself (cosine with itself = 1)
+    self_rows = {r["vid"]: r["cluster"] for r in assigned.filter("vid < 16").collect()}
+    assert self_rows == {i: i for i in range(16)}
+
+    qids = list(range(10))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, "vec_id", "embedding", qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, "vec_id", "embedding", qids, nprobe=2, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # widening the probe count must not reduce recall
+    approx_all = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, "vec_id", "embedding", qids, nprobe=16, k=5).collect()
+    }
+    assert approx_all == exact
