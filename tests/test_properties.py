@@ -145,3 +145,45 @@ def test_convex_hull_contains_all_points(pts):
     y = np.array([p[1] + (cy - p[1]) * eps for p in distinct])
     inside = points_in_polygon(rings, x, y)
     assert inside.all(), f"hull {wkt} excludes input points"
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "x9", "zz"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_winnow_fingerprints_match_reference(spark, docs):
+    """Spark winnowing ≡ a direct Python implementation of the
+    Schleimer et al. scheme for random token sequences (covers the
+    <k-token, <w-gram, and duplicate-gram edge cases)."""
+    import hashlib
+
+    from open_energy_data_server_spark.io import local_df
+    from open_energy_data_server_spark.operators.dedup_text import winnow_fingerprints
+
+    k, w = 3, 4
+
+    def ref(toks):
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        n = len(hs)
+        if n == 0:
+            return []
+        return sorted({min(hs[j : j + min(w, n)]) for j in range(max(n - w + 1, 1))})
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = local_df(spark, rows, "doc_id bigint, text string")
+    got = {
+        r["doc"]: (list(r["fp"]), r["n_fp"])
+        for r in winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    }
+    for i, toks in enumerate(docs):
+        want = ref(toks)
+        assert got[i] == (want, len(want)), f"doc {i}: {toks}"
