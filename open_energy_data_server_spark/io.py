@@ -76,7 +76,7 @@ def optimize_layout(
     spark: SparkSession,
     src_dir: str,
     dst_dir: str,
-    rows_per_split: int = 10_000,
+    bytes_per_split: int = 262_144,
     max_splits: int = 32,
 ) -> str:
     """Ingest/compaction pass: rewrite each table into a multi-file
@@ -96,15 +96,22 @@ def optimize_layout(
     Returns ``dst_dir``. Row *content* is identical; only file layout
     (and therefore row order, which no query relies on) changes.
     """
-    for name in TABLES:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def rewrite(name: str) -> None:
         src = f"{src_dir}/{name}.parquet"
         df = load_table(spark, src_dir, name)
-        n_rows = df.count()
+        # split count from the compressed source size — no count() job
         n_bytes = os.path.getsize(src) if os.path.isfile(src) else 0
-        splits = max(1, n_rows // rows_per_split, n_bytes // 262_144)
-        df.repartition(min(max_splits, int(splits))).write.mode("overwrite").parquet(
+        splits = min(max_splits, max(1, n_bytes // bytes_per_split))
+        df.repartition(int(splits)).write.mode("overwrite").parquet(
             f"{dst_dir}/{name}.parquet"
         )
+
+    # the rewrites are independent, latency-bound jobs — submit them
+    # concurrently and let the Spark scheduler interleave the stages
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(rewrite, TABLES))
     return dst_dir
 
 
