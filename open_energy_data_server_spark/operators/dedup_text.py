@@ -422,3 +422,16 @@ def winnow_fingerprints(
         F.array().cast("array<bigint>")
     )
     return hashed.select("doc", fp.alias("fp"), F.size(fp).alias("n_fp"))
+
+
+def winnow_fingerprint_strings(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """``winnow_fingerprints`` with the set serialized as a canonical
+    comma-joined string — the cross-engine exchange form (array cell
+    formatting differs between result transports; a joined string
+    hashes identically everywhere)."""
+    out = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    return out.select(
+        "doc", F.array_join("fp", ",").alias("fp"), "n_fp"
+    )

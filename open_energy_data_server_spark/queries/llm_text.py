@@ -323,10 +323,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grams
     )
     SELECT doc_id AS doc,
-           CASE WHEN n = 0 THEN []::BIGINT[]
-                ELSE list_sort(list_distinct(
+           CASE WHEN n = 0 THEN ''
+                ELSE array_to_string(list_sort(list_distinct(
                   [CAST(list_aggregate(h[j+1 : j+least(4, n)], 'min') AS BIGINT)
-                   FOR j IN range(greatest(n - 3, 1))]))
+                   FOR j IN range(greatest(n - 3, 1))])), ',')
            END AS fp,
            CASE WHEN n = 0 THEN 0
                 ELSE len(list_distinct(
@@ -342,4 +342,4 @@ def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash sequence → 4-hash sliding windows → per-window minimum →
     sorted distinct fingerprint set. Per-row array folds only."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_text.winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+    return dedup_text.winnow_fingerprint_strings(docs, "doc_id", "text", k=3, w=4)

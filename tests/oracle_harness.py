@@ -35,6 +35,8 @@ def _canon_cell(v):
         return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if hasattr(v, "tolist") and not hasattr(v, "isoformat"):  # numpy array/scalar
+        return _canon_cell(v.tolist())
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return repr(v)
