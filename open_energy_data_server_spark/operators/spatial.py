@@ -34,6 +34,39 @@ from open_energy_data_server_spark.functions.geo import (
 )
 
 
+def _ray_cast_expr(ring, x, y):
+    """JVM twin of ``functions.geo._ray_cast`` for one compiled ring:
+    the edges are plan literals, so the even-odd test unrolls into a
+    plain boolean expression (crossing tests XOR-chained via ``!=``).
+    Horizontal edges never cross and are dropped at build time (the
+    numpy twin relies on the same ``crosses`` mask to ignore its
+    div-by-zero). Term order matches the numpy arithmetic exactly."""
+    from pyspark.sql import functions as F
+
+    inside = F.lit(False)
+    for (xa, ya), (xb, yb) in zip(ring[:-1], ring[1:]):
+        xa, ya, xb, yb = float(xa), float(ya), float(xb), float(yb)
+        if ya == yb:
+            continue
+        crosses = (F.lit(ya) > y) != (F.lit(yb) > y)
+        xint = F.lit(xa) + (y - F.lit(ya)) * F.lit(xb - xa) / F.lit(yb - ya)
+        inside = inside != (crosses & (x < xint))
+    return inside
+
+
+def _contains_expr(rings, bbox, x, y):
+    """bbox prefilter AND even-odd inclusion (outer ring minus holes)."""
+    from pyspark.sql import functions as F
+
+    x0, y0, x1, y1 = bbox
+    hit = (
+        (x >= F.lit(x0)) & (x <= F.lit(x1)) & (y >= F.lit(y0)) & (y <= F.lit(y1))
+    ) & _ray_cast_expr(rings[0], x, y)
+    for hole in rings[1:]:
+        hit = hit & ~_ray_cast_expr(hole, x, y)
+    return hit
+
+
 def spatial_join_point_in_polygon(
     points: DataFrame,
     polygons: DataFrame,
@@ -42,10 +75,21 @@ def spatial_join_point_in_polygon(
     poly_id_col: str,
     wkt_col: str,
     out_col: str = "poly_id",
+    max_unroll_edges: int = 512,
 ) -> DataFrame:
     """Left join: each point gets the id of the FIRST polygon (in
     ``poly_id_col`` ascending order) containing it, else null —
-    deterministic when polygons overlap."""
+    deterministic when polygons overlap.
+
+    Two physical strategies, same semantics:
+    - small compiled polygon sets (≤ ``max_unroll_edges`` total edges
+      — dashboards, NUTS subsets): the ray casts unroll into literal
+      boolean expressions chained with ``when`` in id order. Pure
+      whole-stage-codegen projection, NO Python worker — a 100 TB
+      point table tags at scan speed.
+    - large sets: broadcast + Arrow-batched pandas ray cast (numpy
+      twin of the same arithmetic), still map-only / shuffle-free.
+    """
     poly_rows = (
         polygons.select(poly_id_col, wkt_col).orderBy(poly_id_col).collect()
     )
@@ -53,6 +97,19 @@ def spatial_join_point_in_polygon(
     for r in poly_rows:
         rings = parse_wkt_polygon(r[wkt_col])
         compiled.append((r[poly_id_col], polygon_bbox(rings), rings))
+
+    total_edges = sum(len(ring) - 1 for _, _, rings in compiled for ring in rings)
+    if total_edges <= max_unroll_edges:
+        from pyspark.sql import functions as F
+
+        x, y = F.col(lon_col).cast("double"), F.col(lat_col).cast("double")
+        assigned = F.lit(None).cast(polygons.schema[poly_id_col].dataType.simpleString())
+        # reversed fold so the FIRST (lowest-id) containing polygon wins
+        for pid, bbox, rings in reversed(compiled):
+            assigned = F.when(_contains_expr(rings, bbox, x, y), F.lit(pid)).otherwise(
+                assigned
+            )
+        return points.withColumn(out_col, assigned)
 
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(compiled)

@@ -1,0 +1,63 @@
+"""Plan-hygiene gate: mechanical enforcement of the scale rules the
+engine claims (SCALE.md). Every conformance query's *executed* plan is
+inspected — not its results — so regressions that silently drop a
+query out of whole-stage codegen or into a Python worker fail CI.
+
+Rules:
+- NO row-at-a-time Python (`BatchEvalPython`) anywhere, ever.
+- Arrow-batched Python (`MapInPandas` etc.) only where documented:
+  the multimodal decode stub (the codec is the stub; the batch
+  plumbing is the product).
+- Every parquet scan must prune columns: reading a full-width
+  lineitem (16 cols) for a 2-column aggregate means pushdown broke.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+# Arrow-batched Python is allowed ONLY here (documented stub codec)
+PANDAS_ALLOWED = {"q_multimodal_decode"}
+
+ROW_PYTHON = ("BatchEvalPython",)
+BATCH_PYTHON = (
+    "MapInPandas",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "PythonMapInArrow",
+    "FlatMapGroupsInPandasWithState",
+)
+
+
+def _plans(spark):
+    import __spark_entry__ as e
+
+    for name, fn in sorted(e.queries().items()):
+        df = fn(spark, "/root/testdata/sf0.001")
+        yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_python_in_query_plans(spark):
+    offenders = []
+    for name, plan in _plans(spark):
+        if any(m in plan for m in ROW_PYTHON):
+            offenders.append((name, "row-at-a-time Python"))
+        elif name not in PANDAS_ALLOWED and any(m in plan for m in BATCH_PYTHON):
+            offenders.append((name, "undocumented Python batch op"))
+    assert not offenders, offenders
+
+
+def test_lineitem_scans_prune_columns(spark):
+    """Any query scanning lineitem must read < the full 16 columns."""
+    wide = []
+    for name, plan in _plans(spark):
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            scan_window = plan[max(0, m.start() - 400) : m.end()]
+            if "lineitem" not in scan_window:
+                continue
+            ncols = len([c for c in m.group(1).split(",") if ":" in c])
+            if ncols >= 16:
+                wide.append((name, ncols))
+    assert not wide, f"full-width lineitem scans: {wide}"
