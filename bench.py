@@ -15,11 +15,11 @@ command and re-runs the whole Catalyst optimizer on EVERY pass —
 ~0.25 s/query of pure planning that a production pipeline executing
 a held plan handle never pays per batch.
 
-Three passes, JMH-style: pass 1 executes every query untimed so
+Four passes, JMH-style: pass 1 executes every query untimed so
 janino whole-stage-codegen compilation happens once (2-4 s per
 distinct plan shape in a fresh JVM — a fixed per-plan cost that
 amortizes to zero over a 100 TB scan but would dominate a
-seconds-long sf0.1 run); passes 2-3 are timed and each query reports
+seconds-long sf0.1 run); passes 2-4 are timed and each query reports
 its per-pass MINIMUM — single-pass numbers on a shared box swing
 ±20% from GC/scheduler noise, and the minimum is the standard
 steady-state estimator. The cold pass-1 total is still published as
@@ -87,7 +87,8 @@ def main() -> None:
     cold: dict[str, float] = {}
     warm1: dict[str, float] = {}
     warm2: dict[str, float] = {}
-    for passno, sink in enumerate((cold, warm1, warm2)):
+    warm3: dict[str, float] = {}
+    for passno, sink in enumerate((cold, warm1, warm2, warm3)):
         for name in sorted(QUERIES):
             t0 = time.perf_counter()
             try:
@@ -97,7 +98,11 @@ def main() -> None:
                 print(f"bench: pass{passno} {name} FAILED: {exc}", file=sys.stderr)
                 sink[name] = -1.0
     timings = {
-        name: (min(warm1[name], warm2[name]) if warm1[name] >= 0 and warm2[name] >= 0 else -1.0)
+        name: (
+            min(warm1[name], warm2[name], warm3[name])
+            if min(warm1[name], warm2[name], warm3[name]) >= 0
+            else -1.0
+        )
         for name in warm1
     }
 
