@@ -267,3 +267,54 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"), F.col("o_orderstatus").alias("status")
     )
     return a.union(b).distinct()
+
+
+@query(
+    "q_range_join_fiscal_windows",
+    oracle=f"""
+    WITH q AS (
+      SELECT DISTINCT date_trunc('quarter', o_orderdate) AS qstart FROM orders
+    ),
+    iv AS (
+      SELECT strftime(qstart, '%Y-%m-%d') AS window_start,
+             epoch_us(qstart) // 1000000 - 1296000 AS lo,
+             epoch_us(qstart) // 1000000 + 9072000 AS hi
+      FROM q
+    ),
+    p AS (
+      SELECT epoch_us(l_shipdate) // 1000000 AS p, l_extendedprice FROM lineitem
+    )
+    SELECT window_start, COUNT(*) AS n, {sql_dsum("l_extendedprice")} AS revenue
+    FROM iv JOIN p ON p.p >= iv.lo AND p.p < iv.hi
+    GROUP BY window_start
+    """,
+)
+def q_range_join_fiscal_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General range join (no equality key): overlapping 120-day
+    fiscal windows (quarter start − 15 d, + 105 d) × lineitem
+    shipdates. The oracle replays the theta-join DEFINITION; the
+    engine runs operators.range_join_bucketed — interval rows explode
+    into 30-day buckets, points equi-join on their single bucket, the
+    exact predicate filters residually. Linear shuffle, no nested
+    loop."""
+    from open_energy_data_server_spark.operators.range_join import range_join_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.select(F.date_trunc("quarter", "o_orderdate").alias("qstart"))
+        .distinct()
+        .select(
+            F.date_format("qstart", "yyyy-MM-dd").alias("window_start"),
+            (F.unix_timestamp(F.col("qstart").cast("timestamp")) - 1_296_000).alias("lo"),
+            (F.unix_timestamp(F.col("qstart").cast("timestamp")) + 9_072_000).alias("hi"),
+        )
+    )
+    p = li.select(
+        F.unix_timestamp(F.col("l_shipdate").cast("timestamp")).alias("p"),
+        "l_extendedprice",
+    )
+    j = range_join_bucketed(p, iv, "p", "lo", "hi", bucket=30 * 86400)
+    return j.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue")
+    )

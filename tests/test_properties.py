@@ -187,3 +187,43 @@ def test_winnow_fingerprints_match_reference(spark, docs):
     for i, toks in enumerate(docs):
         want = ref(toks)
         assert got[i] == (want, len(want)), f"doc {i}: {toks}"
+
+
+@given(
+    st.lists(st.integers(min_value=-50, max_value=150), min_size=1, max_size=30),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-60, max_value=140),
+            st.integers(min_value=0, max_value=80),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([1, 7, 10, 64]),
+)
+@SETTINGS
+def test_range_join_bucketed_matches_theta(spark, pts, ivs, bucket):
+    """Bucket-expansion range join ≡ the theta-join definition for
+    random points/intervals and bucket widths (covers lo==point
+    inclusive, hi==point exclusive, empty and bucket-spanning
+    intervals)."""
+    from open_energy_data_server_spark.io import local_df
+    from open_energy_data_server_spark.operators.range_join import range_join_bucketed
+
+    pdf = local_df(spark, [(i, p) for i, p in enumerate(pts)], "pid bigint, p bigint")
+    idf = local_df(
+        spark,
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)],
+        "iid bigint, lo bigint, hi bigint",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(pdf, idf, "p", "lo", "hi", bucket).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= p < lo + ln
+    }
+    assert got == want
