@@ -1,0 +1,50 @@
+"""Distinct-count sketching (KMV — k minimum values).
+
+Spark's built-in ``approx_count_distinct`` is HyperLogLog++, whose
+register layout no other engine replays — useless under a cross-engine
+value-hash gate. KMV (Bar-Yossef et al., RANDOM'02) gives the same
+O(k) summary but is a pure function of the value *hashes*: keep the k
+smallest distinct 60-bit hashes; if fewer than k exist the count is
+exact, else estimate D ≈ (k−1) · 2⁶⁰ / h₍ₖ₎. With the engine's shared
+md5-based ``hash60`` both Spark and the DuckDB oracle produce the
+IDENTICAL estimate, so the sketch sits behind the same conformance
+gate as every exact operator.
+
+Scale shape: the k-smallest selection is a per-group top-k — partial
+per partition (each partition keeps its own k smallest), then a merge
+of k-sized states, the same mergeability story as the production
+sketch services built on KMV/theta sketches. The implementation
+expresses it as distinct → windowed rank ≤ k, which Spark executes
+with partial aggregation on both the distinct and the top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.operators.textops import hash60
+
+TWO_60 = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame, key_cols: list[str], value_col: str, k: int = 128
+) -> DataFrame:
+    """(key_cols..., n_exactish, est_distinct) per group.
+
+    ``est_distinct`` is exact when the group has < k distinct values
+    (the sketch saw everything), else the KMV estimate. Deterministic:
+    same rows → same estimate, engine-independent."""
+    hashed = df.select(*key_cols, hash60(F.col(value_col).cast("string")).alias("h")).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return topk.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("h").alias("hk"),
+    ).select(
+        *key_cols,
+        F.col("m").cast("bigint").alias("n_seen"),
+        F.when(F.col("m") < k, F.col("m").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(TWO_60) / F.col("hk").cast("double"))
+        .alias("est_distinct"),
+    )

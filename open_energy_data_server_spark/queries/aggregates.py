@@ -288,3 +288,39 @@ def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy((k % 10).alias("k_mod")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_approx_distinct_kmv",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT l_returnflag,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM lineitem
+    ),
+    topk AS (
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM hashed
+    ),
+    st AS (
+      SELECT l_returnflag, COUNT(*) AS m, MAX(h) AS hk
+      FROM topk WHERE rn <= 128 GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(m AS BIGINT) AS n_seen,
+           CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+                ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END
+             AS est_distinct
+    FROM st
+    """,
+)
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-distinct via the deterministic KMV sketch (k=128):
+    distinct parts shipped per returnflag. Unlike HLL the estimate is
+    a pure function of the shared md5 hash base, so the DuckDB oracle
+    replays it bit-for-bit — a sketch under the exact-value gate."""
+    from open_energy_data_server_spark.operators.sketch import kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=128)

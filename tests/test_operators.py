@@ -182,3 +182,48 @@ def test_parse_locale_number(spark):
     df = spark.createDataFrame([("1.234,5",), ("N.A.",), (" 7 ",)], ["s"])
     vals = [r.v for r in df.select(parse_locale_number("s").alias("v")).collect()]
     assert vals == [1234.5, None, 7.0]
+
+
+def test_kmv_distinct_accuracy_and_exact_mode(spark):
+    """KMV: exact when the group has < k distinct values; within the
+    ~1/sqrt(k) error band when estimating; deterministic across runs."""
+    import pyspark.sql.functions as F
+
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.operators.sketch import kmv_distinct
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+
+    # exact mode: distinct linenumbers per flag is tiny (< k)
+    small = {
+        r["l_returnflag"]: r["est_distinct"]
+        for r in kmv_distinct(li, ["l_returnflag"], "l_linenumber", k=128).collect()
+    }
+    truth_small = {
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_linenumber").alias("d"))
+        .collect()
+    }
+    assert small == {k: float(v) for k, v in truth_small.items()}
+
+    # estimating mode: partkeys per flag (2000 distinct, k=128)
+    est = {
+        r["l_returnflag"]: r["est_distinct"]
+        for r in kmv_distinct(li, ["l_returnflag"], "l_partkey", k=128).collect()
+    }
+    truth = {
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    for flag, d in truth.items():
+        assert abs(est[flag] - d) / d < 0.30, (flag, est[flag], d)
+
+    # deterministic
+    est2 = {
+        r["l_returnflag"]: r["est_distinct"]
+        for r in kmv_distinct(li, ["l_returnflag"], "l_partkey", k=128).collect()
+    }
+    assert est == est2
