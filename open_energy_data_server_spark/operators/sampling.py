@@ -1,0 +1,68 @@
+"""Deterministic sampling & packing for training-data pipelines.
+
+Two ops a 100 TB corpus pipeline runs constantly:
+
+- ``stratified_hash_sample``: per-stratum Bernoulli sampling that is a
+  pure projection — keep a row iff its key's 60-bit md5 hash falls
+  under ``rate · 2⁶⁰``. No RNG state, no shuffle, rerun-stable (the
+  same row set every time, on any engine — ``df.sample()`` is
+  seed-and-partitioning dependent and replays nowhere), and the SQL
+  oracle reproduces it exactly. Changing a stratum's rate only grows /
+  shrinks its sample monotonically (hash thresholds nest), which is
+  what incremental dataset curation wants.
+
+- ``pack_by_budget``: assign ordered documents to training batches by
+  cumulative token budget — bin id = floor(start_offset / budget)
+  where start_offset = cumsum(tokens) − tokens, over a per-stratum
+  ordered window. Offset-partitioned packing: a bin's total can
+  overshoot the budget by at most its last row (the streaming-writer
+  convention, e.g. maxRecordsPerFile), which unlike true greedy
+  close-on-overflow packing is a pure prefix-sum — one shuffle on the
+  stratum key, no sequential state, SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.operators.textops import hash60
+
+TWO_60 = 1 << 60
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, rates: dict[str, float], stratum_col: str
+) -> DataFrame:
+    """Keep each row iff hash60(key) < rate[stratum] · 2⁶⁰. Strata
+    missing from ``rates`` are dropped (rate 0)."""
+    thresh = F.lit(-1).cast("bigint")
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * TWO_60)).cast("bigint")
+        ).otherwise(thresh)
+    return df.filter(hash60(F.col(key_col).cast("string")) < thresh)
+
+
+def pack_by_budget(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    stratum_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Add ``bin`` (bigint): rows (in ``order_col`` order, per
+    ``stratum_col``) go to bin floor(start_offset / budget) — each
+    bin's size reaches the budget and overshoots by at most one row;
+    an oversized row occupies its own bin(s) boundary rather than
+    erroring."""
+    keys = [stratum_col] if stratum_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col or size_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(size_col).cast("bigint")).over(w)
+    return df.withColumn(
+        "bin", F.floor((cum - F.col(size_col).cast("bigint")) / F.lit(int(budget)))
+    )

@@ -343,3 +343,62 @@ def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted distinct fingerprint set. Per-row array folds only."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_text.winnow_fingerprint_strings(docs, "doc_id", "text", k=3, w=4)
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          < CASE lang
+              WHEN 'en' THEN CAST(0.25 * 1152921504606846976 AS BIGINT)
+              WHEN 'de' THEN CAST(0.50 * 1152921504606846976 AS BIGINT)
+              WHEN 'fr' THEN CAST(0.10 * 1152921504606846976 AS BIGINT)
+              ELSE -1 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data curation):
+    per-language Bernoulli rates via the md5 hash threshold — a pure
+    scan projection, rerun-stable on any engine (df.sample is not),
+    with nested thresholds so rate changes grow/shrink monotonically."""
+    from open_energy_data_server_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", {"en": 0.25, "de": 0.50, "fr": 0.10}, "lang"
+    )
+    return out.select("doc_id", "lang")
+
+
+@query(
+    "q_token_pack",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, lang, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      FROM sized
+    )
+    SELECT doc_id, lang, n_tokens, CAST(off // 2048 AS BIGINT) AS bin
+    FROM packed
+    """,
+)
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing (sequence packing for training batches):
+    per-language doc_id-ordered prefix sums of token counts, bin =
+    floor(start_offset / 2048). One shuffle on the stratum key."""
+    from open_energy_data_server_spark.operators.sampling import pack_by_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(textops.tokens("text")).alias("n_tokens")
+    )
+    return pack_by_budget(
+        sized, "n_tokens", budget=2048, stratum_col="lang", order_col="doc_id"
+    )

@@ -134,3 +134,51 @@ def test_ivf_assign_and_recall(spark):
         for r in ivf_topk(emb, "vec_id", "embedding", qids, nprobe=16, k=5).collect()
     }
     assert approx_all == exact
+
+
+def test_stratified_sample_and_packing(spark):
+    """Sampling: rerun-stable, rate-monotone (raising a rate only ADDS
+    rows), unlisted strata dropped. Packing: per-bin sums reach the
+    budget and overshoot by at most the last row; order-stable."""
+    import pyspark.sql.functions as F
+
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.operators.sampling import (
+        pack_by_budget,
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    langs = {r[0] for r in docs.select("lang").distinct().collect()}
+
+    s1 = stratified_hash_sample(docs, "doc_id", {"en": 0.2}, "lang")
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    assert {r[0] for r in s1.select("lang").distinct().collect()} <= {"en"}
+    ids1b = {r["doc_id"] for r in stratified_hash_sample(
+        docs, "doc_id", {"en": 0.2}, "lang").select("doc_id").collect()}
+    assert ids1 == ids1b  # rerun-stable
+    ids2 = {r["doc_id"] for r in stratified_hash_sample(
+        docs, "doc_id", {"en": 0.5}, "lang").select("doc_id").collect()}
+    assert ids1 <= ids2  # monotone in the rate
+
+    sized = docs.select("doc_id", "lang", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n"))
+    packed = pack_by_budget(sized, "n", budget=1000, stratum_col="lang", order_col="doc_id")
+    rows = sorted(
+        packed.collect(), key=lambda r: (r["lang"], r["doc_id"])
+    )
+    sums: dict[tuple, int] = {}
+    for r in rows:
+        sums[(r["lang"], r["bin"])] = sums.get((r["lang"], r["bin"]), 0) + r["n"]
+    for lang in {l for l, _ in sums}:
+        bins = sorted(b for l, b in sums if l == lang)
+        biggest = max(r["n"] for r in rows if r["lang"] == lang)
+        prefix = 0
+        for b in bins:
+            prefix += sums[(lang, b)]
+            if b != bins[-1]:
+                # coverage reaches every crossed boundary (offset packing:
+                # a bin's own sum may undershoot by its predecessor's
+                # overshoot, but the prefix always spans the boundary)
+                assert prefix >= (b + 1) * 1000, (lang, b, prefix)
+            # overshoot past a boundary is bounded by one row
+            assert sums[(lang, b)] < 1000 + biggest, (lang, b)
