@@ -402,3 +402,95 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_budget(
         sized, "n_tokens", budget=2048, stratum_col="lang", order_col="doc_id"
     )
+
+
+@query(
+    "q_quality_filters",
+    oracle=rf"""
+    WITH {SQL_TOKS},
+    base AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             len(list_distinct(t)) AS n_distinct_tokens,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit_chars,
+             len(regexp_extract_all(lower(text), 'https?://')) AS n_urls
+      FROM toks JOIN documents USING (doc_id)
+    ),
+    bg AS (
+      SELECT doc_id, t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, LATERAL (SELECT unnest(range(len(t) - 1)) AS i)
+      WHERE len(t) >= 2
+    ),
+    bgc AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_tokens, n_distinct_tokens, n_digit_chars, n_urls,
+           COALESCE(top_bigram_n, 0) AS top_bigram_n,
+           CASE WHEN n_tokens >= 20
+                 AND n_distinct_tokens * 2 > n_tokens
+                 AND COALESCE(top_bigram_n, 0) * 5 < n_tokens
+                 AND n_digit_chars * 4 < length(text)
+            THEN 1 ELSE 0 END AS keep
+    FROM base b
+    LEFT JOIN bgc ON b.doc_id = bgc.doc_id
+    JOIN documents d ON b.doc_id = d.doc_id
+    """,
+)
+def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gate (training-data curation):
+    duplicate-token fraction, most-repeated-bigram count, digit-char
+    and URL counts, folded into an integer-arithmetic keep flag (no
+    float thresholds → engine-exact). Per-doc signals are scan-shaped;
+    the bigram mode is the one shuffle (doc_id, gram) and at 100 TB
+    rides the same partitioning as every other per-doc text op."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "text", F.explode(F.array(textops.tokens("text"))).alias("t")
+    )
+    base = tok.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]', 0)")).alias("n_digit_chars"),
+        F.size(F.expr(r"regexp_extract_all(lower(text), 'https?://', 0)")).alias("n_urls"),
+        F.length("text").alias("__n_chars"),
+    )
+    # NOT textops.shingles (it distincts) — the mode count needs every
+    # bigram occurrence, so rebuild the ordered sequence
+    grams = tok.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    top = (
+        grams.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    out = base.join(top, "doc_id", "left").withColumn(
+        "top_bigram_n", F.coalesce("top_bigram_n", F.lit(0))
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_distinct_tokens") * 2 > F.col("n_tokens"))
+        & (F.col("top_bigram_n") * 5 < F.col("n_tokens"))
+        & (F.col("n_digit_chars") * 4 < F.col("__n_chars"))
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_digit_chars",
+        "n_urls",
+        "top_bigram_n",
+        keep.cast("int").alias("keep"),
+    )
