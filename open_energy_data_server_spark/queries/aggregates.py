@@ -324,3 +324,59 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=128)
+
+
+@query(
+    "q_rollup_revenue",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n, {sql_dsum("l.l_extendedprice")} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP (region → nation → grand total) — the
+    hypertable-rollup/continuous-aggregate query shape. One shuffle:
+    Spark expands the grouping sets map-side and aggregates all three
+    levels in a single hash agg; the dimension joins are broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    j = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue")
+    )
+
+
+@query(
+    "q_quantiles_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) AS p25,
+           quantile_disc(l_extendedprice, 0.50) AS p50,
+           quantile_disc(l_extendedprice, 0.90) AS p90,
+           quantile_disc(l_quantity, 0.50) AS qty_median
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles per group (dashboard staple). DISC, not
+    CONT: the result is an actual data value, so no interpolation
+    arithmetic to diverge between engines — exact under the value-hash
+    gate where t-digest/interpolated forms are not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p90"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)").alias("qty_median"),
+    )
