@@ -372,11 +372,32 @@ def q_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles per group (dashboard staple). DISC, not
     CONT: the result is an actual data value, so no interpolation
     arithmetic to diverge between engines — exact under the value-hash
-    gate where t-digest/interpolated forms are not."""
+    gate where t-digest/interpolated forms are not.
+
+    Formulation: sorted-rank pick (row_number == ceil(p·n)), NOT the
+    built-in ``percentile_disc`` agg — Spark runs one sort-based agg
+    PER percentile_disc call (4 sorts of the table here), while the
+    rank form pays one exchange on the group key plus one in-partition
+    sort per distinct order column (measured 3×: 0.47 s vs 1.33 s at
+    sf0.1). Definition-equal: the value at sorted position ceil(p·n)
+    is the smallest value with cume_dist ≥ p, duplicates included."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25"),
-        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
-        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p90"),
-        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)").alias("qty_median"),
+    g = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        F.row_number().over(g.orderBy("l_extendedprice")).alias("rn_p"),
+        F.row_number().over(g.orderBy("l_quantity")).alias("rn_q"),
+        F.count(F.lit(1)).over(g).alias("n"),
+    )
+
+    def pick(rn: str, col: str, p: float):
+        return F.max(F.when(F.col(rn) == F.ceil(F.lit(p) * F.col("n")), F.col(col)))
+
+    return ranked.groupBy("l_returnflag").agg(
+        pick("rn_p", "l_extendedprice", 0.25).alias("p25"),
+        pick("rn_p", "l_extendedprice", 0.50).alias("p50"),
+        pick("rn_p", "l_extendedprice", 0.90).alias("p90"),
+        pick("rn_q", "l_quantity", 0.50).alias("qty_median"),
     )

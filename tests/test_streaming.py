@@ -142,3 +142,30 @@ def test_stream_dedup(spark, tmp_path):
     finally:
         q.stop()
     assert n == 2  # each event_id exactly once across redeliveries
+
+
+def test_session_agg_batch_path_equals_native(spark):
+    """The batch gaps-and-islands strategy must reproduce the native
+    session_window operator's output exactly (same merge semantics,
+    same gap-extended ends)."""
+    import pyspark.sql.functions as F
+
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.streaming.windows import session_agg
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    fast = session_agg(
+        ev, "ts", "7 minutes", keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.max("value").alias("mx")],
+    )
+    native = (
+        ev.groupBy(F.session_window("ts", "7 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id", "n", "mx",
+        )
+    )
+    assert fast.columns == native.columns
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, native.collect()))
