@@ -245,3 +245,21 @@ def test_optimize_layout(spark, tmp_path):
     raw = spark.read.parquet(f"{dst}/events.parquet")
     assert isinstance(raw.schema["ts"].dataType, T.TimestampType)
     assert ev.count() == load_table(spark, src, "events").count()
+
+
+def test_optimize_layout_idempotent(spark, tmp_path):
+    """Second call with unchanged sources is a no-op (manifest match);
+    changed params force a rewrite."""
+    import os
+
+    from open_energy_data_server_spark.io import optimize_layout
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "layout")
+    optimize_layout(spark, src, dst)
+    marker = f"{dst}/_layout_manifest.json"
+    m1 = os.path.getmtime(marker)
+    optimize_layout(spark, src, dst)
+    assert os.path.getmtime(marker) == m1  # skipped
+    optimize_layout(spark, src, dst, bytes_per_split=131_072)
+    assert os.path.getmtime(marker) > m1  # params changed → rewrote
