@@ -169,3 +169,43 @@ def test_session_agg_batch_path_equals_native(spark):
     )
     assert fast.columns == native.columns
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, native.collect()))
+
+
+def test_stream_session_agg_matches_batch(spark, tmp_path):
+    """session_agg on a real streaming lineage (native session_window
+    branch) merges sessions identically to the batch gaps-and-islands
+    branch."""
+    from open_energy_data_server_spark.streaming.windows import session_agg
+
+    src = str(tmp_path / "src")
+    # two sessions for user 1: 10:00-10:08 (gap<10m merges) and 11:00
+    _write_batch(spark, src, _rows([(10, 0), (10, 8), (11, 0)]))
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    agged = session_agg(
+        stream, "ts", "10 minutes", keys=["user_id"], watermark="5 minutes"
+    )
+    q = (
+        agged.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r.session_start), str(r.session_end), r.user_id, r.n)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = session_agg(
+        spark.read.schema(EVENTS_DDL).parquet(src), "ts", "10 minutes", keys=["user_id"]
+    )
+    want = {
+        (str(r.session_start), str(r.session_end), r.user_id, r.n)
+        for r in batch.collect()
+    }
+    assert got == want == {
+        ("2024-01-01 10:00:00", "2024-01-01 10:18:00", 1, 2),
+        ("2024-01-01 11:00:00", "2024-01-01 11:10:00", 1, 1),
+    }
