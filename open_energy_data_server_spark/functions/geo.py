@@ -143,10 +143,12 @@ def wkt_polygon_to_geojson(wkt: Column | str) -> Column:
     )
 
 
-def hull_from_table(df, lon_col: str, lat_col: str, max_sample: int = 10_000) -> str:
+def hull_from_table(
+    df, lon_col: str, lat_col: str, max_sample: int = 10_000, concave: bool = True
+) -> str:
     """Dataset footprint WKT for the metadata catalog (G2): bounded
-    point sample → convex hull — the shape of the reference's
-    ST_ConcaveHull-over-sampled-points metadata sweep
+    point sample → concave hull (kNN walk, convex fallback) — the
+    reference's ST_ConcaveHull-over-sampled-points metadata sweep
     (metadata_sql_helpers.sql:86-124). Sample is a limit-scan, so the
     driver never sees more than ``max_sample`` coordinate pairs."""
     rows = (
@@ -155,4 +157,89 @@ def hull_from_table(df, lon_col: str, lat_col: str, max_sample: int = 10_000) ->
         .limit(max_sample)
         .collect()
     )
-    return convex_hull_wkt([(r[0], r[1]) for r in rows])
+    pts = [(r[0], r[1]) for r in rows]
+    return concave_hull_wkt(pts) if concave else convex_hull_wkt(pts)
+
+
+def _segments_cross(p1, p2, p3, p4) -> bool:
+    """Proper intersection of open segments p1p2 and p3p4 (shared
+    endpoints don't count — consecutive hull edges always touch)."""
+
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    if p2 == p3 or p1 == p4 or p1 == p3 or p2 == p4:
+        return False
+    return (
+        orient(p1, p2, p3) != orient(p1, p2, p4)
+        and orient(p3, p4, p1) != orient(p3, p4, p2)
+        and orient(p1, p2, p3) != 0
+    )
+
+
+def concave_hull_wkt(points: list[tuple[float, float]], k: int = 3, max_k: int = 24) -> str:
+    """k-nearest-neighbours concave hull (Moreira & Santos, GRAPP'07)
+    → WKT polygon — the ST_ConcaveHull analog the reference's metadata
+    sweep applies to a sampled point set
+    (metadata_sql_helpers.sql:86-124). Walks the boundary choosing,
+    among the k nearest unused points, the most clockwise turn that
+    doesn't cross the hull; k grows on failure and the convex hull is
+    the final fallback (ST_ConcaveHull's own degenerate limit)."""
+    import math
+
+    pts = sorted(set(points))
+    if len(pts) < 3:
+        raise ValueError("hull needs ≥3 distinct points")
+    if len(pts) == 3:
+        ring = pts + [pts[0]]
+        return "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+
+    def walk(kk: int):
+        start = min(pts, key=lambda p: (p[1], p[0]))
+        hull = [start]
+        current, prev_ang = start, math.pi  # first turn sweeps from 'left'
+        used = {start}
+        for _ in range(len(pts) * 2):
+            if len(hull) >= 4 and current == start:
+                return hull
+            cands = sorted(
+                (p for p in pts if p not in used or (p == start and len(hull) >= 3)),
+                key=lambda p: (p[0] - current[0]) ** 2 + (p[1] - current[1]) ** 2,
+            )[:kk]
+            # most-clockwise turn relative to the incoming direction
+            cands.sort(
+                key=lambda p: (
+                    prev_ang - math.atan2(p[1] - current[1], p[0] - current[0])
+                ) % (2 * math.pi),
+                reverse=True,
+            )
+            step = None
+            for cand in cands:
+                new_edge = (current, cand)
+                last = 1 if cand == start else 0
+                if not any(
+                    _segments_cross(*new_edge, hull[i], hull[i + 1])
+                    for i in range(len(hull) - 1 - last)
+                ):
+                    step = cand
+                    break
+            if step is None:
+                return None
+            hull.append(step)
+            prev_ang = math.atan2(current[1] - step[1], current[0] - step[0])
+            current = step
+            used.add(step)
+        return None
+
+    arr = np.array(pts, dtype=np.float64)
+    for kk in range(max(3, k), max_k + 1):
+        hull = walk(kk)
+        if hull is None:
+            continue
+        ring = np.array(hull, dtype=np.float64)
+        inside = _ray_cast(ring, arr[:, 0], arr[:, 1])
+        on_ring = np.array([tuple(p) in set(hull) for p in pts])
+        if bool(np.all(inside | on_ring)):
+            return "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in hull) + "))"
+    return convex_hull_wkt(points)

@@ -59,3 +59,40 @@ def test_polygon_grid_index(spark):
     )
     cells = {(r.cell_x, r.cell_y) for r in polygon_grid_index(polys, "pid", "wkt", 1.0).collect()}
     assert cells == {(0, 0), (1, 0)}
+
+
+def test_concave_hull_carves_notch_and_contains_all():
+    """kNN concave hull on an L-shaped cloud: meaningfully tighter than
+    the convex hull, still encloses every point; degenerate inputs fall
+    back (triangle passthrough, collinear-heavy → convex)."""
+    import numpy as np
+
+    from open_energy_data_server_spark.functions.geo import (
+        concave_hull_wkt,
+        convex_hull_wkt,
+        parse_wkt_polygon,
+        points_in_polygon,
+    )
+
+    def area(wkt):
+        ring = parse_wkt_polygon(wkt)[0]
+        x, y = ring[:-1, 0], ring[:-1, 1]
+        xn, yn = ring[1:, 0], ring[1:, 1]
+        return abs((x * yn - xn * y).sum()) / 2
+
+    rng = np.random.default_rng(7)
+    pts = []
+    while len(pts) < 400:
+        x, y = rng.uniform(0, 3), rng.uniform(0, 3)
+        if x <= 1 or y <= 1:
+            pts.append((round(float(x), 4), round(float(y), 4)))
+    cw, vw = concave_hull_wkt(pts, k=8), convex_hull_wkt(pts)
+    assert area(cw) < area(vw) * 0.85
+    ring = parse_wkt_polygon(cw)[0]
+    arr = np.array(pts)
+    inside = points_in_polygon([ring], arr[:, 0], arr[:, 1])
+    on_ring = np.array([tuple(p) in {tuple(r) for r in ring} for p in pts])
+    assert bool(np.all(inside | on_ring))
+
+    tri = concave_hull_wkt([(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)])
+    assert tri.startswith("POLYGON")
