@@ -123,3 +123,50 @@ def shingles(toks: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def quality_signals(df, id_col: str, text_col: str):
+    """Gopher-style per-document quality signals + integer-arithmetic
+    keep flag (no float thresholds → engine-exact): token counts,
+    duplicate-token fraction, most-repeated-bigram mode, digit-char and
+    URL counts. Signals are scan-shaped; the bigram mode is the one
+    shuffle (id, gram). Returns every input column plus the signals."""
+    tok = df.withColumn("__t", F.explode(F.array(tokens(text_col))))
+    base = tok.select(
+        "*",
+        F.size("__t").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).alias("n_distinct_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[0-9]', 0)")).alias("n_digit_chars"),
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), 'https?://', 0)")).alias("n_urls"),
+        F.length(text_col).alias("__n_chars"),
+    )
+    # NOT shingles() (it distincts) — the mode needs every occurrence
+    grams = tok.filter(F.size("__t") >= 2).select(
+        F.col(id_col).alias("__gid"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("__t"), i), F.element_at(F.col("__t"), i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    top = (
+        grams.groupBy("__gid", "g")
+        .count()
+        .groupBy("__gid")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    out = (
+        base.join(top, base[id_col] == top["__gid"], "left")
+        .drop("__gid", "__t")
+        .withColumn("top_bigram_n", F.coalesce("top_bigram_n", F.lit(0)))
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_distinct_tokens") * 2 > F.col("n_tokens"))
+        & (F.col("top_bigram_n") * 5 < F.col("n_tokens"))
+        & (F.col("n_digit_chars") * 4 < F.col("__n_chars"))
+    )
+    return out.withColumn("keep", keep.cast("int"))

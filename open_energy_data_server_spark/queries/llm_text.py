@@ -439,52 +439,11 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition/quality gate (training-data curation):
-    duplicate-token fraction, most-repeated-bigram count, digit-char
-    and URL counts, folded into an integer-arithmetic keep flag (no
-    float thresholds → engine-exact). Per-doc signals are scan-shaped;
-    the bigram mode is the one shuffle (doc_id, gram) and at 100 TB
-    rides the same partitioning as every other per-doc text op."""
+    """Gopher-style repetition/quality gate (training-data curation) —
+    see operators.textops.quality_signals; this query exposes the
+    signal columns + keep flag for the whole corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "text", F.explode(F.array(textops.tokens("text"))).alias("t")
-    )
-    base = tok.select(
-        "doc_id",
-        F.size("t").alias("n_tokens"),
-        F.size(F.array_distinct("t")).alias("n_distinct_tokens"),
-        F.size(F.expr(r"regexp_extract_all(text, '[0-9]', 0)")).alias("n_digit_chars"),
-        F.size(F.expr(r"regexp_extract_all(lower(text), 'https?://', 0)")).alias("n_urls"),
-        F.length("text").alias("__n_chars"),
-    )
-    # NOT textops.shingles (it distincts) — the mode count needs every
-    # bigram occurrence, so rebuild the ordered sequence
-    grams = tok.filter(F.size("t") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
-                ),
-            )
-        ).alias("g"),
-    )
-    top = (
-        grams.groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_bigram_n"))
-    )
-    out = base.join(top, "doc_id", "left").withColumn(
-        "top_bigram_n", F.coalesce("top_bigram_n", F.lit(0))
-    )
-    keep = (
-        (F.col("n_tokens") >= 20)
-        & (F.col("n_distinct_tokens") * 2 > F.col("n_tokens"))
-        & (F.col("top_bigram_n") * 5 < F.col("n_tokens"))
-        & (F.col("n_digit_chars") * 4 < F.col("__n_chars"))
-    )
+    out = textops.quality_signals(docs, "doc_id", "text")
     return out.select(
         "doc_id",
         "n_tokens",
@@ -492,5 +451,125 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_digit_chars",
         "n_urls",
         "top_bigram_n",
-        keep.cast("int").alias("keep"),
+        "keep",
+    )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=r"""
+    WITH toksx AS (
+      SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    sig0 AS (
+      SELECT doc_id, lang, text, t,
+             len(t) AS n_tokens,
+             len(list_distinct(t)) AS n_distinct_tokens,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             length(text) AS n_chars
+      FROM toksx
+    ),
+    bg AS (
+      SELECT doc_id, t[i+1] || ' ' || t[i+2] AS g
+      FROM toksx, LATERAL (SELECT unnest(range(len(t) - 1)) AS i)
+      WHERE len(t) >= 2
+    ),
+    bgc AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+    ),
+    kept AS (
+      SELECT s.doc_id, s.lang, s.text, s.t, s.n_tokens
+      FROM sig0 s LEFT JOIN bgc USING (doc_id)
+      WHERE s.n_tokens >= 20 AND s.n_distinct_tokens * 2 > s.n_tokens
+        AND COALESCE(top_bigram_n, 0) * 5 < s.n_tokens
+        AND s.n_digit * 4 < s.n_chars
+    ),
+    exact_kept AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+        FROM (SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+              FROM kept)
+      ) WHERE doc_id = keeper
+    ),
+    sh2 AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] FOR i IN range(len(t) - 2)]
+                    ELSE []::VARCHAR[] END)) AS s
+      FROM exact_kept
+    ),
+    hashed2 AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h
+      FROM sh2
+    ),
+    params2 AS (
+      SELECT CAST(i AS INTEGER) AS i, 1 + 2*i AS a, 7 + 13*i AS b
+      FROM (SELECT unnest(range(16)) AS i)
+    ),
+    sig2 AS (
+      SELECT doc_id AS doc, i, MIN((a * h + b) % 2147483647) AS mh
+      FROM hashed2, params2 GROUP BY 1, 2
+    ),
+    banded2 AS (
+      SELECT doc, CAST(i // 2 AS INTEGER) AS band,
+             array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))), ',') AS bsig
+      FROM sig2 GROUP BY 1, 2
+    ),
+    drops AS (
+      SELECT DISTINCT b.doc AS doc_id
+      FROM banded2 a JOIN banded2 b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc
+    ),
+    samp AS (
+      SELECT doc_id, lang, n_tokens FROM exact_kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            < CASE WHEN lang IN ('en', 'de', 'fr')
+                   THEN CAST(0.8 * 1152921504606846976 AS BIGINT) ELSE -1 END
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      FROM samp
+    )
+    SELECT doc_id, lang, n_tokens, CAST(off // 2048 AS BIGINT) AS bin FROM packed
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation, composed from the engine's
+    operators in the canonical order a 100 TB corpus runs them:
+    quality gate (Gopher signals) → exact dedup keep-first (normalized
+    md5) → MinHash-LSH near-dup removal (greedy keep-lowest-id) →
+    deterministic stratified sampling → token-budget packing. Every
+    stage is the already-verified operator; the oracle replays the
+    whole chain in one SQL statement."""
+    from pyspark.sql import Window
+
+    from open_energy_data_server_spark.operators.sampling import (
+        pack_by_budget,
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = textops.quality_signals(docs, "doc_id", "text").filter(F.col("keep") == 1)
+    fp = gated.withColumn("fp", textops.fingerprint_normalized("text"))
+    exact = fp.withColumn(
+        "__keeper", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("__keeper"))
+    wide = dedup_text.minhash_wide(exact.select("doc_id", "text"), "doc_id", "text")
+    pairs = dedup_text.lsh_candidate_pairs_wide(wide, k=16, rows_per_band=2)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    surv = exact.join(drops, "doc_id", "left_anti")
+    sampled = stratified_hash_sample(
+        surv, "doc_id", {"en": 0.8, "de": 0.8, "fr": 0.8}, "lang"
+    )
+    return pack_by_budget(
+        sampled.select("doc_id", "lang", "n_tokens"),
+        "n_tokens",
+        budget=2048,
+        stratum_col="lang",
+        order_col="doc_id",
     )
