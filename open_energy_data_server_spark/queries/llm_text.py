@@ -559,6 +559,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = fp.withColumn(
         "__keeper", F.min("doc_id").over(Window.partitionBy("fp"))
     ).filter(F.col("doc_id") == F.col("__keeper"))
+    # stage materialization: three consumers (minhash side, anti-join
+    # left, sample) would each re-derive the quality+dedup lineage —
+    # Catalyst does not share common subtrees across branches. At
+    # 100 TB this persist is the stage boundary a pipeline would write
+    # to the lake; here it cuts the plan from 6 scans to 2.
+    from pyspark import StorageLevel
+
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     wide = dedup_text.minhash_wide(exact.select("doc_id", "text"), "doc_id", "text")
     pairs = dedup_text.lsh_candidate_pairs_wide(wide, k=16, rows_per_band=2)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
