@@ -125,7 +125,7 @@ def jaccard_pairs(
     # size joins — the whole query is scan → one equi-join → one pair
     # aggregation.
     sh = doc_shingle_hash_arrays(df, id_col, text_col, n).select(
-        "doc", F.size("hs").alias("sz"), F.explode("hs").alias("h")
+        "doc", F.size("hs").cast("bigint").alias("sz"), F.explode("hs").alias("h")
     )
     if df_cap is not None:
         hot = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap)
@@ -433,5 +433,7 @@ def winnow_fingerprint_strings(
     hashes identically everywhere)."""
     out = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     return out.select(
-        "doc", F.array_join("fp", ",").alias("fp"), "n_fp"
+        "doc",
+        F.array_join("fp", ",").alias("fp"),
+        F.col("n_fp").cast("bigint").alias("n_fp"),
     )

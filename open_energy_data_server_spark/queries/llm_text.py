@@ -104,12 +104,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        textops.word_count_regex("text").alias("n_words"),
-        n_chars.alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        textops.word_count_regex("text").cast("bigint").alias("n_words"),
+        n_chars.cast("bigint").alias("n_chars"),
         textops.token_length_sum(t).alias("token_len_sum"),
-        n_stop.alias("n_stop"),
-        n_punct.alias("n_punct"),
+        n_stop.cast("bigint").alias("n_stop"),
+        n_punct.cast("bigint").alias("n_punct"),
         textops.quality_score(n_tokens, n_chars, n_stop, n_punct).alias("quality"),
     )
 
@@ -177,8 +177,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
-        "score_en",
-        "score_de",
+        F.col("score_en").cast("bigint").alias("score_en"),
+        F.col("score_de").cast("bigint").alias("score_de"),
     )
 
 
@@ -397,7 +397,7 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
-        "doc_id", "lang", F.size(textops.tokens("text")).alias("n_tokens")
+        "doc_id", "lang", F.size(textops.tokens("text")).cast("bigint").alias("n_tokens")
     )
     return pack_by_budget(
         sized, "n_tokens", budget=2048, stratum_col="lang", order_col="doc_id"
@@ -446,10 +446,10 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textops.quality_signals(docs, "doc_id", "text")
     return out.select(
         "doc_id",
-        "n_tokens",
-        "n_distinct_tokens",
-        "n_digit_chars",
-        "n_urls",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+        F.col("n_digit_chars").cast("bigint").alias("n_digit_chars"),
+        F.col("n_urls").cast("bigint").alias("n_urls"),
         "top_bigram_n",
         "keep",
     )
@@ -575,7 +575,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv, "doc_id", {"en": 0.8, "de": 0.8, "fr": 0.8}, "lang"
     )
     return pack_by_budget(
-        sampled.select("doc_id", "lang", "n_tokens"),
+        sampled.select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens")),
         "n_tokens",
         budget=2048,
         stratum_col="lang",

@@ -166,9 +166,9 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr("make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT), 0, 0)")
         ).alias("due_ts"),
         ts_str(F.date_trunc("month", "o_orderdate")).alias("month_start"),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
-            "days_since_epoch_start"
-        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
     )
 
 
