@@ -227,3 +227,70 @@ def test_range_join_bucketed_matches_theta(spark, pts, ivs, bucket):
         if lo <= p < lo + ln
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([4, 8]),
+)
+@SETTINGS
+def test_kmv_matches_python_reference(spark, rows, k):
+    """kmv_distinct ≡ a direct Python KMV over the same md5 hash base
+    (exact below k, (k−1)·2⁶⁰/h_k above) for random grouped values."""
+    import hashlib
+
+    from open_energy_data_server_spark.io import local_df
+    from open_energy_data_server_spark.operators.sketch import kmv_distinct
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    df = local_df(spark, [(g, v) for g, v in rows], "g string, v bigint")
+    got = {
+        r["g"]: (r["n_seen"], r["est_distinct"])
+        for r in kmv_distinct(df, ["g"], "v", k=k).collect()
+    }
+    from collections import defaultdict
+
+    vals = defaultdict(set)
+    for g, v in rows:
+        vals[g].add(h60(v))
+    for g, hs in vals.items():
+        smallest = sorted(hs)[:k]
+        m = len(smallest)
+        want = float(m) if m < k else (k - 1) * float(1 << 60) / smallest[-1]
+        assert got[g] == (m, want), (g, got[g], (m, want))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=50),
+    st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+)
+@SETTINGS
+def test_stratified_sample_matches_python_reference(spark, ids, rate):
+    """Hash-threshold sampling keeps exactly the ids whose md5-base
+    hash clears rate·2⁶⁰ — engine ≡ pure-Python reference."""
+    import hashlib
+
+    from open_energy_data_server_spark.io import local_df
+    from open_energy_data_server_spark.operators.sampling import stratified_hash_sample
+
+    df = local_df(spark, [(i, "en") for i in set(ids)], "doc_id bigint, lang string")
+    got = {
+        r["doc_id"]
+        for r in stratified_hash_sample(df, "doc_id", {"en": rate}, "lang").collect()
+    }
+    thresh = int(rate * (1 << 60))
+    want = {
+        i
+        for i in set(ids)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) < thresh
+    }
+    assert got == want
