@@ -61,26 +61,31 @@ def test_asof_join_matches_merge_asof_random(spark, left_rows, right_rows):
         .drop_duplicates(["k", "rt"])
         .sort_values(["k", "rt"])
     )
-    got = (
-        asof_join(
-            spark.createDataFrame(left),
-            spark.createDataFrame(right),
-            left_on="t",
-            right_on="rt",
-            value_cols=["val"],
-            by=["k"],
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                left_on="t",
+                right_on="rt",
+                value_cols=["val"],
+                by=["k"],
+                direction=direction,
+            )
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
         )
-        .toPandas()
-        .sort_values("lid")
-        .reset_index(drop=True)
-    )
-    want = pd.merge_asof(
-        left.sort_values("t"),
-        right.rename(columns={"rt": "t"}).sort_values("t"),
-        on="t",
-        by="k",
-    ).sort_values("lid").reset_index(drop=True)
-    pd.testing.assert_series_equal(got["val"], want["val"], check_dtype=False)
+        want = pd.merge_asof(
+            left.sort_values("t"),
+            right.rename(columns={"rt": "t"}).sort_values("t"),
+            on="t",
+            by="k",
+            direction=direction,
+        ).sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["val"], want["val"], check_dtype=False
+        )
 
 
 @given(
