@@ -50,12 +50,43 @@ def test_fake_decode_bytes():
     }
 
 
-def test_multimodal_stubs_raise(spark):
-    df = spark.range(1)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(df, 64, 64)
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_video_frames(df, 1.0)
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize: nearest-neighbor byte-grid fake, numpy-verified output
+    bytes and sizes. Frame sampling: row-expanding batch (one row per
+    sampled timestamp), exact frame slices."""
+    import numpy as np
+
+    from open_energy_data_server_spark.io import local_df
+
+    # 4x4 gradient image, resize to 2x2 -> rows/cols 0 and 2
+    img = bytes(range(16))
+    assets = spark.createDataFrame(
+        [(1, img, {"mime": "x/gray", "width": 4, "height": 4, "duration_s": 0.0})],
+        "asset_id bigint, payload binary, meta struct<mime:string,width:int,height:int,duration_s:double>",
+    )
+    out = multimodal.resize_images(assets, 2, 2).collect()
+    assert len(out) == 1 and out[0]["width"] == 2
+    want = np.frombuffer(img, np.uint8).reshape(4, 4)[np.ix_([0, 2], [0, 2])].tobytes()
+    assert bytes(out[0]["payload"]) == want
+
+    # "video": 4 frames of 2x1=2 bytes over 4 seconds, sample every 2s
+    vid = bytes([10, 11, 20, 21, 30, 31, 40, 41])
+    vassets = spark.createDataFrame(
+        [(7, vid, {"mime": "x/raw", "width": 2, "height": 1, "duration_s": 4.0})],
+        "asset_id bigint, payload binary, meta struct<mime:string,width:int,height:int,duration_s:double>",
+    )
+    rows = sorted(
+        multimodal.sample_video_frames(vassets, 2.0).collect(), key=lambda r: r["t_s"]
+    )
+    assert [(r["t_s"], bytes(r["payload"])) for r in rows] == [
+        (0.0, bytes([10, 11])),
+        (2.0, bytes([30, 31])),
+    ]
+
+    # injectable codec wins over the fake
+    marker = lambda p, w, h, w1, h1: b"X"  # noqa: E731
+    out2 = multimodal.resize_images(assets, 2, 2, codec=marker).collect()
+    assert bytes(out2[0]["payload"]) == b"X"
 
 
 def test_winnow_fingerprints_semantics(spark):
