@@ -52,6 +52,16 @@ def assert_parity(spark_df, oracle_sql: str, sf_dir: str, name: str = "?"):
 
     sp = spark_df.toPandas()
     oc = run_oracle(oracle_sql, sf_dir)
+    # dtype parity (before the object-canonicalization below): the
+    # engines must agree on integer widths etc., not just values —
+    # Spark size()/datediff() emit int32 where DuckDB emits int64
+    # unless the query casts (queries align to bigint deliberately)
+    for c in sp.columns:
+        if c in oc.columns:
+            assert str(sp[c].dtype) == str(oc[c].dtype), (
+                f"{name}: dtype mismatch on {c}: "
+                f"spark={sp[c].dtype} oracle={oc[c].dtype}"
+            )
     oc = oc.astype(object).where(pd.notna(oc), None)
     sp = sp.astype(object).where(pd.notna(sp), None)
 
