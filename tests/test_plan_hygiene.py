@@ -49,6 +49,28 @@ def test_no_python_in_query_plans(spark):
     assert not offenders, offenders
 
 
+# Nested-loop joins allowed ONLY where the broadcast side is bounded
+# by construction (documented in each query's docstring):
+#   - brute-force ANN: |Q| query rows broadcast (non-equi vid != qid)
+#   - sampled cosine near-dup: 1/17 sample, block_col bounds it at scale
+#   - watermark filter: 1-row agg(max) scalar broadcast (W4 pattern)
+NLJ_ALLOWED = {
+    "q_ann_bruteforce_topk",
+    "q_dedup_embedding_cosine",
+    "q_incremental_since_watermark",
+}
+
+
+def test_no_unbounded_nested_loop_joins(spark):
+    offenders = []
+    for name, plan in _plans(spark):
+        if name in NLJ_ALLOWED:
+            continue
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"unbounded nested-loop joins: {offenders}"
+
+
 def test_lineitem_scans_prune_columns(spark):
     """Any query scanning lineitem must read < the full 16 columns."""
     wide = []
