@@ -22,7 +22,7 @@ from open_energy_data_server_spark.operators.incremental import (
 )
 from open_energy_data_server_spark.sources.csv_locale import CsvDialect, read_locale_csv
 from open_energy_data_server_spark.sources.json_flat import explode_series, flatten_structs
-from open_energy_data_server_spark.sources.landing import land, local_file_fetcher
+from open_energy_data_server_spark.sources.landing import land
 from open_energy_data_server_spark.sources.record_mux import read_record_mux
 from open_energy_data_server_spark.sinks.writer import (
     append_evolve,

@@ -3,7 +3,6 @@ multimodal) beyond the oracle-parity coverage."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.io import load_table

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import zipfile
 
-import pytest
 from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.catalog import read_metadata

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import re
 
-import pytest
 
 # Arrow-batched Python is allowed ONLY here (documented stub codec)
 PANDAS_ALLOWED = {"q_multimodal_decode"}

@@ -15,7 +15,7 @@ from open_energy_data_server_spark.operators.interpolate import (
     interpolate_linear,
 )
 from open_energy_data_server_spark.sources.excel import HAS_OPENPYXL, read_excel
-from open_energy_data_server_spark.sources.grib import read_grib, stub_decoder
+from open_energy_data_server_spark.sources.grib import read_grib
 from open_energy_data_server_spark.sources.sqlite import list_tables, read_sqlite_table
 from open_energy_data_server_spark.sources.xml_source import read_xml, read_xml_files
 

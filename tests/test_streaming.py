@@ -5,7 +5,6 @@ drop across micro-batches, and the applyInPandasWithState operator."""
 from __future__ import annotations
 
 import datetime as dt
-import shutil
 
 import pytest
 from pyspark.sql import functions as F
