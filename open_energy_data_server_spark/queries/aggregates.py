@@ -401,3 +401,63 @@ def q_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("rn_p", "l_extendedprice", 0.90).alias("p90"),
         pick("rn_q", "l_quantity", 0.50).alias("qty_median"),
     )
+
+
+_PSUM = "CAST(SUM(CAST(ROUND(({expr}) * {s}, 0) AS BIGINT)) AS BIGINT)"
+
+
+@query(
+    "q_corr_regression",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST({_PSUM.format(expr="l_extendedprice", s=100)} AS DOUBLE) / 100.0 AS sx,
+             CAST({_PSUM.format(expr="l_quantity", s=100)} AS DOUBLE) / 100.0 AS sy,
+             CAST({_PSUM.format(expr="l_extendedprice * l_quantity", s=100)} AS DOUBLE) / 100.0 AS sxy,
+             CAST({_PSUM.format(expr="l_extendedprice * l_extendedprice", s=100)} AS DOUBLE) / 100.0 AS sxx,
+             CAST({_PSUM.format(expr="l_quantity * l_quantity", s=100)} AS DOUBLE) / 100.0 AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+             AS corr_price_qty,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+    FROM m
+    """,
+)
+def q_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + least-squares line per group — the stat
+    aggregates dashboards lean on, made ORDER-INDEPENDENT: Spark's
+    built-in corr()/regr_slope() accumulate doubles (shuffle order
+    changes the bits), so the moments Σx, Σy, Σxy, Σx², Σy² are exact
+    fixed-point BIGINT sums (×100; bounded: max price² · 100 · 600k
+    rows ≈ 7e17 « 2⁶³ — at larger SF switch the moments to
+    DECIMAL(38)) and the closed forms evaluate identically on both
+    engines. One partial+final hash agg, scan-bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def psum(col, s=100):
+        return F.sum(F.round(col * s, 0).cast("bigint")).cast("double") / float(s)
+
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        psum(x).alias("sx"),
+        psum(y).alias("sy"),
+        psum(x * y).alias("sxy"),
+        psum(x * x).alias("sxx"),
+        psum(y * y).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = [F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+    cov_n = n * sxy - sx * sy
+    slope = cov_n / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        (cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_price_qty"
+        ),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
