@@ -66,3 +66,33 @@ def pack_by_budget(
     return df.withColumn(
         "bin", F.floor((cum - F.col(size_col).cast("bigint")) / F.lit(int(budget)))
     )
+
+
+def fixed_size_hash_sample(
+    df: DataFrame, key_col: str, k: int, stratum_col: str | None = None
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: the k rows with the
+    smallest key hashes (ties broken by the key) — the rerun-stable
+    analog of reservoir sampling. Growing k only ADDS rows (prefix
+    property), so refreshing a eval set never churns it. One shuffle
+    on the stratum; `WindowGroupLimit` keeps k rows per partition
+    before the exchange."""
+    keys = [stratum_col] if stratum_col else []
+    h = hash60(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def weighted_hash_sample(df: DataFrame, key_col: str, weight_col) -> DataFrame:
+    """Per-row-weighted Bernoulli sampling: keep iff hash60(key) <
+    weight · 2⁶⁰ (weight in [0, 1] — e.g. a quality score, so higher-
+    quality documents survive proportionally more often). Pure
+    projection, rerun-stable, monotone in the weight."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(
+        hash60(F.col(key_col).cast("string")).cast("double") < w * float(TWO_60)
+    )

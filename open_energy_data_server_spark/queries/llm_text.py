@@ -581,3 +581,28 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratum_col="lang",
         order_col="doc_id",
     )
+
+
+@query(
+    "q_sample_fixed_k",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language deterministic sample (k smallest key
+    hashes) — the rerun-stable reservoir analog; growing k only adds
+    rows, so a refreshed eval set never churns."""
+    from open_energy_data_server_spark.operators.sampling import fixed_size_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fixed_size_hash_sample(docs, "doc_id", k=20, stratum_col="lang").select(
+        "doc_id", "lang"
+    )

@@ -212,3 +212,27 @@ def test_stratified_sample_and_packing(spark):
                 assert prefix >= (b + 1) * 1000, (lang, b, prefix)
             # overshoot past a boundary is bounded by one row
             assert sums[(lang, b)] < 1000 + biggest, (lang, b)
+
+
+def test_fixed_k_and_weighted_sampling(spark):
+    """Fixed-k: exactly k per stratum, prefix property (k=10 ⊂ k=20).
+    Weighted: monotone in the weight, deterministic."""
+    import pyspark.sql.functions as F
+
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.operators.sampling import (
+        fixed_size_hash_sample,
+        weighted_hash_sample,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    s20 = fixed_size_hash_sample(docs, "doc_id", 20, "lang")
+    per = {r["lang"]: r["n"] for r in s20.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 20 for n in per.values())
+    ids10 = {r["doc_id"] for r in fixed_size_hash_sample(docs, "doc_id", 10, "lang").collect()}
+    ids20 = {r["doc_id"] for r in s20.collect()}
+    assert ids10 <= ids20 and len(ids10) == len(per) * 10
+
+    lo = {r["doc_id"] for r in weighted_hash_sample(docs, "doc_id", F.lit(0.3)).collect()}
+    hi = {r["doc_id"] for r in weighted_hash_sample(docs, "doc_id", F.lit(0.7)).collect()}
+    assert lo <= hi and 0 < len(lo) < len(hi) < docs.count()
