@@ -178,3 +178,43 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
     )
+
+
+@query(
+    "q_rolling_1h_window",
+    oracle=f"""
+    SELECT user_id, {sql_ts_str("ts")} AS ts,
+           COUNT(*) OVER w AS n_1h,
+           CAST(CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) OVER w AS BIGINT)
+             AS DOUBLE) / 1000000.0 AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling interval-window aggregates (trailing 1 h per user) — a
+    RANGE frame on event time, the time-series op the tumbling/sliding
+    set can't express (every event gets ITS OWN trailing window). One
+    shuffle on user_id + one in-partition sort; the frame slides
+    incrementally over the sorted run. Fixed-point window sum keeps
+    the value engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    # microsecond epoch, NOT unix_timestamp: second-truncated order
+    # keys make same-second events frame peers and shift the 1 h
+    # boundary by up to 1 s — DuckDB's RANGE INTERVAL is µs-precise
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        ts_str("ts").alias("ts"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (
+            F.sum(F.round(F.col("value") * 1_000_000, 0).cast("bigint")).over(w)
+            .cast("double")
+            / 1_000_000.0
+        ).alias("sum_1h"),
+    )
