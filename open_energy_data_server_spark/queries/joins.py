@@ -318,3 +318,40 @@ def q_range_join_fiscal_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("window_start").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue")
     )
+
+
+@query(
+    "q_intersect_except",
+    oracle="""
+    WITH buyers AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    ),
+    urgent AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT 'both' AS grp, custkey FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM urgent)
+    UNION ALL
+    SELECT 'big_only', custkey FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM urgent)
+    """,
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT) — the SQL surface's
+    remaining set algebra beyond UNION. Both compile to hash
+    left-semi/anti joins over the deduped inputs: one shuffle each on
+    the set key, no sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = buyers.intersect(urgent).select(F.lit("both").alias("grp"), "custkey")
+    big_only = buyers.exceptAll(urgent).select(
+        F.lit("big_only").alias("grp"), "custkey"
+    )
+    return both.unionByName(big_only)
