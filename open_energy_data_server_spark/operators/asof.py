@@ -66,9 +66,12 @@ def asof_join(
     crossing its key, optionally per `by` group.
 
     left keeps all its columns; `value_cols` arrive from the right
-    (null when nothing matched). Ties on the key: the right row sorts
-    before the left row, so an exact-equal right row DOES match —
-    same as merge_asof's ``allow_exact_matches=True`` default.
+    (null when nothing matched). A value_col whose name already exists
+    on the left is suffixed ``_right`` in the output — the same
+    collision rule as ``pd.merge_asof``'s suffixes. Ties on the key:
+    the right row sorts before the left row, so an exact-equal right
+    row DOES match — same as merge_asof's
+    ``allow_exact_matches=True`` default.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -106,9 +109,10 @@ def asof_join(
         )
         picker = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
 
+    out_name = {c: (f"{c}_right" if c in left.columns else c) for c in value_cols}
     filled = unioned.select(
         *[F.col(c) for c in unioned.columns if not c.startswith("__r_")],
-        *[picker(f"__r_{c}").alias(c) for c in value_cols],
+        *[picker(f"__r_{c}").alias(out_name[c]) for c in value_cols],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left", "__ts")
 

@@ -62,8 +62,15 @@ def merge_upsert(
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
         scoped_target = target.filter(F.col(partition_col).isin(parts))
         merged = merge_dataframes(scoped_target, updates, keys, version_col)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        # per-write option (not session conf): a session-wide
+        # partitionOverwriteMode=dynamic would silently turn later
+        # partitioned mode='overwrite' full replaces into partial ones
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
     else:
         merged = merge_dataframes(target, updates, keys, version_col)
         if target is None:
