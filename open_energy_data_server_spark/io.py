@@ -45,15 +45,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _HANDLES.get(key)
     if cached is not None:
         return cached
-    # The driver's events table stores TIMESTAMP(NANOS) — a parquet type
-    # Spark has no native reader for. Read nanos as raw INT64
-    # (SPARK-40819) and truncate to microseconds on the way in; every
-    # downstream operator sees a plain TimestampType column.
+    # The driver's events table has stored its ts column two ways across
+    # testdata generations: TIMESTAMP(NANOS) (a parquet type Spark has no
+    # native reader for — read nanos as raw INT64 per SPARK-40819 and
+    # truncate to micros) and tz-naive TIMESTAMP(MICROS) (which Spark 4
+    # infers as TIMESTAMP_NTZ; functions like unix_micros reject NTZ).
+    # Normalize both to plain TimestampType here — under the UTC session
+    # timezone the NTZ cast is a metadata reinterpretation, not a shift —
+    # so every downstream operator sees one timestamp type.
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.LongType) and field.name == "ts":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     _HANDLES[key] = df
     return df
 

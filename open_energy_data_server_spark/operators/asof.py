@@ -66,9 +66,12 @@ def asof_join(
     crossing its key, optionally per `by` group.
 
     left keeps all its columns; `value_cols` arrive from the right
-    (null when nothing matched). A value_col whose name already exists
-    on the left is suffixed ``_right`` in the output — the same
-    collision rule as ``pd.merge_asof``'s suffixes. Ties on the key:
+    (null when nothing matched). Collisions are resolved pandas-style
+    by suffixing, but with a right-only convention: a value_col whose
+    name already exists on the left is suffixed ``_right`` (repeated
+    until free) and the left column keeps its bare name — unlike
+    ``pd.merge_asof``'s default ``('_x', '_y')``, which suffixes BOTH
+    colliding columns. Ties on the key:
     the right row sorts before the left row, so an exact-equal right
     row DOES match — same as merge_asof's
     ``allow_exact_matches=True`` default.
@@ -109,7 +112,17 @@ def asof_join(
         )
         picker = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
 
-    out_name = {c: (f"{c}_right" if c in left.columns else c) for c in value_cols}
+    # suffix until the name is free of both left.columns and names
+    # already assigned to earlier value_cols (e.g. value_cols
+    # ['v', 'v_right'] with 'v' on the left would otherwise collide)
+    out_name: dict[str, str] = {}
+    taken = set(left.columns)
+    for c in value_cols:
+        name = c
+        while name in taken:
+            name = f"{name}_right"
+        out_name[c] = name
+        taken.add(name)
     filled = unioned.select(
         *[F.col(c) for c in unioned.columns if not c.startswith("__r_")],
         *[picker(f"__r_{c}").alias(out_name[c]) for c in value_cols],

@@ -47,9 +47,18 @@ def minhash_params(k: int = 16) -> list[tuple[int, int, int]]:
 def _spread(df: DataFrame) -> DataFrame:
     """Spread a small-file source across the cluster before CPU-heavy
     per-row work — a compact parquet lands in one task otherwise and
-    the explode/md5 stage runs single-threaded. Cost: one shuffle of
-    the raw (id, text) rows, repaid by full parallelism downstream."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    the explode/md5 stage runs single-threaded.
+
+    GATED: only repartitions when the source arrives in fewer
+    partitions than the cluster has cores. A 100 TB corpus already
+    lands in thousands of splits (``spark.sql.files.maxPartitionBytes``
+    sizes them), so at scale this is a no-op and document text is never
+    shuffled — the shuffle only happens for the pathological
+    one-small-file layout, where its cost is trivially small."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -360,18 +369,30 @@ def simhash_pairs_banded(
 
 
 def simhash_pairs(
-    sims: DataFrame, by: DataFrame | None = None, max_hamming: int = 8
+    sims: DataFrame,
+    by: DataFrame | None = None,
+    max_hamming: int = 8,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Without a blocking key this is O(n²)/2 — callers at scale pass a
-    blocking DataFrame (doc, block) to bound the candidate set."""
+    blocking DataFrame (doc, block) to bound the candidate set (or use
+    ``simhash_pairs_banded`` for exact-recall pigeonhole banding). The
+    unblocked cross join must be opted into with
+    ``allow_quadratic=True`` — it is only sane on sampled/small sets."""
     if by is not None:
         sims = sims.join(by, "doc")
         a = sims.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "block")
         b = sims.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "block")
         pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
     else:
+        if not allow_quadratic:
+            raise ValueError(
+                "simhash_pairs without a blocking key is O(n²); pass "
+                "allow_quadratic=True for sampled/small sets, a `by` "
+                "blocking DataFrame, or use simhash_pairs_banded"
+            )
         a = sims.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"))
         b = sims.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"))
         pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))

@@ -221,6 +221,7 @@ def cosine_neardup_pairs(
     vec_col: str,
     threshold: float,
     block_col: str | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-suite member
     for vector columns): all (a, b) with cosine ≥ threshold.
@@ -228,9 +229,16 @@ def cosine_neardup_pairs(
     Relational fixed-point formulation (oracle-replayable). Candidate
     generation is O(pairs·d) within a block — callers MUST bound the
     pair space at scale: pass ``block_col`` (LSH bucket from
-    ``hyperplane_buckets``, a label, or a shard key); unblocked input
-    is for sampled/small sets only.
+    ``hyperplane_buckets``, a label, or a shard key). The unblocked
+    cross join is for sampled/small sets only and must be opted into
+    with ``allow_quadratic=True`` — otherwise it raises.
     """
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "cosine_neardup_pairs without block_col is O(n²); pass a "
+            "blocking column (e.g. hyperplane_buckets) or opt in with "
+            "allow_quadratic=True for sampled/small sets"
+        )
     base_cols = [
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),

@@ -374,33 +374,48 @@ def q_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic to diverge between engines — exact under the value-hash
     gate where t-digest/interpolated forms are not.
 
-    Formulation: sorted-rank pick (row_number == ceil(p·n)), NOT the
-    built-in ``percentile_disc`` agg — Spark runs one sort-based agg
-    PER percentile_disc call (4 sorts of the table here), while the
-    rank form pays one exchange on the group key plus one in-partition
-    sort per distinct order column (measured 3×: 0.47 s vs 1.33 s at
-    sf0.1). Definition-equal: the value at sorted position ceil(p·n)
-    is the smallest value with cume_dist ≥ p, duplicates included."""
+    Formulation: count-per-distinct-value pre-agg, then a cumulative
+    window over the DISTINCT-value domain, NOT row_number over the raw
+    rows and NOT the built-in ``percentile_disc`` agg. percentile_disc
+    runs one sort-based agg per call (4 sorts of the table); a raw
+    row_number window partitioned by the 3-value l_returnflag sorts the
+    whole table inside ≤3 tasks — a hard parallelism ceiling at scale
+    (flagged in round-1 VERDICT). Here the heavy shuffle keys on
+    (flag, value) — a hash agg with map-side combine that spreads over
+    all partitions — and the skewed window only ranks distinct values,
+    a domain that grows far slower than row count. Definition-equal:
+    quantile_disc(p) is the smallest value whose cumulative row count
+    ≥ ceil(p·n), duplicates included via the per-value counts."""
     li = load_table(spark, sf_dir, "lineitem")
-    g = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        "l_quantity",
-        F.row_number().over(g.orderBy("l_extendedprice")).alias("rn_p"),
-        F.row_number().over(g.orderBy("l_quantity")).alias("rn_q"),
-        F.count(F.lit(1)).over(g).alias("n"),
-    )
 
-    def pick(rn: str, col: str, p: float):
-        return F.max(F.when(F.col(rn) == F.ceil(F.lit(p) * F.col("n")), F.col(col)))
+    def disc_quantiles(col: str, picks: list[tuple[float, str]]) -> DataFrame:
+        cnt = li.groupBy("l_returnflag", col).agg(F.count(F.lit(1)).alias("c"))
+        w_cum = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("l_returnflag")
+        cum = cnt.select(
+            "l_returnflag",
+            F.col(col).alias("v"),
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        return cum.groupBy("l_returnflag").agg(
+            *[
+                F.min(
+                    F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("v"))
+                ).alias(name)
+                for p, name in picks
+            ]
+        )
 
-    return ranked.groupBy("l_returnflag").agg(
-        pick("rn_p", "l_extendedprice", 0.25).alias("p25"),
-        pick("rn_p", "l_extendedprice", 0.50).alias("p50"),
-        pick("rn_p", "l_extendedprice", 0.90).alias("p90"),
-        pick("rn_q", "l_quantity", 0.50).alias("qty_median"),
+    price = disc_quantiles(
+        "l_extendedprice", [(0.25, "p25"), (0.50, "p50"), (0.90, "p90")]
     )
+    qty = disc_quantiles("l_quantity", [(0.50, "qty_median")])
+    return price.join(F.broadcast(qty), "l_returnflag")
 
 
 _PSUM = "CAST(SUM(CAST(ROUND(({expr}) * {s}, 0) AS BIGINT)) AS BIGINT)"

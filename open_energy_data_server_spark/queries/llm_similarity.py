@@ -165,7 +165,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_energy_data_server_spark.operators.similarity import cosine_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 17 == 0)
-    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3)
+    # deterministic 1/17 sample → the bounded-size case the quadratic
+    # fallback exists for; corpus-scale callers pass block_col instead
+    return cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, allow_quadratic=True
+    )
 
 
 @query(

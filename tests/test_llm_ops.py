@@ -236,3 +236,42 @@ def test_fixed_k_and_weighted_sampling(spark):
     lo = {r["doc_id"] for r in weighted_hash_sample(docs, "doc_id", F.lit(0.3)).collect()}
     hi = {r["doc_id"] for r in weighted_hash_sample(docs, "doc_id", F.lit(0.7)).collect()}
     assert lo <= hi and 0 < len(lo) < len(hi) < docs.count()
+
+
+def test_quadratic_fallbacks_require_opt_in(spark):
+    """The unblocked O(n²) pair generators must raise unless the caller
+    explicitly opts in — at corpus scale a silent cross join is a
+    cluster-killer (round-1 VERDICT guardrail item)."""
+    import pytest as _pytest
+
+    from open_energy_data_server_spark.operators.dedup_text import simhash, simhash_pairs
+    from open_energy_data_server_spark.operators.similarity import cosine_neardup_pairs
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").limit(10)
+    sims = simhash(docs, "doc_id", "text")
+    with _pytest.raises(ValueError, match="O\\(n²\\)"):
+        simhash_pairs(sims)
+    n = simhash_pairs(sims, allow_quadratic=True, max_hamming=64).count()
+    assert n == 45  # C(10,2) — every pair within 64 bits
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").limit(5)
+    with _pytest.raises(ValueError, match="O\\(n²\\)"):
+        cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=-1.0)
+    n = cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=-1.1, allow_quadratic=True
+    ).count()
+    assert n == 10  # C(5,2) at threshold below cosine floor
+
+
+def test_spread_is_gated_on_partition_count(spark):
+    """_spread must be a no-op when the source already arrives in at
+    least defaultParallelism partitions — document text is never
+    shuffled at scale (round-1 VERDICT `_spread` item)."""
+    from open_energy_data_server_spark.operators.dedup_text import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    wide = docs.repartition(par + 4)
+    assert _spread(wide) is wide  # identical handle — no added shuffle
+    narrow = docs.coalesce(1)
+    assert _spread(narrow).rdd.getNumPartitions() == par

@@ -226,3 +226,22 @@ def test_kmv_distinct_accuracy_and_exact_mode(spark):
         for r in kmv_distinct(li, ["l_returnflag"], "l_partkey", k=128).collect()
     }
     assert est == est2
+
+
+def test_asof_join_suffix_collision_chains(spark):
+    """Suffix resolution must loop until free: a right value_col whose
+    '_right' name already exists on the left (or was assigned to an
+    earlier value_col) chains another '_right' instead of emitting a
+    duplicate column (ADVICE r2)."""
+    from open_energy_data_server_spark.io import local_df
+
+    left = local_df(
+        spark,
+        [(1, 10.0, -1.0), (5, 20.0, -2.0)],
+        "t long, v double, v_right double",
+    )
+    right = local_df(spark, [(0, 100.0), (4, 200.0)], "t long, v double")
+    out = asof_join(left, right, "t", "t", value_cols=["v"])
+    assert sorted(out.columns) == ["t", "v", "v_right", "v_right_right"]
+    rows = {r.t: r.v_right_right for r in out.collect()}
+    assert rows == {1: 100.0, 5: 200.0}
