@@ -13,9 +13,11 @@ through the driver; the reference parallelized this with one Docker
 container per year (dwd_generate_dc.py) — here it is ordinary task
 parallelism.
 
-No GRIB codec ships in this container, so the default decoder is a
-documented STUB; tests inject a deterministic fake. Swapping in
-cfgrib is: ``read_grib(..., decoder=cfgrib_decoder)``.
+The default decoder is the repo's own pure-Python GRIB2 codec
+(``sources.grib2codec`` — grid template 3.0, simple packing 5.0,
+bitmaps; numpy-vectorized bit unpack). The decoder stays injectable:
+packings the minimal codec rejects (JPEG2000, spectral) swap in
+cfgrib with ``read_grib(..., decoder=cfgrib_decoder)``.
 """
 
 from __future__ import annotations
@@ -33,16 +35,21 @@ GRIB_SCHEMA = (
 )
 
 
-def stub_decoder(raw: bytes) -> pd.DataFrame:
-    """STUB — no GRIB codec (cfgrib/pygrib) in this container."""
-    raise NotImplementedError(
-        "GRIB decoding requires cfgrib or pygrib; inject a decoder, e.g. "
-        "read_grib(spark, path, decoder=my_cfgrib_decoder)"
-    )
+def default_decoder(raw: bytes) -> pd.DataFrame:
+    """Pure-Python GRIB2 decode (see ``sources.grib2codec``). Raises
+    ValueError on packings/grids outside the minimal-codec subset —
+    inject cfgrib for those: read_grib(..., decoder=my_cfgrib_decoder)."""
+    from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+
+    return decode_grib2(raw)
+
+
+# backwards-compatible alias (pre-round-3 name; the codec is real now)
+stub_decoder = default_decoder
 
 
 def read_grib(
-    spark: SparkSession, glob_path: str, decoder: GribDecoder = stub_decoder
+    spark: SparkSession, glob_path: str, decoder: GribDecoder = default_decoder
 ) -> DataFrame:
     """Distributed GRIB → long rows; decode is executor-side."""
 

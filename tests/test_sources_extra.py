@@ -62,11 +62,11 @@ def test_xml_distributed(spark, tmp_path):
     assert {r.v for r in df.filter(F.col("k") == "2").collect()} == {"20"}
 
 
-def test_grib_stub_and_injected_decoder(spark, tmp_path):
+def test_grib_default_codec_rejects_garbage_and_injected_decoder(spark, tmp_path):
     p = tmp_path / "g"
     p.mkdir()
     (p / "a.grib").write_bytes(b"\x01\x02\x03")
-    with pytest.raises(Exception, match="GRIB decoding requires"):
+    with pytest.raises(Exception, match="no GRIB2 messages"):
         read_grib(spark, str(p)).collect()
 
     def fake(raw: bytes) -> pd.DataFrame:
