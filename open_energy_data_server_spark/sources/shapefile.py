@@ -1,0 +1,217 @@
+"""ESRI Shapefile (.shp/.dbf) → WKT-column ingest (SURVEY S10).
+
+The reference reads NUTS-region shapefiles / geodatabases through
+geopandas+fiona and writes PostGIS geometry
+(/root/reference/crawler/nuts_mapper.py:30,
+/root/reference/crawler/nrw_kwp_waermedichte.py:66-76). Neither
+library ships here, and this engine's geometry model is a WKT string
+column (functions/geo.py) — so this is a pure-Python reader for the
+two public formats, feeding that model directly:
+
+- ``.shp`` main file (ESRI Shapefile Technical Description, 1998):
+  100-byte big/little-endian mixed header, then (record header,
+  record content) pairs. Shape types point(1), polyline(3),
+  polygon(5), multipoint(8) — plus their Z/M variants, read as 2-D
+  (Z/M dropped, matching how nuts_mapper uses only the footprint).
+- ``.dbf`` attribute file (dBase III): 32-byte field descriptors,
+  fixed-width ASCII records; C→string, N/F→number, L→bool, D→date
+  string.
+
+Execution shapes mirror the XML source: driver-side single file
+(``read_shapefile`` — the one-NUTS-file case), and distributed
+directory scan (``read_shapefile_dir`` — binaryFile + mapInPandas,
+one task per file; a chunked 12.7M-row GDB-style export parses
+executor-side, never through the driver).
+
+Polygon ring semantics: shapefile exterior rings wind clockwise,
+holes counter-clockwise (spec). CW rings become POLYGON shells; each
+CCW ring is attached as a hole to the preceding exterior whose bbox
+contains it; multiple shells yield MULTIPOLYGON.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+SHAPE_POINT = {1, 11, 21}
+SHAPE_POLYLINE = {3, 13, 23}
+SHAPE_POLYGON = {5, 15, 25}
+SHAPE_MULTIPOINT = {8, 18, 28}
+
+
+def _ring_is_cw(pts: np.ndarray) -> bool:
+    """Signed shoelace area < 0 ⇔ clockwise (exterior in shapefiles)."""
+    x, y = pts[:, 0], pts[:, 1]
+    return float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])) < 0.0
+
+
+def _fmt_pt(x: float, y: float) -> str:
+    return f"{x:.10g} {y:.10g}"
+
+
+def _fmt_ring(pts: np.ndarray) -> str:
+    return "(" + ", ".join(_fmt_pt(px, py) for px, py in pts) + ")"
+
+
+def _rings_to_wkt(rings: list[np.ndarray]) -> str:
+    """Group CW shells with their CCW holes → POLYGON / MULTIPOLYGON."""
+    shells: list[list[np.ndarray]] = []
+    for ring in rings:
+        if _ring_is_cw(ring) or not shells:
+            shells.append([ring])
+        else:
+            # attach hole to the last shell whose bbox contains it
+            px, py = ring[0]
+            owner = shells[-1]
+            for cand in reversed(shells):
+                s = cand[0]
+                if (
+                    s[:, 0].min() <= px <= s[:, 0].max()
+                    and s[:, 1].min() <= py <= s[:, 1].max()
+                ):
+                    owner = cand
+                    break
+            owner.append(ring)
+    bodies = [", ".join(_fmt_ring(r) for r in shell) for shell in shells]
+    if len(bodies) == 1:
+        return "POLYGON (" + bodies[0] + ")"
+    return "MULTIPOLYGON (" + ", ".join("(" + b + ")" for b in bodies) + ")"
+
+
+def _parts_points(content: bytes) -> list[np.ndarray]:
+    """Decode the shared polyline/polygon layout: bbox, numParts,
+    numPoints, parts[], points[] → list of (n, 2) arrays."""
+    n_parts, n_points = struct.unpack_from("<ii", content, 36)
+    parts = struct.unpack_from(f"<{n_parts}i", content, 44)
+    pts = np.frombuffer(
+        content, dtype="<f8", count=2 * n_points, offset=44 + 4 * n_parts
+    ).reshape(n_points, 2)
+    bounds = list(parts) + [n_points]
+    return [pts[bounds[i] : bounds[i + 1]] for i in range(n_parts)]
+
+
+def _shape_to_wkt(shape_type: int, content: bytes) -> str | None:
+    if shape_type == 0:
+        return None
+    if shape_type in SHAPE_POINT:
+        x, y = struct.unpack_from("<dd", content, 4)
+        return f"POINT ({_fmt_pt(x, y)})"
+    if shape_type in SHAPE_MULTIPOINT:
+        (n,) = struct.unpack_from("<i", content, 36)
+        pts = np.frombuffer(content, dtype="<f8", count=2 * n, offset=40).reshape(n, 2)
+        return "MULTIPOINT (" + ", ".join(_fmt_pt(x, y) for x, y in pts) + ")"
+    if shape_type in SHAPE_POLYLINE:
+        parts = _parts_points(content)
+        if len(parts) == 1:
+            return "LINESTRING " + _fmt_ring(parts[0])
+        return "MULTILINESTRING (" + ", ".join(_fmt_ring(p) for p in parts) + ")"
+    if shape_type in SHAPE_POLYGON:
+        return _rings_to_wkt(_parts_points(content))
+    raise ValueError(f"unsupported shapefile shape type {shape_type}")
+
+
+def parse_shp(raw: bytes) -> list[dict]:
+    """.shp bytes → [{record: int, shape_type: int, geometry: WKT}]."""
+    if len(raw) < 100:
+        raise ValueError("shapefile too short for 100-byte header")
+    (file_code,) = struct.unpack_from(">i", raw, 0)
+    if file_code != 9994:
+        raise ValueError(f"not a shapefile (file code {file_code})")
+    (file_len_words,) = struct.unpack_from(">i", raw, 24)
+    end = min(len(raw), 2 * file_len_words)
+    out = []
+    off = 100
+    while off + 8 <= end:
+        rec_no, content_words = struct.unpack_from(">ii", raw, off)
+        content = raw[off + 8 : off + 8 + 2 * content_words]
+        (shape_type,) = struct.unpack_from("<i", content, 0)
+        out.append(
+            {
+                "record": rec_no,
+                "shape_type": shape_type,
+                "geometry": _shape_to_wkt(shape_type, content),
+            }
+        )
+        off += 8 + 2 * content_words
+    return out
+
+
+def parse_dbf(raw: bytes) -> list[dict]:
+    """.dbf bytes → one dict per (non-deleted) record, typed values."""
+    n_records, header_size, record_size = struct.unpack_from("<IHH", raw, 4)
+    fields = []
+    off = 32
+    while off < header_size - 1 and raw[off] != 0x0D:
+        name = raw[off : off + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(raw[off + 11])
+        length = raw[off + 16]
+        decimals = raw[off + 17]
+        fields.append((name, ftype, length, decimals))
+        off += 32
+    out = []
+    base = header_size
+    for i in range(n_records):
+        rec = raw[base + i * record_size : base + (i + 1) * record_size]
+        if not rec or rec[0:1] == b"*":  # deleted
+            continue
+        row: dict = {"record": i + 1}
+        pos = 1
+        for name, ftype, length, decimals in fields:
+            cell = rec[pos : pos + length].decode("ascii", "replace").strip()
+            pos += length
+            if ftype in ("N", "F"):
+                if not cell:
+                    row[name] = None
+                elif ftype == "F" or decimals > 0:
+                    row[name] = float(cell)
+                else:
+                    row[name] = int(cell)
+            elif ftype == "L":
+                row[name] = None if cell in ("", "?") else cell in ("Y", "y", "T", "t")
+            else:  # C, D and anything else: keep the string
+                row[name] = cell or None
+        out.append(row)
+    return out
+
+
+def read_shapefile(
+    spark: SparkSession, shp_path: str, dbf_path: str | None = None
+) -> DataFrame:
+    """Driver-side single-shapefile read → DataFrame(record, shape_type,
+    geometry WKT [, dbf attribute columns])."""
+    with open(shp_path, "rb") as f:
+        shapes = parse_shp(f.read())
+    pdf = pd.DataFrame(shapes)
+    if dbf_path is not None:
+        with open(dbf_path, "rb") as f:
+            attrs = pd.DataFrame(parse_dbf(f.read()))
+        pdf = pdf.merge(attrs, on="record", how="left")
+    return spark.createDataFrame(pdf)
+
+
+def read_shapefile_dir(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Distributed scan of many .shp files (one per task batch) →
+    (path, record, shape_type, geometry). Attributes join from
+    ``read_dbf_dir`` on (path stem, record)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "record", "shape_type", "geometry"]
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf["path"], pdf["content"]):
+                stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                for rec in parse_shp(bytes(raw)):
+                    rows.append({"path": stem, **rec})
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in cols}
+            )
+
+    binary = spark.read.format("binaryFile").load(glob_path).select("path", "content")
+    return binary.mapInPandas(
+        parse, "path string, record int, shape_type int, geometry string"
+    )
