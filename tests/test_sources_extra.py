@@ -85,11 +85,14 @@ def test_grib_default_codec_rejects_garbage_and_injected_decoder(spark, tmp_path
     assert out.agg(F.max("latitude")).collect()[0][0] == 53.0
 
 
-def test_excel_gate(spark, tmp_path):
-    if HAS_OPENPYXL:
-        pytest.skip("openpyxl present — gate not exercised")
-    with pytest.raises(ImportError, match="openpyxl"):
-        read_excel(spark, str(tmp_path / "x.xlsx"))
+def test_excel_xlsx_no_longer_gated(spark, tmp_path):
+    """.xlsx reads via the pure-Python codec regardless of openpyxl
+    (full coverage in test_xlsx.py); only legacy .xls stays gated."""
+    from tests.test_xlsx import SHARED, SHEET1, make_xlsx
+
+    p = tmp_path / "x.xlsx"
+    p.write_bytes(make_xlsx({"Data": SHEET1}, SHARED))
+    assert read_excel(spark, str(p)).count() == 2
 
 
 def test_interpolate_linear_values(spark):

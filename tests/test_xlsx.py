@@ -1,0 +1,152 @@
+"""Pure-Python .xlsx codec + Excel source tests.
+
+The fixture writer lays out the OOXML parts (workbook, rels, shared
+strings, worksheet XML) by hand with stdlib zipfile, so the parser is
+verified against the public format, not against itself.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pandas as pd
+import pytest
+
+from open_energy_data_server_spark.sources.excel import read_excel, read_excel_files
+from open_energy_data_server_spark.sources.xlsx_codec import _col_idx, parse_xlsx
+
+_WB_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+_R_NS = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+
+
+def make_xlsx(sheets: dict[str, str], shared: list[str] | None = None) -> bytes:
+    """sheets: name → sheetData XML body; shared: shared-string table."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        sheet_tags = "".join(
+            f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, name in enumerate(sheets)
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {_WB_NS} {_R_NS}>'
+            f"<sheets>{sheet_tags}</sheets></workbook>",
+        )
+        rels = "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            f'openxmlformats.org/package/2006/relationships">{rels}</Relationships>',
+        )
+        if shared is not None:
+            sis = "".join(f"<si><t>{s}</t></si>" for s in shared)
+            zf.writestr(
+                "xl/sharedStrings.xml",
+                f'<?xml version="1.0"?><sst {_WB_NS} count="{len(shared)}" '
+                f'uniqueCount="{len(shared)}">{sis}</sst>',
+            )
+        for i, body in enumerate(sheets.values()):
+            zf.writestr(
+                f"xl/worksheets/sheet{i + 1}.xml",
+                f'<?xml version="1.0"?><worksheet {_WB_NS}>'
+                f"<sheetData>{body}</sheetData></worksheet>",
+            )
+    return buf.getvalue()
+
+
+SHEET1 = (
+    '<row r="1">'
+    '<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+    '<c r="C1" t="s"><v>2</v></c></row>'
+    '<row r="2">'
+    '<c r="A2" t="s"><v>3</v></c><c r="B2"><v>42</v></c>'
+    '<c r="C2"><v>1.5</v></c></row>'
+    '<row r="3">'
+    '<c r="A3" t="inlineStr"><is><t>inline</t></is></c>'
+    '<c r="C3" t="b"><v>1</v></c></row>'
+)
+SHARED = ["name", "count", "ratio", "alpha"]
+
+
+def test_col_idx():
+    assert [_col_idx(r) for r in ("A1", "Z9", "AA3", "BC12")] == [0, 25, 26, 54]
+
+
+def test_parse_types_headers_and_gaps():
+    pdf = parse_xlsx(make_xlsx({"Data": SHEET1}, SHARED))
+    assert list(pdf.columns) == ["name", "count", "ratio"]
+    assert pdf.loc[0, "name"] == "alpha"
+    # gap in the column → pandas upcasts to float with NaN, matching
+    # pd.read_excel's behavior for int columns with missing cells
+    assert pdf.loc[0, "count"] == 42
+    assert pdf.loc[0, "ratio"] == 1.5
+    assert pdf.loc[1, "name"] == "inline"
+    assert pd.isna(pdf.loc[1, "count"])  # B3 absent
+    assert pdf.loc[1, "ratio"] is True  # t="b"
+
+
+def test_sheet_selection_and_skiprows():
+    two = {
+        "First": SHEET1,
+        "Second": (
+            '<row r="1"><c r="A1" t="str"><v>junk</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>0</v></c></row>'
+            '<row r="3"><c r="A3"><v>7</v></c></row>'
+        ),
+    }
+    raw = make_xlsx(two, SHARED)
+    by_name = parse_xlsx(raw, sheet="Second", skiprows=1)
+    by_idx = parse_xlsx(raw, sheet=1, skiprows=1)
+    for pdf in (by_name, by_idx):
+        assert list(pdf.columns) == ["name"]
+        assert pdf.loc[0, "name"] == 7
+    with pytest.raises(ValueError, match="no sheet named"):
+        parse_xlsx(raw, sheet="Nope")
+
+
+def test_read_excel_driver_side(spark, tmp_path):
+    p = tmp_path / "wb.xlsx"
+    p.write_bytes(make_xlsx({"Data": SHEET1}, SHARED))
+    df = read_excel(spark, str(p))
+    assert df.columns == ["name", "count", "ratio"]
+    assert df.count() == 2
+
+
+def test_read_excel_files_distributed(spark, tmp_path):
+    """Many-workbook corpus: one row layout, parsed executor-side with
+    per-file lineage — the regelleistung/jrc ingest shape."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "xl"
+    d.mkdir()
+    for stem, val in (("jan", 10), ("feb", 20)):
+        body = (
+            '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+            '<c r="B1" t="s"><v>1</v></c></row>'
+            f'<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>{val}</v></c></row>'
+        )
+        (d / f"{stem}.xlsx").write_bytes(
+            make_xlsx({"S": body}, ["product", "mw", "balancing"])
+        )
+    df = read_excel_files(
+        spark, str(d) + "/*.xlsx", "product string, mw bigint", with_source=True
+    )
+    rows = {r.source_file: (r.product, r.mw) for r in df.collect()}
+    assert rows == {"jan": ("balancing", 10), "feb": ("balancing", 20)}
+    assert df.schema["mw"].dataType.typeName() == "long"
+    assert df.filter(F.col("mw") > 15).count() == 1
+
+
+def test_legacy_xls_gated(spark, tmp_path):
+    from open_energy_data_server_spark.sources.excel import HAS_OPENPYXL
+
+    if HAS_OPENPYXL:
+        pytest.skip("openpyxl present — gate not exercised")
+    with pytest.raises(ImportError, match="xlsx"):
+        read_excel(spark, str(tmp_path / "old.xls"))
