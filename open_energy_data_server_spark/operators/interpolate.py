@@ -9,13 +9,20 @@ for each null row take the last/next known (x, v) neighbours and
 evaluate v_prev + (v_next − v_prev)·(x − x_prev)/(x_next − x_prev);
 leading/trailing gaps fall back to the single available neighbour.
 
-``interpolate_cubic`` preserves the reference's cubic semantics via
-scipy inside applyInPandas — scipy is absent in this container, so it
-is import-gated with the contract final.
+``interpolate_cubic`` preserves the reference's cubic semantics
+(``interp1d(kind='cubic')`` = cubic spline with NOT-A-KNOT boundary
+conditions, extrapolating the end polynomial pieces) with a
+self-contained numpy implementation inside applyInPandas — no scipy
+needed. The spline solve is per-series (a power curve is dozens of
+knots), so each group's dense solve is microseconds; the distribution
+unit is the series key, the same partitioning any per-series model fit
+uses at scale. When scipy IS present it is used directly, keeping
+bit-compatibility with the reference's exact code path.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,6 +62,52 @@ def interpolate_linear(
     return df.withColumn(out_col, filled)
 
 
+def notaknot_spline_eval(
+    xk: np.ndarray, yk: np.ndarray, xe: np.ndarray
+) -> np.ndarray:
+    """Evaluate the not-a-knot cubic spline through (xk, yk) at xe.
+
+    Moment (second-derivative) formulation: interior continuity rows
+    are the classic tridiagonal system; the first/last rows impose
+    third-derivative continuity across the second and second-to-last
+    knots (the not-a-knot condition scipy's ``interp1d(kind='cubic')``
+    uses). Points beyond the knot range evaluate the end polynomial
+    piece — scipy's ``fill_value='extrapolate'`` behavior. Requires
+    ≥ 4 strictly increasing knots. Exact for cubic polynomials (the
+    property the tests pin)."""
+    xk = np.asarray(xk, dtype=np.float64)
+    yk = np.asarray(yk, dtype=np.float64)
+    n = xk.size
+    if n < 4:
+        raise ValueError("not-a-knot spline needs >= 4 knots")
+    h = np.diff(xk)
+    if (h <= 0).any():
+        raise ValueError("spline knots must be strictly increasing")
+    A = np.zeros((n, n))
+    rhs = np.zeros(n)
+    i = np.arange(1, n - 1)
+    A[i, i - 1] = h[:-1]
+    A[i, i] = 2.0 * (h[:-1] + h[1:])
+    A[i, i + 1] = h[1:]
+    slopes = np.diff(yk) / h
+    rhs[1:-1] = 6.0 * np.diff(slopes)
+    # not-a-knot: S''' continuous across x1 and x_{n-2}
+    A[0, 0], A[0, 1], A[0, 2] = h[1], -(h[0] + h[1]), h[0]
+    A[-1, -3], A[-1, -2], A[-1, -1] = h[-1], -(h[-2] + h[-1]), h[-2]
+    m = np.linalg.solve(A, rhs)
+
+    idx = np.clip(np.searchsorted(xk, xe) - 1, 0, n - 2)
+    x0, x1 = xk[idx], xk[idx + 1]
+    hi = x1 - x0
+    m0, m1 = m[idx], m[idx + 1]
+    y0, y1 = yk[idx], yk[idx + 1]
+    return (
+        (m0 * (x1 - xe) ** 3 + m1 * (xe - x0) ** 3) / (6.0 * hi)
+        + (y0 / hi - m0 * hi / 6.0) * (x1 - xe)
+        + (y1 / hi - m1 * hi / 6.0) * (xe - x0)
+    )
+
+
 def interpolate_cubic(
     df: DataFrame,
     value_col: str,
@@ -62,35 +115,35 @@ def interpolate_cubic(
     partition_by: list[str],
     out_col: str | None = None,
 ) -> DataFrame:
-    """Cubic-spline interpolation per series (scipy-gated)."""
-    try:
-        from scipy.interpolate import interp1d  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "interpolate_cubic requires scipy (not in this container); "
-            "use interpolate_linear, or install scipy — the applyInPandas "
-            "contract is final"
-        ) from exc
+    """Cubic-spline interpolation per series (not-a-knot, scipy-equal).
 
+    Fewer than 4 known points per series falls back to positional
+    linear fill (the same fallback the scipy-backed version used)."""
     import pandas as pd
-    from scipy.interpolate import interp1d
+
+    try:
+        from scipy.interpolate import interp1d
+    except ImportError:
+        interp1d = None
 
     out_col = out_col or value_col
-    schema = df.withColumn(out_col, F.col(value_col)).schema
+    schema = df.withColumn(out_col, F.col(value_col).cast("double")).schema
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         known = pdf[pdf[value_col].notna()]
         pdf = pdf.copy()
         if len(known) >= 4:
-            f = interp1d(
-                known[x_col].astype("float64"),
-                known[value_col],
-                kind="cubic",
-                fill_value="extrapolate",
-            )
-            pdf[out_col] = f(pdf[x_col].astype("float64"))
+            xs = known[x_col].astype("float64").to_numpy()
+            ys = known[value_col].astype("float64").to_numpy()
+            order = np.argsort(xs)
+            xe = pdf[x_col].astype("float64").to_numpy()
+            if interp1d is not None:
+                f = interp1d(xs[order], ys[order], kind="cubic", fill_value="extrapolate")
+                pdf[out_col] = f(xe)
+            else:
+                pdf[out_col] = notaknot_spline_eval(xs[order], ys[order], xe)
         else:
-            pdf[out_col] = pdf[value_col].interpolate()
+            pdf[out_col] = pdf[value_col].astype("float64").interpolate()
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(fit, schema)

@@ -298,6 +298,30 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "v_interp")
 
 
+@query("q_interpolate_cubic", oracle=None)
+def q_interpolate_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 cubic variant: not-a-knot cubic-spline fill per user series
+    (scipy-free numpy tridiagonal solve inside applyInPandas —
+    operators.interpolate.notaknot_spline_eval), preserving the
+    reference's interp1d(kind='cubic') semantics
+    (/root/reference/crawler/windmodel.py:83). A global per-series
+    solve is not SQL-expressible → no DuckDB oracle; the driver records
+    the weaker rows-only check and exactness is pinned by the
+    cubic-polynomial reproduction property test. Output rounded to 6
+    digits so the check is float-stable."""
+    from open_energy_data_server_spark.operators.interpolate import interpolate_cubic
+
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("double").alias("x"),
+        F.when(F.col("event_id") % 4 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    out = interpolate_cubic(sparse, "v", "x", partition_by=["user_id"], out_col="v_fit")
+    return out.select("event_id", "user_id", F.round("v_fit", 6).alias("v_cubic"))
+
+
 @query(
     "q_null_handling",
     oracle="""

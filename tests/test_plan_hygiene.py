@@ -17,8 +17,12 @@ from __future__ import annotations
 import re
 
 
-# Arrow-batched Python is allowed ONLY here (documented stub codec)
-PANDAS_ALLOWED = {"q_multimodal_decode"}
+# Arrow-batched Python is allowed ONLY here:
+# - q_multimodal_decode: documented injectable codec, batch plumbing is
+#   the product
+# - q_interpolate_cubic: per-series not-a-knot spline — a global
+#   tridiagonal solve per group, genuinely non-relational
+PANDAS_ALLOWED = {"q_multimodal_decode", "q_interpolate_cubic"}
 
 ROW_PYTHON = ("BatchEvalPython",)
 BATCH_PYTHON = (

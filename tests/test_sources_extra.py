@@ -110,15 +110,31 @@ def test_interpolate_linear_values(spark):
     assert out[("b", 0)] == 5.0  # leading gap → next
 
 
-def test_interpolate_cubic_gate(spark):
-    df = spark.createDataFrame([("a", 1, 1.0)], "k string, x long, v double")
-    try:
-        import scipy  # noqa: F401
+def test_interpolate_cubic_exact_on_cubic_poly(spark):
+    """Not-a-knot splines reproduce cubic polynomials EXACTLY — the
+    property that distinguishes scipy's interp1d(kind='cubic') boundary
+    condition from a natural spline (which would disagree near the
+    ends). Nulls of y = x³ − 2x² + 3 must come back to machine
+    precision, including the trailing extrapolated point."""
 
-        pytest.skip("scipy present — gate not exercised")
-    except ImportError:
-        with pytest.raises(ImportError, match="scipy"):
-            interpolate_cubic(df, "v", "x", ["k"])
+    def poly(x):
+        return x**3 - 2 * x**2 + 3
+
+    xs = [0.0, 1.0, 2.5, 3.0, 4.5, 5.0, 6.0, 7.5]
+    rows = [("a", x, poly(x) if i % 3 != 1 else None) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, x double, v double")
+    out = {r.x: r.v for r in interpolate_cubic(df, "v", "x", ["k"]).collect()}
+    for x in xs:
+        assert abs(out[x] - poly(x)) < 1e-8, (x, out[x], poly(x))
+
+
+def test_interpolate_cubic_small_series_falls_back_linear(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("a", 1.0, None), ("a", 2.0, 4.0)],
+        "k string, x double, v double",
+    )
+    out = {r.x: r.v for r in interpolate_cubic(df, "v", "x", ["k"]).collect()}
+    assert out[1.0] == 2.0  # positional linear fallback
 
 
 def test_convex_hull():
@@ -129,3 +145,23 @@ def test_convex_hull():
     assert set(map(tuple, rings[0][:-1])) == {(0, 0), (4, 0), (4, 3), (0, 3)}
     with pytest.raises(ValueError):
         convex_hull_wkt([(0, 0), (1, 1)])
+
+
+def test_notaknot_spline_numpy_unit():
+    """4 knots → the unique interpolating cubic; validation errors."""
+    import numpy as np
+
+    from open_energy_data_server_spark.operators.interpolate import (
+        notaknot_spline_eval,
+    )
+
+    xk = np.array([0.0, 1.0, 2.0, 4.0])
+    yk = 2 * xk**3 - xk + 1
+    xe = np.array([-1.0, 0.5, 1.7, 3.3, 5.0])  # includes extrapolation
+    got = notaknot_spline_eval(xk, yk, xe)
+    want = 2 * xe**3 - xe + 1
+    assert np.allclose(got, want, atol=1e-9)
+    with pytest.raises(ValueError, match=">= 4 knots"):
+        notaknot_spline_eval(xk[:3], yk[:3], xe)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        notaknot_spline_eval(np.array([0.0, 1.0, 1.0, 2.0]), yk, xe)
