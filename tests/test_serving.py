@@ -1,0 +1,105 @@
+"""HTTP serving facade tests — the PostgREST surface end-to-end
+(urllib client → ThreadingHTTPServer → param translator → Spark plan),
+plus HTTP-free handler checks."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from open_energy_data_server_spark.serving import PostgrestFacade
+from tests.conftest import SF_DIR_SMOKE
+
+
+@pytest.fixture(scope="module")
+def facade(spark):
+    f = PostgrestFacade(spark, SF_DIR_SMOKE, max_rows=500)
+    port = f.start()
+    yield f, port
+    f.stop()
+
+
+def _get(port: int, path: str, accept: str = "application/json"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", headers={"Accept": accept}
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.headers["Content-Type"], resp.read().decode()
+
+
+def test_root_lists_tables(facade):
+    f, port = facade
+    status, ctype, body = _get(port, "/")
+    assert status == 200
+    assert "lineitem" in json.loads(body)
+
+
+def test_filter_select_order_limit(facade):
+    f, port = facade
+    status, _, body = _get(
+        port,
+        "/nation?n_regionkey=eq.1&select=n_name,n_nationkey&order=n_name.asc&limit=3",
+    )
+    rows = json.loads(body)
+    assert status == 200 and len(rows) == 3
+    assert list(rows[0]) == ["n_name", "n_nationkey"]
+    names = [r["n_name"] for r in rows]
+    assert names == sorted(names)
+
+
+def test_aggregate_mode(facade):
+    f, port = facade
+    status, _, body = _get(
+        port, "/orders?select=o_orderpriority,o_totalprice.sum()&order=o_orderpriority.asc"
+    )
+    rows = json.loads(body)
+    assert status == 200 and len(rows) == 5
+    assert set(rows[0]) == {"o_orderpriority", "o_totalprice_sum"}
+
+
+def test_repeated_filters_and_together(facade):
+    """Two filters on one column (range query) AND together,
+    PostgREST-style: ?o_totalprice=gte.X&o_totalprice=lte.Y."""
+    f, port = facade
+    status, _, body = _get(
+        port, "/orders?o_totalprice=gte.100000&o_totalprice=lte.150000&select=o_totalprice"
+    )
+    rows = json.loads(body)
+    assert status == 200 and rows
+    assert all(100000 <= r["o_totalprice"] <= 150000 for r in rows)
+
+
+def test_csv_mode_and_timestamp_serialization(facade):
+    f, port = facade
+    status, ctype, body = _get(port, "/events?limit=2&select=event_id,ts", "text/csv")
+    assert status == 200 and ctype == "text/csv"
+    lines = body.strip().splitlines()
+    assert lines[0] == "event_id,ts"
+    assert len(lines) == 3
+
+
+def test_limit_clamped_to_max_rows(facade):
+    f, port = facade
+    _, _, body = _get(port, "/lineitem?limit=999999&select=l_orderkey")
+    assert len(json.loads(body)) <= 500
+
+
+def test_errors(facade):
+    f, port = facade
+    with pytest.raises(urllib.error.HTTPError) as err404:
+        _get(port, "/no_such_table")
+    assert err404.value.code == 404
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/nation?n_name=frobnicate.x")
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req)
+    assert err.value.code == 400
+    assert "unsupported" in json.loads(err.value.read().decode())["message"]
+
+
+def test_handler_unit_no_http(spark):
+    f = PostgrestFacade(spark, SF_DIR_SMOKE, max_rows=10)
+    status, _, body = f.handle("/region", "select=r_name&order=r_name.asc")
+    assert status == 200
+    assert [r["r_name"] for r in json.loads(body)][:2] == ["AFRICA", "AMERICA"]
