@@ -83,18 +83,40 @@ def notaknot_spline_eval(
     h = np.diff(xk)
     if (h <= 0).any():
         raise ValueError("spline knots must be strictly increasing")
-    A = np.zeros((n, n))
-    rhs = np.zeros(n)
-    i = np.arange(1, n - 1)
-    A[i, i - 1] = h[:-1]
-    A[i, i] = 2.0 * (h[:-1] + h[1:])
-    A[i, i + 1] = h[1:]
+    # The moment system is tridiagonal except the two not-a-knot rows
+    # (third-derivative continuity across x1 / x_{n-2}), which couple
+    # three unknowns each. Fold them in analytically —
+    #   M0      = ((h0+h1)·M1 − h0·M2) / h1
+    #   M_{n-1} = ((h_{n-2}+h_{n-3})·M_{n-2} − h_{n-2}·M_{n-3}) / h_{n-3}
+    # — leaving a pure tridiagonal system over M1..M_{n-2}, solved by
+    # the Thomas algorithm in O(n) (a dense solve would be O(n³) per
+    # series: fatal for the ~500-knot series the conformance query
+    # runs this on).
     slopes = np.diff(yk) / h
-    rhs[1:-1] = 6.0 * np.diff(slopes)
-    # not-a-knot: S''' continuous across x1 and x_{n-2}
-    A[0, 0], A[0, 1], A[0, 2] = h[1], -(h[0] + h[1]), h[0]
-    A[-1, -3], A[-1, -2], A[-1, -1] = h[-1], -(h[-2] + h[-1]), h[-2]
-    m = np.linalg.solve(A, rhs)
+    m_inner = n - 2
+    a = np.empty(m_inner)
+    b = np.empty(m_inner)
+    c = np.empty(m_inner)
+    d = 6.0 * np.diff(slopes)
+    a[:] = h[:-1]
+    b[:] = 2.0 * (h[:-1] + h[1:])
+    c[:] = h[1:]
+    b[0] = 2.0 * (h[0] + h[1]) + h[0] * (h[0] + h[1]) / h[1]
+    c[0] = h[1] - h[0] * h[0] / h[1]
+    a[-1] = h[-2] - h[-1] * h[-1] / h[-2]
+    b[-1] = 2.0 * (h[-2] + h[-1]) + h[-1] * (h[-1] + h[-2]) / h[-2]
+    for k in range(1, m_inner):
+        w = a[k] / b[k - 1]
+        b[k] -= w * c[k - 1]
+        d[k] -= w * d[k - 1]
+    x_sol = np.empty(m_inner)
+    x_sol[-1] = d[-1] / b[-1]
+    for k in range(m_inner - 2, -1, -1):
+        x_sol[k] = (d[k] - c[k] * x_sol[k + 1]) / b[k]
+    m = np.empty(n)
+    m[1:-1] = x_sol
+    m[0] = ((h[0] + h[1]) * m[1] - h[0] * m[2]) / h[1]
+    m[-1] = ((h[-1] + h[-2]) * m[-2] - h[-1] * m[-3]) / h[-2]
 
     idx = np.clip(np.searchsorted(xk, xe) - 1, 0, n - 2)
     x0, x1 = xk[idx], xk[idx + 1]
