@@ -49,17 +49,25 @@ def q_time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; bucket expression is codegen'd, no UDF.
     """
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # group on the BUCKET TIMESTAMP and render the string on the few
+    # thousand aggregated groups — formatting inside the grouping
+    # expression would run the string conversion per input row
+    # (measured 2× on the whole query at ~1M rows)
     return spark.sql(
         f"""
-        SELECT date_format(time_bucket(3600, ts), 'yyyy-MM-dd HH:mm:ss') AS bucket,
-               event_type,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS DOUBLE) / {SCALE}.0
-                 / COUNT(value) AS avg_value,
-               CAST(CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS BIGINT)
-                 AS DOUBLE) / {SCALE}.0 AS sum_value
-        FROM events
-        GROUP BY 1, 2
+        SELECT date_format(bucket_ts, 'yyyy-MM-dd HH:mm:ss') AS bucket,
+               event_type, n, avg_value, sum_value
+        FROM (
+          SELECT time_bucket(3600, ts) AS bucket_ts,
+                 event_type,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS DOUBLE) / {SCALE}.0
+                   / COUNT(value) AS avg_value,
+                 CAST(CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS BIGINT)
+                   AS DOUBLE) / {SCALE}.0 AS sum_value
+          FROM events
+          GROUP BY 1, 2
+        )
         """
     )
 

@@ -71,10 +71,17 @@ def register_engine_functions(spark: SparkSession) -> None:
     # the driver supplies its own SparkSession — pin the runtime-settable
     # confs our queries depend on (oracle comparison assumes UTC)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # pure integer bucket math: unix_seconds + floor-div stays in long
+    # arithmetic end-to-end (the double floor(x/y) form costs a
+    # long→double→long round-trip per row and loses exactness past
+    # 2^53). FLOOR semantics for pre-1970 timestamps are preserved via
+    # the negative-adjustment term (SQL `div` truncates toward zero).
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION time_bucket(width_s BIGINT, ts TIMESTAMP)
         RETURNS TIMESTAMP
-        RETURN timestamp_seconds(CAST(floor(unix_timestamp(ts) / width_s) AS BIGINT) * width_s)
+        RETURN timestamp_seconds(
+          ((unix_seconds(ts) - CASE WHEN unix_seconds(ts) < 0
+                                    THEN width_s - 1 ELSE 0 END) div width_s) * width_s)
         """
     )

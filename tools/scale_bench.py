@@ -1,0 +1,169 @@
+"""Scale-validation bench: replicate sf0.1 → ~sf1 and time the heavy
+operator families on Spark AND DuckDB (same parquet), recording
+spark:duckdb ratios so scale regressions are attributable
+(round-1 VERDICT item #9).
+
+Generation: each fact table is unioned 10× with key shifts chosen so
+JOIN SEMANTICS SURVIVE — every replica's lineitem joins its own
+replica's orders/customer (orderkey/custkey shifted together), events
+get fresh user_ids per replica (more series, same per-series length —
+the realistic growth mode), documents/embeddings get fresh ids with
+unchanged payloads (10-way exact-duplicate structure: a dedup stress
+test). Dimension tables (region/nation/part/supplier) stay fixed, as
+they would at any scale.
+
+Usage: PYTHONPATH=. python tools/scale_bench.py [--queries q1,q2,...]
+Writes /tmp/spark_oeds_scale10/ once (manifest-keyed) and prints one
+JSON line; use --update-scale-md to append the summary table to
+SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPLICAS = 10
+OUT_DIR = "/tmp/spark_oeds_scale10"
+
+# the queries whose scale behavior round-1 flagged or praised —
+# the families worth re-measuring an order of magnitude up
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "q_revenue_by_region",
+    "q_join_distinct_subquery",
+    "q_quantiles_disc",
+    "q_session_windows",
+    "q_rolling_1h_window",
+    "q_topk_per_group",
+    "q_time_bucket_hourly",
+    "q_dedup_exact",
+    "q_minhash_signatures",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_simhash_pairs",
+    "q_point_in_polygon",
+    "q_ann_lsh_buckets",
+    "q_interpolate_linear",
+]
+
+SHIFTS = {
+    # table → {column: source-of-max to shift by}
+    "customer": {"c_custkey": "c_custkey"},
+    "orders": {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey"},
+    "lineitem": {"l_orderkey": "l_orderkey"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+
+
+def generate(spark, src_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.io import TABLES, load_table
+
+    manifest = {"replicas": REPLICAS, "src": src_dir}
+    marker = f"{OUT_DIR}/_manifest.json"
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == manifest:
+                print(f"# reuse {OUT_DIR}", file=sys.stderr)
+                return
+    except (OSError, ValueError):
+        pass
+    for name in TABLES:
+        df = load_table(spark, src_dir, name)
+        if name in SHIFTS:
+            maxes = {
+                c: df.agg(F.max(c)).collect()[0][0] + 1 for c in SHIFTS[name]
+            }
+            parts = []
+            for i in range(REPLICAS):
+                rep = df
+                for c, m in maxes.items():
+                    rep = rep.withColumn(c, (F.col(c) + F.lit(i * m)).cast("long"))
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            n_part = max(8, min(64, REPLICAS * 4))
+            out.repartition(n_part).write.mode("overwrite").parquet(
+                f"{OUT_DIR}/{name}.parquet"
+            )
+        else:
+            df.write.mode("overwrite").parquet(f"{OUT_DIR}/{name}.parquet")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump(manifest, fh)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--skip-duckdb", action="store_true")
+    args = ap.parse_args()
+
+    from open_energy_data_server_spark.queries import ORACLES, QUERIES
+    from open_energy_data_server_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-bench")
+    t0 = time.perf_counter()
+    generate(spark, args.src)
+    gen_sec = round(time.perf_counter() - t0, 1)
+
+    names = [q for q in args.queries.split(",") if q]
+    results: dict[str, dict] = {}
+    for name in names:
+        # held plan handle, one untimed codegen pass, min of 2 timed —
+        # the same prepared-statement methodology as bench.py (a fresh
+        # DataFrame per pass would re-run Catalyst planning each time)
+        df = QUERIES[name](spark, OUT_DIR)
+        rows = df.count()
+        times = []
+        for _ in range(2):
+            t = time.perf_counter()
+            rows = df.count()
+            times.append(time.perf_counter() - t)
+        entry = {"spark_sec": round(min(times), 3), "rows": rows}
+        if not args.skip_duckdb and name in ORACLES:
+            import duckdb
+
+            con = duckdb.connect()
+            from open_energy_data_server_spark.io import TABLES
+
+            for t_name in TABLES:
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t_name} AS "
+                    f"SELECT * FROM '{OUT_DIR}/{t_name}.parquet/*.parquet'"
+                )
+            dts = []
+            for _ in range(2):
+                t = time.perf_counter()
+                con.execute(ORACLES[name]).fetchall()
+                dts.append(time.perf_counter() - t)
+            entry["duckdb_sec"] = round(min(dts), 3)
+            entry["ratio"] = round(entry["spark_sec"] / entry["duckdb_sec"], 2)
+        results[name] = entry
+
+    total = round(sum(e["spark_sec"] for e in results.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "scale10_total",
+                "value": total,
+                "unit": "sec",
+                "gen_sec": gen_sec,
+                "replicas": REPLICAS,
+                "queries": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
