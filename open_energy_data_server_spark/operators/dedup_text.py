@@ -458,3 +458,50 @@ def winnow_fingerprint_strings(
         F.array_join("fp", ",").alias("fp"),
         F.col("n_fp").cast("bigint").alias("n_fp"),
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    n: int = 3,
+    min_frac: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-gram sets overlap an evaluation/benchmark corpus above
+    ``min_frac`` — the standard pre-training hygiene pass (n-gram
+    collision decontamination, as published for GPT-3/PaLM-style
+    pipelines; the reference has no analog — this is part of the
+    engine's training-data suite).
+
+    → (doc, n_grams, n_contaminated, frac) for flagged docs.
+
+    Scale shape: the benchmark side is small by definition (eval sets),
+    so its distinct gram-hash set BROADCASTS; the corpus side stays
+    scan-shaped — tokenize → shingle → hash is a per-row projection,
+    the broadcast semi-ish join filters grams map-side, and the only
+    shuffle is the final per-doc count on (doc) — a 100 TB corpus
+    decontaminates in one pass with no text ever entering an exchange.
+    The per-doc gram-set size rides along on every posting row, so no
+    second aggregation or size join is needed (same trick as
+    jaccard_pairs)."""
+    corpus = doc_shingle_hash_arrays(docs, id_col, text_col, n).select(
+        "doc", F.size("hs").cast("bigint").alias("sz"), F.explode("hs").alias("h")
+    )
+    bench_grams = (
+        doc_shingle_hash_arrays(benchmark, bench_id_col, bench_text_col, n)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    hits = corpus.join(F.broadcast(bench_grams), "h")
+    flagged = hits.groupBy("doc").agg(
+        F.max("sz").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_contaminated"),
+    )
+    frac = F.col("n_contaminated") / F.col("n_grams")
+    return flagged.select(
+        "doc", "n_grams", "n_contaminated", frac.alias("frac")
+    ).filter(F.col("frac") >= min_frac)

@@ -606,3 +606,58 @@ def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_size_hash_sample(docs, "doc_id", k=20, stratum_col="lang").select(
         "doc_id", "lang"
     )
+
+
+@query(
+    "q_decontaminate",
+    oracle=rf"""
+    WITH ctoks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE doc_id % 20 <> 0
+    ),
+    btoks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] FOR i IN range(len(t) - 2)]
+             ELSE []::VARCHAR[] END)) AS s
+      FROM ctoks
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] FOR i IN range(len(t) - 2)]
+             ELSE []::VARCHAR[] END)) AS s
+      FROM btoks
+    ),
+    chh AS (SELECT doc_id, {SQL_HASH60.format(expr='s')} AS h FROM csh),
+    bh AS (SELECT DISTINCT {SQL_HASH60.format(expr='s')} AS h FROM bsh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM chh GROUP BY 1),
+    cont AS (
+      SELECT c.doc_id, COUNT(*) AS nc FROM chh c JOIN bh USING (h) GROUP BY 1
+    )
+    SELECT c.doc_id AS doc, z.sz AS n_grams, c.nc AS n_contaminated,
+           c.nc / z.sz AS frac
+    FROM cont c JOIN sizes z USING (doc_id)
+    WHERE c.nc / z.sz >= 0.2
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data suite; no reference
+    analog): flag training docs whose word-3-gram sets overlap an
+    eval/benchmark corpus ≥ 20%. Here the deterministic 1/20 doc_id
+    slice stands in for the benchmark; the corpus is the rest. The
+    benchmark gram-hash set broadcasts (eval sets are small by
+    definition), the corpus side is a scan-shaped projection, and the
+    only shuffle is the final per-doc count — no text in any exchange.
+    The planted near-duplicate pairs straddling the split surface as
+    high-frac contamination hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup_text.contamination_flags(
+        corpus, bench, "doc_id", "text", "doc_id", "text", n=3, min_frac=0.2
+    )
