@@ -151,6 +151,16 @@ def interpolate_cubic(
     out_col = out_col or value_col
     schema = df.withColumn(out_col, F.col(value_col).cast("double")).schema
 
+    # pin the shuffle width: AQE's partition coalescing sees a few MB
+    # of series data and folds the exchange to 1-2 tasks, serializing
+    # every group through two Python workers (measured 5× on 150
+    # series). An explicit repartition on the group key keeps full
+    # parallelism (explicit numPartitions is exempt from coalescing)
+    # and already satisfies the groupBy's required distribution, so no
+    # second exchange is planned.
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_tasks, *[F.col(c) for c in partition_by])
+
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         known = pdf[pdf[value_col].notna()]
         pdf = pdf.copy()
