@@ -19,42 +19,17 @@ FLAGSHIP = "q1_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's per-round correctness harness checks queries in
-# registration order (first N).  Round 1 covered the first 50 names;
-# the 29 below had green in-repo oracle parity but no driver row yet
-# (VERDICT.md "What's missing" #1), so they go first this round.
-# Newly added round-2 queries are appended to this priority block as
-# they land, keeping every not-yet-driver-checked name ahead of the
-# already-green ones.
+# registration order (first N). Rounds 1+2 together produced green
+# rows for 76 of 81 names; the 5 below still lack one — the three
+# TIMESTAMP_NTZ failures from round 2 (root cause fixed in
+# io.load_table) and the two queries added in round 3 — so they go
+# first this round, ahead of the already-green ones.
 _DRIVER_PRIORITY = [
-    "q1_pricing_summary",
-    "q_asof_rate_join",
-    "q_sanitize_columns",
-    "q_locale_number_parse",
-    "q_case_when_classify",
-    "q_string_kit",
-    "q_date_arithmetic",
-    "q_tz_roundtrip",
     "q_timestamp_assembly",
-    "q_unit_conversions",
     "q_interpolate_linear",
-    "q_null_handling",
-    "q_lag_diff_decumulate",
-    "q_latest_per_user",
-    "q_ffill_bfill",
-    "q_running_sum",
-    "q_snapshot_at_latest",
-    "q_topk_per_group",
     "q_rolling_1h_window",
-    "q_melt_part_measures",
-    "q_melt_wide_chunked",
-    "q_suffix_melt",
-    "q_pivot_event_counts",
-    "q_doc_fingerprint_winnow",
-    "q_stratified_sample",
-    "q_token_pack",
-    "q_quality_filters",
-    "q_curation_pipeline",
-    "q_sample_fixed_k",
+    "q_decontaminate",
+    "q_interpolate_cubic",
 ]
 
 
