@@ -170,3 +170,31 @@ def quality_signals(df, id_col: str, text_col: str):
         & (F.col("n_digit_chars") * 4 < F.col("__n_chars"))
     )
     return out.withColumn("keep", keep.cast("int"))
+
+
+# PII scrub patterns — RE2/Java-regex common subset so the DuckDB
+# oracle replays them byte-for-byte (curation-pipeline hygiene pass;
+# no reference analog — part of the engine's training-data suite)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d /-]{7,}\d"
+
+
+def scrub_pii(col: Column | str, repl: str = "[REDACTED]") -> Column:
+    """Chained regexp_replace: emails → IPv4s → phone-like digit runs.
+
+    Order matters (the phone pattern would otherwise eat IP octets) and
+    is part of the contract — the SQL twin applies the same three
+    passes in the same order with the 'g' flag. Pure projection: a
+    100 TB corpus scrubs at scan speed inside whole-stage codegen."""
+    out = F.regexp_replace(_c(col), PII_EMAIL, repl)
+    out = F.regexp_replace(out, PII_IPV4, repl)
+    return F.regexp_replace(out, PII_PHONE, repl)
+
+
+def sql_scrub_pii(expr: str, repl: str = "[REDACTED]") -> str:
+    """DuckDB twin of scrub_pii (same order; 'g' flag because DuckDB
+    replaces only the first match by default, Spark replaces all)."""
+    out = f"regexp_replace({expr}, '{PII_EMAIL}', '{repl}', 'g')"
+    out = f"regexp_replace({out}, '{PII_IPV4}', '{repl}', 'g')"
+    return f"regexp_replace({out}, '{PII_PHONE}', '{repl}', 'g')"

@@ -661,3 +661,86 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.contamination_flags(
         corpus, bench, "doc_id", "text", "doc_id", "text", n=3, min_frac=0.2
     )
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           md5({textops.sql_scrub_pii("raw")}) AS scrubbed_md5,
+           (len({textops.sql_scrub_pii("raw")})
+            - len(REPLACE({textops.sql_scrub_pii("raw")}, '[REDACTED]', '')))
+             AS n_redacted_chars
+    FROM (
+      SELECT doc_id,
+             text || ' contact u' || doc_id ||
+             '@mail.example.com or +49 241 8094-' || (doc_id % 1000) ||
+             ' node 10.0.' || (doc_id % 256) || '.7 end' AS raw
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene; no reference analog):
+    email, IPv4 and phone-number patterns redacted in one chained
+    regexp projection (textops.scrub_pii — RE2/Java common subset so
+    the oracle replays it exactly). The corpus text carries no PII, so
+    deterministic synthetic contact lines are appended per doc and
+    provably removed: the oracle compares the md5 of the scrubbed
+    text plus the redacted-char delta."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +49 241 8094-"),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.lit(" node 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 end"),
+    )
+    scrubbed = textops.scrub_pii(raw)
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (F.length(scrubbed) - F.length(F.replace(scrubbed, F.lit("[REDACTED]"), F.lit(""))))
+        .cast("bigint")
+        .alias("n_redacted_chars"),
+    )
+
+
+@query(
+    "q_domain_stats",
+    oracle="""
+    SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS domain,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS total_words
+    FROM (
+      SELECT 'https://w' || (doc_id % 7) || '.ex' || (doc_id % 3) || '.org/p/' || doc_id AS url,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats (the domain-level filter/mix step every
+    web-scale curation pipeline runs; no reference analog). Domain is
+    pulled from the source URL with the same regexp_extract both
+    engines implement; synthetic deterministic URLs stand in since the
+    corpus has none. One hash-agg exchange keyed on domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://w"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".ex"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".org/p/"), F.col("doc_id").cast("string"),
+    )
+    return (
+        docs.select(
+            F.regexp_extract(url, r"https?://([^/]+)/", 1).alias("domain"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_words"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )
