@@ -223,3 +223,96 @@ def test_spark_read_grib_distributed(spark, tmp_path):
     assert by_var == {"t": 6, "u": 2}
     umax = df.filter(F.col("variable") == "u").agg(F.max("value")).collect()[0][0]
     assert umax == 11.0
+
+
+def test_grib2_roundtrip_property():
+    """Property: for random packing parameters (bit width 1–24, scale
+    factors −3..3, reference values, grid dims), decode reproduces
+    value = (R + X·2^E)/10^D at every grid point."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        ni=st.integers(1, 6),
+        nj=st.integers(1, 5),
+        nbits=st.integers(1, 24),
+        e_scale=st.integers(-3, 3),
+        d_scale=st.integers(-3, 3),
+        r_ref=st.floats(-1e4, 1e4, allow_nan=False, width=32),
+        data=st.data(),
+    )
+    def check(ni, nj, nbits, e_scale, d_scale, r_ref, data):
+        n = ni * nj
+        xs = data.draw(
+            st.lists(st.integers(0, 2**nbits - 1), min_size=n, max_size=n)
+        )
+        raw = make_grib2(
+            xs, ni=ni, nj=nj, r_ref=r_ref, e_scale=e_scale, d_scale=d_scale,
+            nbits=nbits,
+        )
+        out = decode_grib2(raw)
+        assert len(out) == n
+        want = sorted((struct.unpack(">f", struct.pack(">f", r_ref))[0]
+                       + x * 2.0**e_scale) / 10.0**d_scale for x in xs)
+        got = sorted(out["value"])
+        assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    check()
+
+
+def test_weather_pipeline_end_to_end(spark, tmp_path):
+    """The reference's headline DWD pipeline, entirely in-engine:
+    GRIB2 grids (pure-Python codec) → shapefile regions (pure-Python
+    .shp reader) → point-in-polygon tagging → time_bucket rollup per
+    region (/root/reference/crawler/dwd.py + ecmwf.py:195-206 do this
+    via pygrib + PostGIS)."""
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.operators.spatial import (
+        spatial_join_point_in_polygon,
+    )
+    from open_energy_data_server_spark.session import register_engine_functions
+    from open_energy_data_server_spark.sources.grib import read_grib
+    from open_energy_data_server_spark.sources.shapefile import read_shapefile
+    from tests.test_shapefile import _poly_content, _shp
+
+    register_engine_functions(spark)
+    # two hourly 3×2 grids over lon 6..6.5, lat 53.5..54
+    d = tmp_path / "grib"
+    d.mkdir()
+    (d / "h0.grib2").write_bytes(
+        make_grib2([0, 1, 2, 3, 4, 5], ni=3, nj=2, ref_time=(2024, 1, 2, 3, 0, 0))
+    )
+    (d / "h1.grib2").write_bytes(
+        make_grib2([10, 11, 12, 13, 14, 15], ni=3, nj=2, ref_time=(2024, 1, 2, 4, 0, 0))
+    )
+    grid = read_grib(spark, str(d))
+
+    # two region polygons: west of 6.2 / east of 6.2 (CW rings)
+    west = [(5.9, 53.4), (5.9, 54.1), (6.2, 54.1), (6.2, 53.4), (5.9, 53.4)]
+    east = [(6.2, 53.4), (6.2, 54.1), (6.6, 54.1), (6.6, 53.4), (6.2, 53.4)]
+    shp = tmp_path / "regions.shp"
+    shp.write_bytes(_shp([_poly_content([west]), _poly_content([east])], 5))
+    regions = read_shapefile(spark, str(shp)).select(
+        F.col("record").alias("region_id"), "geometry"
+    )
+
+    tagged = spatial_join_point_in_polygon(
+        grid, regions, lon_col="longitude", lat_col="latitude",
+        poly_id_col="region_id", wkt_col="geometry", out_col="region_id",
+    )
+    tagged.createOrReplaceTempView("weather")
+    rollup = spark.sql(
+        """
+        SELECT region_id, time_bucket(3600, time) AS hour,
+               COUNT(*) AS n, AVG(value) AS mean_v
+        FROM weather WHERE region_id IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).collect()
+    got = {(r.region_id, str(r.hour)): (r.n, round(r.mean_v, 6)) for r in rollup}
+    # lon 6.0 in west region; 6.25, 6.5 east. values row-major from lat 54.
+    assert got[(1, "2024-01-02 08:00:00")] == (2, round((25.0 + 25.6) / 2, 6))
+    assert got[(2, "2024-01-02 08:00:00")] == (4, round((25.2 + 25.4 + 25.8 + 26.0) / 4, 6))
+    assert got[(1, "2024-01-02 09:00:00")] == (2, round((27.0 + 27.6) / 2, 6))
