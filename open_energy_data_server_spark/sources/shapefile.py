@@ -215,3 +215,37 @@ def read_shapefile_dir(spark: SparkSession, glob_path: str) -> DataFrame:
     return binary.mapInPandas(
         parse, "path string, record int, shape_type int, geometry string"
     )
+
+
+def read_dbf_dir(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Distributed scan of many .dbf attribute files → one long table
+    (path stem, record, field, value-as-string). Values come back as
+    strings in the long form so one schema covers heterogeneous
+    layouts; join to ``read_shapefile_dir`` output on (path, record)
+    and pivot/cast the fields the caller needs."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "record", "field", "value"]
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf["path"], pdf["content"]):
+                stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                for rec in parse_dbf(bytes(raw)):
+                    rec_no = rec.pop("record")
+                    for field, value in rec.items():
+                        rows.append(
+                            {
+                                "path": stem,
+                                "record": rec_no,
+                                "field": field,
+                                "value": None if value is None else str(value),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in cols}
+            )
+
+    binary = spark.read.format("binaryFile").load(glob_path).select("path", "content")
+    return binary.mapInPandas(
+        parse, "path string, record int, field string, value string"
+    )

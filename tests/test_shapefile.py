@@ -177,3 +177,22 @@ def test_read_shapefile_dir_distributed(spark, tmp_path):
 def test_bad_file_code_raises():
     with pytest.raises(ValueError, match="file code"):
         parse_shp(b"\x00" * 100)
+
+
+def test_read_dbf_dir_joins_to_shapes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.sources.shapefile import read_dbf_dir
+
+    d = tmp_path / "gdb"
+    d.mkdir()
+    (d / "a.shp").write_bytes(_shp([_poly_content([CW_SQUARE])], 5))
+    (d / "a.dbf").write_bytes(_dbf([("Aachen", 250000, 160.85, "T")]))
+    (d / "b.shp").write_bytes(_shp([struct.pack("<idd", 1, 1.0, 2.0)], 1))
+    (d / "b.dbf").write_bytes(_dbf([("Borken", 42000, 59.25, "F")]))
+    shapes = read_shapefile_dir(spark, str(d) + "/*.shp")
+    attrs = read_dbf_dir(spark, str(d) + "/*.dbf")
+    names = attrs.filter(F.col("field") == "NAME")
+    joined = shapes.join(names, ["path", "record"])
+    got = {r.path: (r.value, r.geometry.split(" ")[0]) for r in joined.collect()}
+    assert got == {"a": ("Aachen", "POLYGON"), "b": ("Borken", "POINT")}
