@@ -150,3 +150,72 @@ def test_legacy_xls_gated(spark, tmp_path):
         pytest.skip("openpyxl present — gate not exercised")
     with pytest.raises(ImportError, match="xlsx"):
         read_excel(spark, str(tmp_path / "old.xls"))
+
+
+def test_xlsx_roundtrip_property():
+    """Property: random header/value grids survive the OOXML round-trip
+    (shared strings for text, numeric cells for numbers, gaps → NaN)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texty = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        ncols=st.integers(1, 5),
+        nrows=st.integers(1, 6),
+        data=st.data(),
+    )
+    def check(ncols, nrows, data):
+        headers = [f"c{i}" for i in range(ncols)]
+        grid = [
+            [
+                data.draw(
+                    st.one_of(
+                        st.none(),
+                        st.integers(-10**6, 10**6),
+                        texty,
+                    )
+                )
+                for _ in range(ncols)
+            ]
+            for _ in range(nrows)
+        ]
+        shared = list(headers)
+        for row in grid:
+            for v in row:
+                if isinstance(v, str) and v not in shared:
+                    shared.append(v)
+        body = "<row r=\"1\">" + "".join(
+            f'<c r="{chr(65 + j)}1" t="s"><v>{shared.index(h)}</v></c>'
+            for j, h in enumerate(headers)
+        ) + "</row>"
+        for i, row in enumerate(grid, start=2):
+            cells = []
+            for j, v in enumerate(row):
+                ref = f"{chr(65 + j)}{i}"
+                if v is None:
+                    continue
+                if isinstance(v, str):
+                    cells.append(f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>')
+                else:
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+            body += f'<row r="{i}">' + "".join(cells) + "</row>"
+        pdf = parse_xlsx(make_xlsx({"S": body}, shared))
+        # all-empty trailing rows/cols are not emitted by the writer, so
+        # compare cell-by-cell over the parsed frame's actual extent
+        assert list(pdf.columns)[: len(headers)] == headers
+        for i in range(len(pdf)):
+            for j, h in enumerate(headers):
+                want = grid[i][j]
+                got = pdf.iloc[i][h] if h in pdf.columns else None
+                if want is None:
+                    assert got is None or pd.isna(got)
+                elif isinstance(want, str):
+                    assert got == want
+                else:
+                    assert got == want
+
+    check()
