@@ -460,3 +460,37 @@ def q_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+@query(
+    "q_skew_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {sql_dsum("l_extendedprice")} AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant two-phase aggregation (operators/skew.py,
+    SURVEY §4 — the reference's DE-dominated country keys): the
+    3-value returnflag is exactly the hot-key shape where one reducer
+    would own a third of the table; salting spreads each key over 16
+    reducers and the algebraic combine reproduces the plain GROUP BY
+    bit-for-bit (exact integer partial sums are order- and
+    salt-invariant), which the oracle verifies."""
+    from open_energy_data_server_spark.constants import SCALE
+    from open_energy_data_server_spark.operators.skew import salted_groupby
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = F.round(F.col("l_extendedprice") * SCALE, 0).cast("bigint")
+    return salted_groupby(
+        li.select("l_returnflag", "l_extendedprice"),
+        keys=["l_returnflag"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(scaled).alias("ps"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n"),
+            (F.sum("ps").cast("double") / F.lit(float(SCALE))).alias("revenue"),
+        ],
+    )
