@@ -74,7 +74,9 @@ def _sheet_part(zf: zipfile.ZipFile, sheet: str | int) -> str:
         rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
         for rel in rels.iterfind(f"{_REL_NS}Relationship"):
             if rel.get("Id") == rid:
-                target = rel.get("Target", "")
+                # rels targets are workbook-relative ("worksheets/sheet1.xml");
+                # some writers emit package-absolute ("/xl/worksheets/...")
+                target = rel.get("Target", "").lstrip("/")
                 return target if target.startswith("xl/") else f"xl/{target}"
     except KeyError:
         pass
