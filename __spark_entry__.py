@@ -20,9 +20,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's per-round correctness harness checks queries in
 # registration order (first N). Rounds 1+2 together produced green
-# rows for 76 of 84 names; the 8 below still lack one — the three
+# rows for 76 of 85 names; the 9 below still lack one — the three
 # TIMESTAMP_NTZ failures from round 2 (root cause fixed in
-# io.load_table) and the five queries added in round 3 — so they go
+# io.load_table) and the six queries added in round 3 — so they go
 # first this round, ahead of the already-green ones.
 _DRIVER_PRIORITY = [
     "q_timestamp_assembly",
@@ -33,6 +33,7 @@ _DRIVER_PRIORITY = [
     "q_pii_scrub",
     "q_domain_stats",
     "q_skew_salted_agg",
+    "q_grafana_panel",
 ]
 
 

@@ -191,3 +191,47 @@ def q_join_distinct_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(big, customer.c_custkey == big.o_custkey).select(
         "c_custkey", "c_name", "o_orderpriority"
     )
+
+
+@query(
+    "q_grafana_panel",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS time,
+           event_type AS metric,
+           {sql_davg("value")} AS avg_value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_grafana_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana dashboard rawSql, macros and all, executed verbatim
+    through plans/grafana.expand_macros — the serving shape of every
+    reference dashboard panel ($__timeFilter + $__timeGroupAlias +
+    $__interval, e.g. /root/reference/data/provisioning/grafana/
+    dashboards/refit.json:111). The engine expands the macros to its
+    registered time_bucket SQL function and runs the text unchanged;
+    only the time column is string-formatted on the aggregated rows
+    for the hash gate."""
+    from open_energy_data_server_spark.constants import SCALE
+    from open_energy_data_server_spark.plans.grafana import expand_macros
+    from open_energy_data_server_spark.session import register_engine_functions
+
+    register_engine_functions(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    raw_sql = f"""
+        SELECT $__timeGroupAlias(ts, $__interval),
+               event_type AS metric,
+               CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS DOUBLE)
+                 / {SCALE}.0 / COUNT(value) AS avg_value
+        FROM events
+        WHERE $__timeFilter(ts)
+        GROUP BY 1, 2
+    """
+    expanded = expand_macros(
+        raw_sql, "2024-01-05 00:00:00", "2024-01-12 00:00:00", "1 hour"
+    )
+    df = spark.sql(expanded)
+    return df.select(
+        ts_str("time").alias("time"), "metric", "avg_value"
+    )
