@@ -245,3 +245,39 @@ def test_asof_join_suffix_collision_chains(spark):
     assert sorted(out.columns) == ["t", "v", "v_right", "v_right_right"]
     rows = {r.t: r.v_right_right for r in out.collect()}
     assert rows == {1: 100.0, 5: 200.0}
+
+
+def test_quantile_disc_matches_bruteforce(spark):
+    """Two-phase quantile_disc vs the definition (smallest value whose
+    cumulative count >= ceil(p*n)), across bucket counts that force
+    single-bucket, boundary, and many-bucket paths."""
+    import math
+    import random
+
+    from open_energy_data_server_spark.operators.quantiles import quantile_disc
+
+    rng = random.Random(7)
+    rows = [
+        (g, float(rng.choice([1, 2, 2, 3, 5, 8, 13, 21, 34, 55])))
+        for g in ("a", "b", "c")
+        for _ in range(rng.randint(30, 60))
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    picks = [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (1.0, "p100")]
+
+    expected = {}
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        expected[g] = {
+            name: vs[math.ceil(p * len(vs)) - 1] for p, name in picks
+        }
+
+    for n_buckets in (1, 7, 1024):
+        got = {
+            r["g"]: {name: r[name] for _, name in picks}
+            for r in quantile_disc(df, "g", "v", picks, n_buckets=n_buckets).collect()
+        }
+        assert got == expected, f"n_buckets={n_buckets}"
