@@ -57,7 +57,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
-        if isinstance(field.dataType, T.LongType) and field.name == "ts":
+        # the nanos-as-long reinterpretation applies ONLY to the events
+        # table known to store TIMESTAMP(NANOS) — a generic bigint 'ts'
+        # elsewhere (epoch seconds/millis) must not be silently rescaled
+        if name == "events" and field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))

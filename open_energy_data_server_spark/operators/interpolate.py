@@ -174,8 +174,18 @@ def interpolate_cubic(
                 pdf[out_col] = f(xe)
             else:
                 pdf[out_col] = notaknot_spline_eval(xs[order], ys[order], xe)
+        elif len(known) >= 1:
+            # linear-in-x fallback (flat-extended at the ends) — sorted
+            # by x, NOT positional: applyInPandas row order within a
+            # group is shuffle-dependent, so positional interpolation
+            # would be nondeterministic and leading gaps would never fill
+            xe = pdf[x_col].astype("float64").to_numpy()
+            xs = known[x_col].astype("float64").to_numpy()
+            ys = known[value_col].astype("float64").to_numpy()
+            order = np.argsort(xs)
+            pdf[out_col] = np.interp(xe, xs[order], ys[order])
         else:
-            pdf[out_col] = pdf[value_col].astype("float64").interpolate()
+            pdf[out_col] = np.nan
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(fit, schema)

@@ -50,14 +50,22 @@ def quantile_disc(
     # (plan-build time) and the final ranking pass share it, so the
     # (group, value) agg runs once. MEMORY_AND_DISK — size is the
     # distinct-value domain, spillable, LRU-evicted.
+    # NULLs are excluded like quantile_disc/percentile_disc exclude
+    # them (otherwise they'd be counted into the top bucket — least()
+    # skips nulls — inflating every rank). The persist is deliberately
+    # left to LRU eviction: the returned plan re-reads it on every
+    # execution, so an eager unpersist would re-run the count agg.
     cnt = (
-        df.groupBy(group_col, value_col)
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mm = cnt.agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
     ).collect()[0]
+    if mm["lo"] is None:
+        raise ValueError(f"quantile_disc: no non-null {value_col!r} values")
     lo, hi = float(mm["lo"]), float(mm["hi"])
     width = (hi - lo) / n_buckets or 1.0
     bucket = F.least(

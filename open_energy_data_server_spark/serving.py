@@ -88,9 +88,9 @@ class PostgrestFacade:
                 key = f"{k}\x00{i}"  # translate strips the marker below
                 i += 1
             params[key] = v
-        limit = min(int(params.get("limit", self.max_rows)), self.max_rows)
-        params["limit"] = str(limit)
         try:
+            limit = min(int(params.get("limit", self.max_rows)), self.max_rows)
+            params["limit"] = str(limit)
             df = self._plan(name, params)
             rows = df.collect()
         except Exception as exc:  # translator raises ValueError on bad grammar
@@ -113,7 +113,9 @@ class PostgrestFacade:
         filters: list[tuple[str, str]] = []
         for k, v in params.items():
             base = k.split("\x00", 1)[0]
-            if base != k or (base in clean and base not in ("select", "order", "limit", "offset")):
+            # handle() renamed repeated keys with the \x00 marker, so a
+            # marked key is always a repeated filter on `base`
+            if base != k:
                 filters.append((base, v))
             else:
                 clean[k] = v

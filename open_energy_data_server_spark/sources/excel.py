@@ -48,11 +48,13 @@ def read_excel(
 ) -> DataFrame:
     """Driver-side single-workbook read → DataFrame."""
     if path.endswith(".xls"):
-        if not HAS_OPENPYXL:
+        try:
+            import xlrd  # noqa: F401  (pandas' .xls engine)
+        except ImportError as exc:
             raise ImportError(
-                "legacy .xls needs pandas' excel engines; only .xlsx is "
-                "supported by the built-in pure-Python codec"
-            )
+                "legacy .xls needs xlrd (pandas' .xls engine); the built-in "
+                "pure-Python codec supports only .xlsx"
+            ) from exc
         pdf = pd.read_excel(
             path, sheet_name=sheet, skiprows=skiprows, header=0 if header else None
         )
@@ -82,7 +84,20 @@ def read_excel_files(
     stem) for per-file lineage, like the reference keeps per-download
     provenance."""
     ddl = f"source_file string, {schema}" if with_source else schema
-    names = [f.split()[0].strip("`") for f in ddl.split(",")]
+    # split the DDL on TOP-LEVEL commas only — commas inside
+    # parameterized/nested types (decimal(10,2), array<struct<...>>)
+    # are part of the field's type, not separators
+    names: list[str] = []
+    depth = 0
+    field_start = 0
+    for i, ch in enumerate(ddl + ","):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append(ddl[field_start:i].split()[0].strip("`"))
+            field_start = i + 1
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -116,6 +116,11 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
 
     while off < end - 4:
         sec_len = _u(buf, off, 4)
+        if sec_len < 5:
+            raise ValueError(
+                f"GRIB2 section at offset {off} has length {sec_len} (< 5 "
+                "header bytes) — corrupt message"
+            )
         sec_num = buf[off + 4]
         body = buf[off : off + sec_len]
         if sec_num == 1:

@@ -118,7 +118,6 @@ def parse_xlsx(
         root = ET.fromstring(zf.read(part))
 
     rows: dict[int, dict[int, object]] = {}
-    max_col = -1
     for row in root.iterfind(f"{_NS}sheetData/{_NS}row"):
         r_idx = int(row.get("r", len(rows) + 1)) - 1
         cells: dict[int, object] = {}
@@ -126,12 +125,14 @@ def parse_xlsx(
             ref = c.get("r")
             col = _col_idx(ref) if ref else len(cells)
             cells[col] = _cell_value(c, shared)
-            max_col = max(max_col, col)
         rows[r_idx] = cells
 
     if not rows:
         return pd.DataFrame()
     ordered = [rows.get(i, {}) for i in range(skiprows, max(rows) + 1)]
+    # width from the KEPT rows only — a wide title row above skiprows
+    # must not inject phantom columns (pd.read_excel semantics)
+    max_col = max((c for cells in ordered for c in cells), default=-1)
     grid = [[cells.get(j) for j in range(max_col + 1)] for cells in ordered]
     if header:
         if not grid:

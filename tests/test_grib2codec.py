@@ -316,3 +316,10 @@ def test_weather_pipeline_end_to_end(spark, tmp_path):
     assert got[(1, "2024-01-02 08:00:00")] == (2, round((25.0 + 25.6) / 2, 6))
     assert got[(2, "2024-01-02 08:00:00")] == (4, round((25.2 + 25.4 + 25.8 + 26.0) / 4, 6))
     assert got[(1, "2024-01-02 09:00:00")] == (2, round((27.0 + 27.6) / 2, 6))
+
+
+def test_zero_length_section_raises_not_hangs():
+    raw = bytearray(make_grib2([1], ni=1, nj=1))
+    raw[16:20] = (0).to_bytes(4, "big")  # zero out section-1 length
+    with pytest.raises(ValueError, match="corrupt message"):
+        decode_grib2(bytes(raw))

@@ -281,3 +281,19 @@ def test_quantile_disc_matches_bruteforce(spark):
             for r in quantile_disc(df, "g", "v", picks, n_buckets=n_buckets).collect()
         }
         assert got == expected, f"n_buckets={n_buckets}"
+
+
+def test_quantile_disc_ignores_nulls_and_rejects_empty(spark):
+    from open_energy_data_server_spark.operators.quantiles import quantile_disc
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("a", None), ("a", 5.0)],
+        "g string, v double",
+    )
+    got = quantile_disc(df, "g", "v", [(0.5, "p50")]).collect()[0]
+    assert got["p50"] == 3.0  # nulls excluded: median of {1,3,5}
+    import pytest as _pytest
+
+    empty = df.filter("v IS NULL AND v IS NOT NULL")
+    with _pytest.raises(ValueError, match="no non-null"):
+        quantile_disc(empty, "g", "v", [(0.5, "p50")])

@@ -103,3 +103,11 @@ def test_handler_unit_no_http(spark):
     status, _, body = f.handle("/region", "select=r_name&order=r_name.asc")
     assert status == 200
     assert [r["r_name"] for r in json.loads(body)][:2] == ["AFRICA", "AMERICA"]
+
+
+def test_bad_limit_returns_400(facade):
+    f, port = facade
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/nation?limit=abc")
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req)
+    assert err.value.code == 400

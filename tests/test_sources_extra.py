@@ -165,3 +165,15 @@ def test_notaknot_spline_numpy_unit():
         notaknot_spline_eval(xk[:3], yk[:3], xe)
     with pytest.raises(ValueError, match="strictly increasing"):
         notaknot_spline_eval(np.array([0.0, 1.0, 1.0, 2.0]), yk, xe)
+
+
+def test_interpolate_cubic_fallback_is_x_ordered_and_fills_leading(spark):
+    """<4 known points → linear-in-x (not positional): leading gaps
+    flat-extend and results are independent of shuffle row order."""
+    df = spark.createDataFrame(
+        [("a", 2.0, 8.0), ("a", 0.0, None), ("a", 1.0, 4.0)],
+        "k string, x double, v double",
+    )
+    out = {r.x: r.v for r in interpolate_cubic(df, "v", "x", ["k"]).collect()}
+    assert out[0.0] == 4.0  # leading gap flat-extends to first known
+    assert out[1.0] == 4.0 and out[2.0] == 8.0

@@ -219,3 +219,28 @@ def test_xlsx_roundtrip_property():
                     assert got == want
 
     check()
+
+
+def test_skiprows_wide_title_row_no_phantom_columns():
+    body = (
+        '<row r="1">' + "".join(
+            f'<c r="{chr(65 + j)}1" t="s"><v>0</v></c>' for j in range(8)
+        ) + "</row>"
+        '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="s"><v>2</v></c></row>'
+        '<row r="3"><c r="A3"><v>1</v></c><c r="B3"><v>2</v></c></row>'
+    )
+    pdf = parse_xlsx(make_xlsx({"S": body}, ["TITLE", "a", "b"]), skiprows=1)
+    assert list(pdf.columns) == ["a", "b"]  # no Unnamed: 2..7
+
+
+def test_read_excel_files_parameterized_type_schema(spark, tmp_path):
+    d = tmp_path / "xl2"
+    d.mkdir()
+    body = (
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>12.34</v></c></row>'
+    )
+    (d / "w.xlsx").write_bytes(make_xlsx({"S": body}, ["product", "price", "oil"]))
+    df = read_excel_files(spark, str(d) + "/*.xlsx", "product string, price decimal(10,2)")
+    row = df.collect()[0]
+    assert row.product == "oil" and float(row.price) == 12.34
