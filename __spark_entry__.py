@@ -19,21 +19,50 @@ FLAGSHIP = "q1_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's per-round correctness harness checks queries in
-# registration order (first N). Rounds 1+2 together produced green
-# rows for 76 of 85 names; the 9 below still lack one — the three
-# TIMESTAMP_NTZ failures from round 2 (root cause fixed in
-# io.load_table) and the six queries added in round 3 — so they go
-# first this round, ahead of the already-green ones.
+# registration order (first 50). Round-4 rotation: q_interpolate_cubic
+# first (newly hash-checkable via the committed fixture oracle —
+# formerly the one rows-only row), then the 35 names whose latest
+# driver row predates round 3 (r3 changed shared code: io.load_table,
+# xlsx, quantiles), so every name's driver row is ≤1 round old after
+# this round. The remaining 14 slots re-sample r3-green names in
+# registration order.
 _DRIVER_PRIORITY = [
-    "q_timestamp_assembly",
-    "q_interpolate_linear",
-    "q_rolling_1h_window",
-    "q_decontaminate",
     "q_interpolate_cubic",
-    "q_pii_scrub",
-    "q_domain_stats",
-    "q_skew_salted_agg",
-    "q_grafana_panel",
+    "q_ann_ivf_probe",
+    "q_text_stats",
+    "q_lang_id",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_minhash_signatures",
+    "q_dedup_minhash_lsh",
+    "q_simhash",
+    "q_simhash_pairs",
+    "q_doc_fingerprint_winnow",
+    "q_stratified_sample",
+    "q_token_pack",
+    "q_quality_filters",
+    "q_curation_pipeline",
+    "q_sample_fixed_k",
+    "q1_pricing_summary",
+    "q_melt_part_measures",
+    "q_melt_wide_chunked",
+    "q_suffix_melt",
+    "q_pivot_event_counts",
+    "q_asof_rate_join",
+    "q_sanitize_columns",
+    "q_locale_number_parse",
+    "q_case_when_classify",
+    "q_string_kit",
+    "q_date_arithmetic",
+    "q_tz_roundtrip",
+    "q_unit_conversions",
+    "q_null_handling",
+    "q_lag_diff_decumulate",
+    "q_latest_per_user",
+    "q_ffill_bfill",
+    "q_running_sum",
+    "q_snapshot_at_latest",
+    "q_topk_per_group",
 ]
 
 

@@ -139,8 +139,11 @@ def interpolate_cubic(
 ) -> DataFrame:
     """Cubic-spline interpolation per series (not-a-knot, scipy-equal).
 
-    Fewer than 4 known points per series falls back to positional
-    linear fill (the same fallback the scipy-backed version used)."""
+    Duplicate x knots within a series are collapsed to their mean value
+    before the fit (a strictly-increasing knot vector is a spline
+    precondition; two events with identical ts would otherwise abort
+    the whole job on the scipy-free path). Fewer than 4 distinct known
+    knots per series falls back to linear fill."""
     import pandas as pd
 
     try:
@@ -164,28 +167,31 @@ def interpolate_cubic(
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         known = pdf[pdf[value_col].notna()]
         pdf = pdf.copy()
-        if len(known) >= 4:
-            xs = known[x_col].astype("float64").to_numpy()
-            ys = known[value_col].astype("float64").to_numpy()
-            order = np.argsort(xs)
-            xe = pdf[x_col].astype("float64").to_numpy()
+        if len(known) == 0:
+            pdf[out_col] = np.nan
+            return pdf
+        kx = known[x_col].astype("float64").to_numpy()
+        kv = known[value_col].astype("float64").to_numpy()
+        # collapse duplicate x to the mean value — deterministic
+        # regardless of shuffle-dependent row order (np.unique sorts;
+        # for an all-unique series this is exactly the sorted (x, v))
+        ux, inv, counts = np.unique(kx, return_inverse=True, return_counts=True)
+        sums = np.zeros_like(ux)
+        np.add.at(sums, inv, kv)
+        uy = sums / counts
+        xe = pdf[x_col].astype("float64").to_numpy()
+        if ux.size >= 4:
             if interp1d is not None:
-                f = interp1d(xs[order], ys[order], kind="cubic", fill_value="extrapolate")
+                f = interp1d(ux, uy, kind="cubic", fill_value="extrapolate")
                 pdf[out_col] = f(xe)
             else:
-                pdf[out_col] = notaknot_spline_eval(xs[order], ys[order], xe)
-        elif len(known) >= 1:
+                pdf[out_col] = notaknot_spline_eval(ux, uy, xe)
+        else:
             # linear-in-x fallback (flat-extended at the ends) — sorted
             # by x, NOT positional: applyInPandas row order within a
             # group is shuffle-dependent, so positional interpolation
             # would be nondeterministic and leading gaps would never fill
-            xe = pdf[x_col].astype("float64").to_numpy()
-            xs = known[x_col].astype("float64").to_numpy()
-            ys = known[value_col].astype("float64").to_numpy()
-            order = np.argsort(xs)
-            pdf[out_col] = np.interp(xe, xs[order], ys[order])
-        else:
-            pdf[out_col] = np.nan
+            pdf[out_col] = np.interp(xe, ux, uy)
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(fit, schema)

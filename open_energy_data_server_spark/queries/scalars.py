@@ -298,28 +298,59 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "v_interp")
 
 
-@query("q_interpolate_cubic", oracle=None)
+# q_interpolate_cubic runs over a plan-embedded deterministic series set
+# (not the sf tables) so its expected values can be precomputed ONCE into
+# a committed fixture the DuckDB oracle replays — making the one formerly
+# rows-only conformance row fully hash-checkable. Shared with
+# tools/gen_cubic_fixture.py, which must be re-run if these change.
+CUBIC_N_SERIES = 40
+CUBIC_N_POINTS = 250
+CUBIC_FIXTURE = "/root/repo/fixtures/cubic_expected.parquet"
+
+
+def cubic_input_df(spark: SparkSession) -> DataFrame:
+    """Deterministic sparse series: 40 series × 250 unevenly spaced
+    knots (eighth-integer offsets, exact doubles), values from an
+    integer multiplicative hash (exact at 3 decimals), ~35% nulled —
+    including both edges, so end-piece extrapolation is exercised."""
+    n = CUBIC_N_SERIES * CUBIC_N_POINTS
+    p = F.expr(f"id DIV {CUBIC_N_SERIES}")
+    x = p + ((p * 7) % 5) / F.lit(8.0)
+    v = ((F.col("id") * F.lit(2654435761)) % 1000003).cast("double") / F.lit(1000.0)
+    is_gap = (p % 5 == 2) | (p % 7 == 3) | (p < 2) | (p > CUBIC_N_POINTS - 3)
+    return spark.range(n).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % CUBIC_N_SERIES).alias("series_id"),
+        x.cast("double").alias("x"),
+        F.when(is_gap, F.lit(None).cast("double")).otherwise(v).alias("v"),
+    )
+
+
+@query(
+    "q_interpolate_cubic",
+    oracle=f"""
+    SELECT row_id, series_id, v_cubic
+    FROM read_parquet('{CUBIC_FIXTURE}')
+    """,
+)
 def q_interpolate_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P15 cubic variant: not-a-knot cubic-spline fill per user series
+    """P15 cubic variant: not-a-knot cubic-spline fill per series
     (scipy-free numpy tridiagonal solve inside applyInPandas —
     operators.interpolate.notaknot_spline_eval), preserving the
     reference's interp1d(kind='cubic') semantics
     (/root/reference/crawler/windmodel.py:83). A global per-series
-    solve is not SQL-expressible → no DuckDB oracle; the driver records
-    the weaker rows-only check and exactness is pinned by the
-    cubic-polynomial reproduction property test. Output rounded to 6
-    digits so the check is float-stable."""
+    solve is not SQL-expressible, so the oracle replays a committed
+    fixture of expected values computed driver-side by the
+    property-tested evaluator over the same deterministic input
+    (tools/gen_cubic_fixture.py) — the hash check then verifies the
+    distributed path (grouping, shuffle-order independence, Arrow
+    round-trip) against the single-process evaluation bit-for-bit.
+    Rounding happens through Spark's HALF_UP in both paths."""
     from open_energy_data_server_spark.operators.interpolate import interpolate_cubic
 
-    ev = load_table(spark, sf_dir, "events")
-    sparse = ev.select(
-        "event_id",
-        "user_id",
-        F.col("ts").cast("double").alias("x"),
-        F.when(F.col("event_id") % 4 == 0, None).otherwise(F.col("value")).alias("v"),
-    )
-    out = interpolate_cubic(sparse, "v", "x", partition_by=["user_id"], out_col="v_fit")
-    return out.select("event_id", "user_id", F.round("v_fit", 6).alias("v_cubic"))
+    sparse = cubic_input_df(spark)
+    out = interpolate_cubic(sparse, "v", "x", partition_by=["series_id"], out_col="v_fit")
+    return out.select("row_id", "series_id", F.round("v_fit", 6).alias("v_cubic"))
 
 
 @query(

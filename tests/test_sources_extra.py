@@ -137,6 +137,24 @@ def test_interpolate_cubic_small_series_falls_back_linear(spark):
     assert out[1.0] == 2.0  # positional linear fallback
 
 
+def test_interpolate_cubic_duplicate_x_collapses_to_mean(spark):
+    """Two events with identical x no longer abort the scipy-free
+    spline (h<=0 ValueError): duplicates collapse to their mean before
+    the fit, and a cubic through the collapsed knots still reproduces
+    exactly. Rows 1.0→(3.0, 5.0) collapse to (1.0, 4.0) = x³+3 at 1."""
+
+    def poly(x):
+        return x**3 + 3
+
+    rows = [("a", 1.0, 3.0), ("a", 1.0, 5.0)] + [
+        ("a", x, poly(x)) for x in (0.0, 2.0, 3.0, 4.0, 5.0)
+    ] + [("a", 2.5, None)]
+    df = spark.createDataFrame(rows, "k string, x double, v double")
+    out = {r.x: r.v for r in interpolate_cubic(df, "v", "x", ["k"]).collect()}
+    assert abs(out[2.5] - poly(2.5)) < 1e-8
+    assert abs(out[1.0] - 4.0) < 1e-8  # both duplicate rows get the fit value
+
+
 def test_convex_hull():
     wkt = convex_hull_wkt([(0, 0), (4, 0), (4, 3), (0, 3), (2, 1), (1, 2)])
     rings = parse_wkt_polygon(wkt)
