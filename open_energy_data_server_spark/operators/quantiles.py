@@ -31,9 +31,29 @@ IEEE double arithmetic the SQL oracle uses.
 from __future__ import annotations
 
 import math
+from collections import deque
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Bounded FIFO of the per-call persisted (group, value) count frames.
+# Unpersisting is SAFE for still-referenced plans (the cache entry goes
+# away; a re-execution just recomputes the agg), so capping the registry
+# bounds executor-memory growth in long-lived sessions instead of
+# leaning on LRU block eviction alone.
+_PERSISTED: deque[DataFrame] = deque()
+_PERSISTED_CAP = 8
+
+
+def release_quantile_caches() -> int:
+    """Unpersist every cached intermediate from prior quantile_disc
+    calls; returns how many were released. Plans already returned stay
+    valid — they recompute the count agg if executed again."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.popleft().unpersist()
+        n += 1
+    return n
 
 
 def quantile_disc(
@@ -52,15 +72,20 @@ def quantile_disc(
     # distinct-value domain, spillable, LRU-evicted.
     # NULLs are excluded like quantile_disc/percentile_disc exclude
     # them (otherwise they'd be counted into the top bucket — least()
-    # skips nulls — inflating every rank). The persist is deliberately
-    # left to LRU eviction: the returned plan re-reads it on every
-    # execution, so an eager unpersist would re-run the count agg.
+    # skips nulls — inflating every rank). No eager unpersist — the
+    # returned plan re-reads the cache on every execution — but each
+    # handle is registered in a capped FIFO so repeated calls in one
+    # session evict the oldest cache instead of accumulating
+    # (release_quantile_caches() drops them all).
     cnt = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(cnt)
+    while len(_PERSISTED) > _PERSISTED_CAP:
+        _PERSISTED.popleft().unpersist()
     mm = cnt.agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
     ).collect()[0]

@@ -41,7 +41,8 @@ PARAM_NAMES = {
     (0, 1, 8): "tp",  # total precipitation
     (0, 2, 2): "u",  # u-component of wind
     (0, 2, 3): "v",  # v-component of wind
-    (0, 4, 9): "ssrd",  # net short-wave radiation flux (surface)
+    (0, 4, 7): "ssrd",  # downward short-wave radiation flux (surface)
+    (0, 4, 9): "nswrf",  # net short-wave radiation flux (surface)
     (0, 6, 1): "tcc",  # total cloud cover
     (2, 0, 2): "stl1",  # soil temperature
 }

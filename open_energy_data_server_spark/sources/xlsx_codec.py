@@ -80,8 +80,24 @@ def _sheet_part(zf: zipfile.ZipFile, sheet: str | int) -> str:
                 return target if target.startswith("xl/") else f"xl/{target}"
     except KeyError:
         pass
-    # conventional fallback when the rels part is absent
-    return f"xl/worksheets/sheet{chosen.get('sheetId')}.xml"
+    # rels part absent: fall back POSITIONALLY among the existing
+    # worksheet parts (natural-numeric order). sheetId must not be used
+    # here — it is a logical workbook id that survives sheet deletion /
+    # reordering, so sheet{sheetId}.xml can silently name a different
+    # (or missing) part.
+    import re
+
+    parts = sorted(
+        (n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
+    )
+    pos = sheets.index(chosen)
+    if pos >= len(parts):
+        raise ValueError(
+            f"cannot resolve worksheet part for sheet {chosen.get('name')!r}: "
+            "workbook rels missing and no positional sheetN.xml candidate"
+        )
+    return parts[pos]
 
 
 def _cell_value(c: ET.Element, shared: list[str]):
@@ -121,10 +137,15 @@ def parse_xlsx(
     for row in root.iterfind(f"{_NS}sheetData/{_NS}row"):
         r_idx = int(row.get("r", len(rows) + 1)) - 1
         cells: dict[int, object] = {}
+        # per ECMA-376 an unreferenced <c> occupies the column AFTER the
+        # previous cell in the row (not len(cells), which mis-places
+        # values after a sparse referenced cell like r="C1")
+        last_col = -1
         for c in row.iterfind(f"{_NS}c"):
             ref = c.get("r")
-            col = _col_idx(ref) if ref else len(cells)
+            col = _col_idx(ref) if ref else last_col + 1
             cells[col] = _cell_value(c, shared)
+            last_col = col
         rows[r_idx] = cells
 
     if not rows:

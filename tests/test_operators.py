@@ -297,3 +297,24 @@ def test_quantile_disc_ignores_nulls_and_rejects_empty(spark):
     empty = df.filter("v IS NULL AND v IS NOT NULL")
     with _pytest.raises(ValueError, match="no non-null"):
         quantile_disc(empty, "g", "v", [(0.5, "p50")])
+
+
+def test_quantile_disc_cache_registry_bounded_and_releasable(spark):
+    """Repeated calls must not accumulate persisted intermediates
+    unboundedly: the FIFO registry caps live caches, and
+    release_quantile_caches() drops the rest (plans stay valid —
+    they recompute on next execution)."""
+    from open_energy_data_server_spark.operators import quantiles as q
+    from open_energy_data_server_spark.operators.quantiles import quantile_disc
+
+    q.release_quantile_caches()
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)], "g string, v double"
+    )
+    plans = [quantile_disc(df, "g", "v", [(0.5, "p50")]) for _ in range(q._PERSISTED_CAP + 3)]
+    assert len(q._PERSISTED) == q._PERSISTED_CAP  # oldest evicted
+    released = q.release_quantile_caches()
+    assert released == q._PERSISTED_CAP and not q._PERSISTED
+    # a plan built before the release still executes correctly
+    # (rank ceil(0.5·20)=10 → 10th smallest of 0..19 = 9.0)
+    assert plans[0].collect()[0]["p50"] == 9.0

@@ -20,12 +20,20 @@ _WB_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
 _R_NS = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
 
 
-def make_xlsx(sheets: dict[str, str], shared: list[str] | None = None) -> bytes:
-    """sheets: name → sheetData XML body; shared: shared-string table."""
+def make_xlsx(
+    sheets: dict[str, str],
+    shared: list[str] | None = None,
+    include_rels: bool = True,
+    sheet_ids: list[int] | None = None,
+) -> bytes:
+    """sheets: name → sheetData XML body; shared: shared-string table.
+    ``include_rels=False`` + scrambled ``sheet_ids`` model writers that
+    omit the workbook rels part (positional-fallback path)."""
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
+        ids = sheet_ids or [i + 1 for i in range(len(sheets))]
         sheet_tags = "".join(
-            f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name="{name}" sheetId="{ids[i]}" r:id="rId{i + 1}"/>'
             for i, name in enumerate(sheets)
         )
         zf.writestr(
@@ -33,17 +41,18 @@ def make_xlsx(sheets: dict[str, str], shared: list[str] | None = None) -> bytes:
             f'<?xml version="1.0"?><workbook {_WB_NS} {_R_NS}>'
             f"<sheets>{sheet_tags}</sheets></workbook>",
         )
-        rels = "".join(
-            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
-            f'officeDocument/2006/relationships/worksheet" '
-            f'Target="worksheets/sheet{i + 1}.xml"/>'
-            for i in range(len(sheets))
-        )
-        zf.writestr(
-            "xl/_rels/workbook.xml.rels",
-            '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
-            f'openxmlformats.org/package/2006/relationships">{rels}</Relationships>',
-        )
+        if include_rels:
+            rels = "".join(
+                f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
+                f'officeDocument/2006/relationships/worksheet" '
+                f'Target="worksheets/sheet{i + 1}.xml"/>'
+                for i in range(len(sheets))
+            )
+            zf.writestr(
+                "xl/_rels/workbook.xml.rels",
+                '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+                f'openxmlformats.org/package/2006/relationships">{rels}</Relationships>',
+            )
         if shared is not None:
             sis = "".join(f"<si><t>{s}</t></si>" for s in shared)
             zf.writestr(
@@ -108,6 +117,32 @@ def test_sheet_selection_and_skiprows():
         assert pdf.loc[0, "name"] == 7
     with pytest.raises(ValueError, match="no sheet named"):
         parse_xlsx(raw, sheet="Nope")
+
+
+def test_refless_cell_follows_previous_column():
+    """ECMA-376: a <c> without r occupies the column after the previous
+    cell — so after a sparse r="C1" cell, the ref-less value lands in D,
+    not B (the old len(cells) bug)."""
+    body = (
+        '<row r="1"><c r="A1"><v>1</v></c><c r="C1"><v>3</v></c>'
+        "<c><v>4</v></c></row>"
+    )
+    pdf = parse_xlsx(make_xlsx({"S": body}), header=False)
+    assert list(pdf.iloc[0]) == [1, None, 3, 4]
+
+
+def test_rels_absent_resolves_positionally_not_by_sheet_id():
+    """Without xl/_rels, sheetN.xml is resolved by POSITION among the
+    worksheet parts; sheetId (a logical id that survives deletion /
+    reorder) must not pick the part file."""
+    two = {
+        "First": '<row r="1"><c r="A1"><v>10</v></c></row>',
+        "Second": '<row r="1"><c r="A1"><v>20</v></c></row>',
+    }
+    raw = make_xlsx(two, include_rels=False, sheet_ids=[7, 9])
+    assert parse_xlsx(raw, sheet="First", header=False).iloc[0, 0] == 10
+    assert parse_xlsx(raw, sheet="Second", header=False).iloc[0, 0] == 20
+    assert parse_xlsx(raw, sheet=1, header=False).iloc[0, 0] == 20
 
 
 def test_read_excel_driver_side(spark, tmp_path):
