@@ -19,6 +19,8 @@ import time
 import zipfile
 from collections.abc import Callable
 
+from open_energy_data_server_spark.sources import sevenzip
+
 Fetcher = Callable[[str], bytes]
 
 
@@ -62,5 +64,15 @@ def land(
         shutil.rmtree(extract_dir, ignore_errors=True)
         with zipfile.ZipFile(target) as zf:
             zf.extractall(extract_dir)
+        return extract_dir
+    if unpack and sevenzip.is_7z(payload):
+        extract_dir = target + ".d"
+        shutil.rmtree(extract_dir, ignore_errors=True)
+        for member, content in sevenzip.read_7z(payload).items():
+            # members may carry archive-relative subpaths
+            dest = os.path.join(extract_dir, *member.replace("\\", "/").split("/"))
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            with open(dest, "wb") as mf:
+                mf.write(content)
         return extract_dir
     return target
