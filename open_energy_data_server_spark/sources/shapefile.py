@@ -217,6 +217,105 @@ def read_shapefile_dir(spark: SparkSession, glob_path: str) -> DataFrame:
     )
 
 
+GdbRangeReader = "Callable[[str, str, int, int], pd.DataFrame]"
+
+
+def read_gdb(
+    spark: SparkSession,
+    gdb_dir: str,
+    table: str,
+    reader,
+    total_rows: int,
+    schema: str,
+    rows_per_task: int = 200_000,
+) -> DataFrame:
+    """Distributed ESRI GeoDatabase table scan through an injectable
+    range reader (SURVEY S10 — the reference's largest single scan is a
+    12.7M-row .gdb read in driver-side chunks,
+    /root/reference/crawler/nrw_kwp_waermedichte.py:61-76).
+
+    The OpenFileGDB container (a00000xx.gdbtable) is a reverse-
+    engineered format normally decoded by GDAL; neither GDAL, fiona nor
+    pyogrio ships in this container, so the per-slice decode is a seam:
+    ``reader(gdb_dir, table, start, stop) -> pd.DataFrame`` matching
+    ``schema`` (geometry as WKT), e.g. a fiona ``collection[start:stop]``
+    slice when available. What IS Spark's job — and is real here — is
+    the scan shape: the row domain [0, total_rows) splits into
+    ``rows_per_task`` slices, one slice per task, pinned by an explicit
+    repartition on the slice id (plan-embedded LocalRelation range
+    table; AQE would otherwise coalesce the tiny driving exchange to
+    one task and serialize every slice through a single worker). At the
+    reference's 12.7M rows this yields 64 parallel slices; at 100 TB
+    the same plan holds with a bigger range table.
+
+    ``make_fiona_gdb_reader()`` returns a ready reader when fiona is
+    importable; otherwise inject your own."""
+    from open_energy_data_server_spark.io import local_df
+
+    if total_rows <= 0:
+        raise ValueError("total_rows must be positive (probe it via the reader library)")
+    slices = [
+        (i, start, min(start + rows_per_task, total_rows))
+        for i, start in enumerate(range(0, total_rows, rows_per_task))
+    ]
+    ranges = local_df(spark, slices, "slice_id int, start long, stop long")
+    ranges = ranges.repartition(len(slices), "slice_id")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start, stop in zip(pdf["start"], pdf["stop"]):
+                yield reader(gdb_dir, table, int(start), int(stop))
+
+    return ranges.mapInPandas(scan, schema)
+
+
+def make_fiona_gdb_reader(wkt_col: str = "geometry"):
+    """Best-effort default GDB range reader: fiona-backed when that
+    library exists (it does not in this container — callers inject a
+    substitute; tests inject a fixture-file reader)."""
+    try:
+        import fiona  # noqa: F401
+    except ImportError as exc:
+        raise ValueError(
+            "no GDB decoder available: fiona/pyogrio are not installed and "
+            "the OpenFileGDB binary layout is GDAL-reverse-engineered — "
+            "inject reader(gdb_dir, table, start, stop) -> pd.DataFrame"
+        ) from exc
+
+    def reader(gdb_dir: str, table: str, start: int, stop: int) -> pd.DataFrame:
+        import fiona
+
+        with fiona.open(gdb_dir, layer=table) as coll:
+            rows = []
+            for feat in coll.filter(start, stop):
+                props = dict(feat["properties"])
+                props[wkt_col] = _fiona_geom_to_wkt(feat.get("geometry"))
+                rows.append(props)
+        return pd.DataFrame(rows)
+
+    return reader
+
+
+def _fiona_geom_to_wkt(geom: dict | None) -> str | None:
+    """GeoJSON-ish mapping → WKT for the geometry types the reference
+    stores (Point / Polygon / MultiPolygon)."""
+    if not geom:
+        return None
+    t, coords = geom["type"], geom["coordinates"]
+    if t == "Point":
+        return f"POINT ({_fmt_pt(*coords[:2])})"
+    if t == "Polygon":
+        rings = [np.asarray([c[:2] for c in ring]) for ring in coords]
+        return "POLYGON (" + ", ".join(_fmt_ring(r) for r in rings) + ")"
+    if t == "MultiPolygon":
+        polys = [
+            "(" + ", ".join(_fmt_ring(np.asarray([c[:2] for c in ring])) for ring in poly) + ")"
+            for poly in coords
+        ]
+        return "MULTIPOLYGON (" + ", ".join(polys) + ")"
+    raise ValueError(f"unsupported GDB geometry type {t}")
+
+
 def read_dbf_dir(spark: SparkSession, glob_path: str) -> DataFrame:
     """Distributed scan of many .dbf attribute files → one long table
     (path stem, record, field, value-as-string). Values come back as

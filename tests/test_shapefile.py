@@ -196,3 +196,65 @@ def test_read_dbf_dir_joins_to_shapes(spark, tmp_path):
     joined = shapes.join(names, ["path", "record"])
     got = {r.path: (r.value, r.geometry.split(" ")[0]) for r in joined.collect()}
     assert got == {"a": ("Aachen", "POLYGON"), "b": ("Borken", "POINT")}
+
+
+def test_read_gdb_distributed_slices(spark, tmp_path):
+    """S10 GDB seam: a fixed-width binary fixture stands in for the
+    OpenFileGDB table; the injected range reader decodes one slice per
+    task. Verifies slice math (uneven tail), full-row coverage through
+    the distributed path, WKT geometry, and one-partition-per-slice."""
+    import numpy as np
+    import pandas as pd
+
+    from open_energy_data_server_spark.sources.shapefile import read_gdb
+
+    # fixture "gdb": 10007 records of (<q id, <d heat_density) — the
+    # NRW heat-density table shape (id, kwp, geometry)
+    n = 10_007
+    payload = b"".join(struct.pack("<qd", i, i * 0.5) for i in range(n))
+    gdb = tmp_path / "nrw.gdb"
+    gdb.mkdir()
+    (gdb / "a00000001.gdbtable").write_bytes(payload)
+    table_path = str(gdb / "a00000001.gdbtable")
+
+    def reader(gdb_dir, table, start, stop):
+        with open(table_path, "rb") as f:  # Struct objects don't pickle
+            raw = f.read()
+        rows = [struct.unpack_from("<qd", raw, i * 16) for i in range(start, stop)]
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        heat = np.array([r[1] for r in rows])
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "heat_density": heat,
+                "geometry": [f"POINT ({i % 100} {i // 100})" for i in ids],
+            }
+        )
+
+    df = read_gdb(
+        spark,
+        str(gdb),
+        "waermedichte",
+        reader,
+        total_rows=n,
+        schema="id long, heat_density double, geometry string",
+        rows_per_task=1000,
+    )
+    assert df.rdd.getNumPartitions() == 11  # ceil(10007/1000) slices
+    assert df.count() == n
+    got = df.filter("id IN (0, 9999, 10006)").orderBy("id").collect()
+    assert [r.id for r in got] == [0, 9999, 10006]
+    assert got[1].heat_density == 9999 * 0.5
+    assert got[2].geometry == "POINT (6 100)"
+
+
+def test_read_gdb_validates_and_default_reader_gated(spark):
+    from open_energy_data_server_spark.sources.shapefile import (
+        make_fiona_gdb_reader,
+        read_gdb,
+    )
+
+    with pytest.raises(ValueError, match="total_rows"):
+        read_gdb(spark, "/nope.gdb", "t", lambda *a: None, 0, "id long")
+    with pytest.raises(ValueError, match="inject reader"):
+        make_fiona_gdb_reader()  # fiona absent in this container
