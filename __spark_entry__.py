@@ -28,6 +28,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order.
 _DRIVER_PRIORITY = [
     "q_interpolate_cubic",
+    "q_stream_stream_join",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

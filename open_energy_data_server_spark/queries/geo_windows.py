@@ -25,6 +25,7 @@ from open_energy_data_server_spark.queries._util import (
     sql_davg,
     sql_dsum,
     sql_ts_str,
+    ts_str,
 )
 from open_energy_data_server_spark.streaming.windows import (
     session_agg,
@@ -273,4 +274,44 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n",
         "total",
+    )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle=f"""
+    SELECT l.event_id, l.user_id, {sql_ts_str('l.ts')} AS ts_s, l.value,
+           r.event_id AS tick_id, {sql_ts_str('r.ts')} AS pts_s,
+           r.value AS tick_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL '30 minutes'
+     AND r.ts <= l.ts + INTERVAL '30 minutes'
+    WHERE l.event_id % 10 = 0 AND r.event_id % 10 = 5
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 depth: the watermarked stream-stream interval join run in
+    batch mode (streaming.joins.stream_stream_join — the identical
+    lineage runs under readStream in tests/test_streaming with
+    state bounded by watermark + interval width). Two disjoint event
+    slices stand in for the meter/price streams; the oracle is the
+    plain interval equi-join."""
+    from open_energy_data_server_spark.streaming.joins import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 10 == 0).select("event_id", "ts", "user_id", "value")
+    right = ev.filter(F.col("event_id") % 10 == 5).select(
+        F.col("event_id").alias("tick_id"),
+        F.col("ts").alias("pts"),
+        "user_id",
+        F.col("value").alias("tick_value"),
+    )
+    out = stream_stream_join(
+        left, right, ["user_id"], "ts", "pts",
+        "10 minutes", "10 minutes", "30 minutes", "30 minutes",
+    )
+    return out.select(
+        "event_id", "user_id", ts_str("ts").alias("ts_s"), "value",
+        "tick_id", ts_str("pts").alias("pts_s"), "tick_value",
     )

@@ -51,3 +51,80 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
+
+
+OUTPUT_SCHEMA_TTL = "user_id bigint, n bigint, total double, last_value double, expired boolean"
+
+
+def running_user_stats_ttl(events: DataFrame, ttl: str = "30 minutes") -> DataFrame:
+    """TTL variant: per-key state expires ``ttl`` past the key's last
+    EVENT time (not wall clock — EventTimeTimeout keyed to the
+    watermark, so replays are deterministic). When the watermark passes
+    a key's deadline the operator emits one tombstone row
+    (``expired=true``, final totals) and removes the state; a later
+    event for the key starts a fresh accumulation. This is the bounded-
+    state form of W2 "current state" tables: total state = O(active
+    keys in the TTL horizon), whatever the stream volume.
+
+    ``events`` must already carry a watermark on ``ts`` (the timeout
+    clock IS the watermark)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = _interval_ms(ttl)
+
+    def update(
+        key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "total": [total],
+                    "last_value": [last],
+                    "expired": [True],
+                }
+            )
+            return
+        n, total, last = state.get if state.exists else (0, 0.0, None)
+        last_event_ms = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            pdf_sorted = pdf.sort_values("ts")
+            last = float(pdf_sorted["value"].iloc[-1])
+            last_event_ms = int(pdf_sorted["ts"].iloc[-1].timestamp() * 1000)
+        state.update((n, total, last))
+        if last_event_ms is not None:
+            # deadline = last event time + TTL, floored above the current
+            # watermark (Spark rejects timeouts at/below the watermark)
+            deadline = max(last_event_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(deadline)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "total": [total],
+                "last_value": [last],
+                "expired": [False],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, OUTPUT_SCHEMA_TTL, STATE_SCHEMA, "update", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def _interval_ms(interval: str) -> int:
+    """'30 minutes' → 1_800_000. Supports the unit names Spark's
+    interval grammar uses (singular or plural)."""
+    qty, unit = interval.strip().split()
+    scale = {
+        "millisecond": 1, "second": 1000, "minute": 60_000,
+        "hour": 3_600_000, "day": 86_400_000,
+    }[unit.rstrip("s").lower()]
+    return int(float(qty) * scale)

@@ -208,3 +208,130 @@ def test_stream_session_agg_matches_batch(spark, tmp_path):
         ("2024-01-01 10:00:00", "2024-01-01 10:18:00", 1, 2),
         ("2024-01-01 11:00:00", "2024-01-01 11:10:00", 1, 1),
     }
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Two watermarked file-source streams joined on user_id with a
+    ±30-minute event-time bound; result must equal the identical
+    builder run in batch mode (watermarks are no-ops there)."""
+    from open_energy_data_server_spark.streaming.joins import stream_stream_join
+
+    meters = str(tmp_path / "meters")
+    prices = str(tmp_path / "prices")
+    PRICES_DDL = "tick_id long, pts timestamp, user_id long, price double"
+    t0 = dt.datetime(2024, 1, 1)
+    _write_batch(
+        spark,
+        meters,
+        [
+            (1, t0 + dt.timedelta(hours=10), 7, 100.0),
+            (2, t0 + dt.timedelta(hours=11), 7, 200.0),
+            (3, t0 + dt.timedelta(hours=10, minutes=15), 8, 50.0),
+        ],
+    )
+    spark.createDataFrame(
+        [
+            (10, t0 + dt.timedelta(hours=10, minutes=10), 7, 1.5),  # ±30m of e1
+            (11, t0 + dt.timedelta(hours=12, minutes=45), 7, 2.5),  # matches nothing
+            (12, t0 + dt.timedelta(hours=9, minutes=50), 8, 3.5),  # ±30m of e3
+        ],
+        PRICES_DDL,
+    ).coalesce(1).write.mode("append").parquet(prices)
+
+    def build(l, r):
+        return stream_stream_join(
+            l, r, on=["user_id"], left_ts="ts", right_ts="pts",
+            left_watermark="10 minutes", right_watermark="10 minutes",
+            lower="30 minutes", upper="30 minutes",
+        )
+
+    streamed = build(
+        spark.readStream.schema(EVENTS_DDL).parquet(meters),
+        spark.readStream.schema(PRICES_DDL).parquet(prices),
+    )
+    q = (
+        streamed.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_id, r.tick_id, r.price)
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = build(
+        spark.read.schema(EVENTS_DDL).parquet(meters),
+        spark.read.schema(PRICES_DDL).parquet(prices),
+    )
+    want = {(r.event_id, r.tick_id, r.price) for r in batch.collect()}
+    assert got == want == {(1, 10, 1.5), (3, 12, 3.5)}
+
+
+def test_stream_stream_join_suffixes_collisions(spark):
+    """Batch-mode check of the column contract: right 'value' collides
+    with left 'value' → 'value_right'; keys appear once."""
+    from open_energy_data_server_spark.streaming.joins import stream_stream_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0, 7, 1.0)], EVENTS_DDL)
+    right = spark.createDataFrame(
+        [(9, t0, 7, 2.0)], "rid long, pts timestamp, user_id long, value double"
+    )
+    out = stream_stream_join(
+        left, right, ["user_id"], "ts", "pts", "1 minute", "1 minute",
+        "5 minutes", "5 minutes",
+    )
+    assert out.columns == ["event_id", "ts", "user_id", "value", "rid", "pts", "value_right"]
+    row = out.collect()[0]
+    assert (row.value, row.value_right) == (1.0, 2.0)
+
+
+def test_stateful_ttl_expires_and_restarts(spark, tmp_path):
+    """EventTimeTimeout TTL: a key idle past (last event + TTL) emits
+    one expired=true tombstone when the watermark passes its deadline,
+    and a later event restarts accumulation from zero."""
+    from open_energy_data_server_spark.streaming.stateful import running_user_stats_ttl
+
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), 7, 10.0),
+            (2, dt.datetime(2024, 1, 1, 10, 30), 8, 5.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src).withWatermark("ts", "10 minutes")
+    q = (
+        running_user_stats_ttl(stream, ttl="30 minutes")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory")
+        .queryName("ttl_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance watermark to 12:50 — far past both deadlines (10:40 /
+        # 11:00) — via a key-7 event; key 8 gets NO data so it times out
+        # in the NEXT batch's timeout sweep
+        _write_batch(spark, src, [(3, dt.datetime(2024, 1, 1, 13, 0), 7, 30.0)])
+        q.processAllAvailable()
+        _write_batch(spark, src, [(4, dt.datetime(2024, 1, 1, 13, 10), 9, 1.0)])
+        q.processAllAvailable()
+        # fresh key-8 event after expiry → restarted accumulation
+        _write_batch(spark, src, [(5, dt.datetime(2024, 1, 1, 13, 30), 8, 2.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ttl_out ORDER BY user_id, n").collect()
+    finally:
+        q.stop()
+    eights = [(r.n, r.total, r.expired) for r in rows if r.user_id == 8]
+    assert (1, 5.0, True) in eights, f"expected tombstone, got {eights}"
+    assert (1, 2.0, False) in eights, f"expected fresh restart, got {eights}"
+    # the tombstone carries the pre-expiry totals exactly once
+    assert eights.count((1, 5.0, True)) == 1
