@@ -16,10 +16,11 @@ Two execution shapes, mirroring the XML source:
   regelleistung/jrc many-file case), nothing passes through the
   driver.
 
-Both use the repo's pure-Python .xlsx codec (``sources.xlsx_codec`` —
-stdlib zipfile + ElementTree over the public OOXML format), so no
-openpyxl dependency. When pandas+openpyxl IS available it handles
-legacy .xls through the same ``read_excel`` signature.
+Both dispatch on the container magic between the repo's two pure-Python
+codecs — OOXML .xlsx (``sources.xlsx_codec``: stdlib zipfile +
+ElementTree) and legacy BIFF8 .xls (``sources.xls_codec``: CFB
+container + record parser) — so neither openpyxl nor xlrd is needed,
+and a mixed directory of both formats scans through one schema.
 """
 
 from __future__ import annotations
@@ -46,22 +47,18 @@ def read_excel(
     skiprows: int = 0,
     header: bool = True,
 ) -> DataFrame:
-    """Driver-side single-workbook read → DataFrame."""
-    if path.endswith(".xls"):
-        try:
-            import xlrd  # noqa: F401  (pandas' .xls engine)
-        except ImportError as exc:
-            raise ImportError(
-                "legacy .xls needs xlrd (pandas' .xls engine); the built-in "
-                "pure-Python codec supports only .xlsx"
-            ) from exc
-        pdf = pd.read_excel(
-            path, sheet_name=sheet, skiprows=skiprows, header=0 if header else None
-        )
+    """Driver-side single-workbook read → DataFrame. Dispatches on the
+    container magic: OLE2/CFB → the BIFF8 .xls codec, otherwise the
+    OOXML .xlsx codec (both pure-Python; no openpyxl/xlrd needed)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        from open_energy_data_server_spark.sources.xls_codec import parse_xls
+
+        pdf = parse_xls(raw, sheet=sheet, skiprows=skiprows, header=header)
     else:
-        with open(path, "rb") as f:
-            pdf = parse_xlsx(f.read(), sheet=sheet, skiprows=skiprows, header=header)
-        pdf.columns = [str(c) for c in pdf.columns]
+        pdf = parse_xlsx(raw, sheet=sheet, skiprows=skiprows, header=header)
+    pdf.columns = [str(c) for c in pdf.columns]
     return spark.createDataFrame(pdf)
 
 
@@ -100,10 +97,14 @@ def read_excel_files(
             field_start = i + 1
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_energy_data_server_spark.sources.xls_codec import parse_xls
+
         for pdf in batches:
             frames = []
             for path, raw in zip(pdf["path"], pdf["content"]):
-                sub = parse_xlsx(bytes(raw), sheet=sheet, skiprows=skiprows, header=header)
+                raw = bytes(raw)
+                codec = parse_xls if raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" else parse_xlsx
+                sub = codec(raw, sheet=sheet, skiprows=skiprows, header=header)
                 sub.columns = [str(c) for c in sub.columns]
                 if with_source:
                     sub.insert(0, "source_file", path.rsplit("/", 1)[-1].rsplit(".", 1)[0])

@@ -178,13 +178,14 @@ def test_read_excel_files_distributed(spark, tmp_path):
     assert df.filter(F.col("mw") > 15).count() == 1
 
 
-def test_legacy_xls_gated(spark, tmp_path):
-    from open_energy_data_server_spark.sources.excel import HAS_OPENPYXL
+def test_legacy_xls_handled_by_builtin_codec(spark, tmp_path):
+    """The former xlrd gate is gone: .xls routes to the pure-Python
+    BIFF8 codec by container magic (full coverage in test_xls.py)."""
+    from open_energy_data_server_spark.sources.xls_codec import write_xls
 
-    if HAS_OPENPYXL:
-        pytest.skip("openpyxl present — gate not exercised")
-    with pytest.raises(ImportError, match="xlsx"):
-        read_excel(spark, str(tmp_path / "old.xls"))
+    p = tmp_path / "old.xls"
+    p.write_bytes(write_xls({"Data": [["k"], [7]]}))
+    assert read_excel(spark, str(p)).collect()[0].k == 7
 
 
 def test_xlsx_roundtrip_property():
