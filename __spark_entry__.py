@@ -29,6 +29,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _DRIVER_PRIORITY = [
     "q_interpolate_cubic",
     "q_stream_stream_join",
+    "q_boilerplate_strip",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

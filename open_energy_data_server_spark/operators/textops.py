@@ -198,3 +198,69 @@ def sql_scrub_pii(expr: str, repl: str = "[REDACTED]") -> str:
     out = f"regexp_replace({expr}, '{PII_EMAIL}', '{repl}', 'g')"
     out = f"regexp_replace({out}, '{PII_IPV4}', '{repl}', 'g')"
     return f"regexp_replace({out}, '{PII_PHONE}', '{repl}', 'g')"
+
+
+def strip_boilerplate_lines(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 8,
+    min_docs: int = 2,
+):
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb line-
+    frequency dedup every web-scale curation pipeline runs; no
+    reference analog — training-data suite): a "line" (here a fixed
+    ``words_per_line`` word window, since the synthetic corpus has no
+    newlines) occurring in ≥ ``min_docs`` DISTINCT documents is
+    boilerplate (headers, nav, license blurbs) and is dropped from
+    every document.
+
+    → (id_col, n_lines, n_dropped, cleaned_text).
+
+    Scale shape: line explosion is map-only; the frequency pass
+    shuffles 16-byte line hashes + doc ids (never text); the resulting
+    boilerplate-hash set is tiny relative to the corpus (boilerplate is
+    by definition repeated) → broadcast to a map-side flag join; the
+    single full-text exchange is the per-doc reassembly groupBy — the
+    same one shuffle any corpus-rewrite pays. collect_list order is
+    pinned by array_sort over (pos, line) structs, so the rebuilt text
+    is shuffle-order independent."""
+    nonempty = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_lines_expr = F.floor((F.size(words) - 1) / words_per_line).cast("int")
+    lines = nonempty.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines_expr),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i * words_per_line + 1, words_per_line)
+                ),
+            )
+        ).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy(F.md5("line").alias("__h"))
+        .agg(F.count_distinct(id_col).alias("__d"))
+        .filter(F.col("__d") >= min_docs)
+        .select("__h", F.lit(True).alias("__is_boiler"))
+    )
+    flagged = lines.join(
+        F.broadcast(boiler), F.md5(lines["line"]) == boiler["__h"], "left"
+    )
+    kept_struct = F.when(
+        F.col("__is_boiler").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.col("__is_boiler")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )

@@ -744,3 +744,43 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").alias("total_words"),
         )
     )
+
+
+@query(
+    "q_boilerplate_strip",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    l AS (
+      SELECT doc_id, gs.i AS pos,
+             array_to_string(words[(gs.i*8+1):(gs.i*8+8)], ' ') AS line
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(0,
+          CAST(floor((len(words) - 1) / 8) AS INT))) AS i) gs
+    ),
+    b AS (
+      SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           COUNT(CASE WHEN line IN (SELECT line FROM b) THEN 1 END) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN line NOT IN (SELECT line FROM b)
+                                    THEN line END, ' ' ORDER BY pos),
+                    '') AS cleaned_text
+    FROM l GROUP BY doc_id
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line dedup (CCNet/RefinedWeb line-
+    frequency strip; training-data suite, no reference analog): 8-word
+    lines occurring in ≥2 distinct documents are dropped everywhere and
+    each document is rebuilt in original line order
+    (operators.textops.strip_boilerplate_lines — frequency pass
+    shuffles only 16-byte hashes, boilerplate set broadcasts, one
+    reassembly exchange). The oracle replays the definition with
+    correlated IN-subqueries; hashing the rebuilt text pins both the
+    drop decisions and the reassembly order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.strip_boilerplate_lines(docs, "doc_id", "text")

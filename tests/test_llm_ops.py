@@ -275,3 +275,32 @@ def test_spread_is_gated_on_partition_count(spark):
     assert _spread(wide) is wide  # identical handle — no added shuffle
     narrow = docs.coalesce(1)
     assert _spread(narrow).rdd.getNumPartitions() == par
+
+
+def test_strip_boilerplate_lines_semantics(spark):
+    """Planted 8-word boilerplate shared by two docs is dropped from
+    both; unique lines survive in order; an all-boilerplate doc rebuilds
+    to empty text; empty docs are excluded."""
+    from open_energy_data_server_spark.operators.textops import strip_boilerplate_lines
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    u1 = "u1 u2 u3 u4 u5 u6 u7 u8"
+    u2 = "v1 v2 v3 v4 v5 v6 v7 v8"
+    w1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {u1} {u2}"),
+            (2, f"{w1} {boiler}"),   # boiler at a different position
+            (3, boiler),              # all boilerplate → empty rebuild
+            (4, ""),                  # excluded entirely
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.cleaned_text)
+        for r in strip_boilerplate_lines(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (3, 1, f"{u1} {u2}")
+    assert out[2] == (2, 1, w1)
+    assert out[3] == (1, 1, "")
+    assert 4 not in out
