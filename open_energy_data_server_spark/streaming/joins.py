@@ -48,14 +48,62 @@ def stream_stream_join(
     l_wm = left.withWatermark(left_ts, left_watermark) if left.isStreaming else left
     r_wm = right.withWatermark(right_ts, right_watermark) if right.isStreaming else right
 
-    la, ra = l_wm.alias("__l"), r_wm.alias("__r")
     key_cond = " AND ".join(f"__l.{k} <=> __r.{k}" for k in on) if on else "true"
     time_cond = (
         f"__r.{right_ts} >= __l.{left_ts} - INTERVAL {lower} AND "
         f"__r.{right_ts} <= __l.{left_ts} + INTERVAL {upper}"
     )
+
+    streaming = left.isStreaming or right.isStreaming
+    if not streaming and how == "inner":
+        # batch fast path: time-bucket pre-keying. A plain equi-join on
+        # `on` compares every per-key (left × right) row pair against
+        # the interval — quadratic in per-key density (a hot meter at
+        # corpus scale). With bucket width W = lower + upper, a left
+        # row's admissible window [lt − lower, lt + upper] spans at
+        # most two W-buckets, so exploding left into those ≤2 bucket
+        # ids and equi-joining on (keys…, bucket) confines comparisons
+        # to time-adjacent rows — the bucket-expansion range join
+        # (operators/range_join.py) fused with the equi key. Outer
+        # modes fall through to the plain join (the explode would
+        # duplicate unmatched left rows).
+        from pyspark.sql.types import TimestampType
+
+        from open_energy_data_server_spark.streaming.stateful import _interval_ms
+
+        ts_ok = isinstance(l_wm.schema[left_ts].dataType, TimestampType) and isinstance(
+            r_wm.schema[right_ts].dataType, TimestampType
+        )
+        w_us = (_interval_ms(lower) + _interval_ms(upper)) * 1000
+        if w_us > 0 and ts_ok:
+            lo_b = F.floor(
+                (F.unix_micros(F.col(left_ts)) - F.lit(_interval_ms(lower) * 1000))
+                / F.lit(w_us)
+            )
+            hi_b = F.floor(
+                (F.unix_micros(F.col(left_ts)) + F.lit(_interval_ms(upper) * 1000))
+                / F.lit(w_us)
+            )
+            la = l_wm.withColumn(
+                "__tb", F.explode(F.array_distinct(F.array(lo_b, hi_b)))
+            ).alias("__l")
+            ra = r_wm.withColumn(
+                "__tb", F.floor(F.unix_micros(F.col(right_ts)) / F.lit(w_us))
+            ).alias("__r")
+            joined = la.join(
+                ra,
+                F.expr(f"({key_cond}) AND __l.__tb = __r.__tb AND ({time_cond})"),
+                "inner",
+            )
+            return _project_out(joined, left, right, on)
+
+    la, ra = l_wm.alias("__l"), r_wm.alias("__r")
     joined = la.join(ra, F.expr(f"({key_cond}) AND ({time_cond})"), how)
 
+    return _project_out(joined, left, right, on)
+
+
+def _project_out(joined: DataFrame, left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
     taken = set(left.columns)
     # keys survive unmatched-right rows in outer modes via coalesce
     out = [

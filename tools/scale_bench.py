@@ -48,6 +48,8 @@ DEFAULT_QUERIES = [
     "q_point_in_polygon",
     "q_ann_lsh_buckets",
     "q_interpolate_linear",
+    "q_stream_stream_join",
+    "q_boilerplate_strip",
 ]
 
 SHIFTS = {
