@@ -136,6 +136,7 @@ def interpolate_cubic(
     x_col: str,
     partition_by: list[str],
     out_col: str | None = None,
+    use_scipy: bool | None = None,
 ) -> DataFrame:
     """Cubic-spline interpolation per series (not-a-knot, scipy-equal).
 
@@ -143,13 +144,23 @@ def interpolate_cubic(
     before the fit (a strictly-increasing knot vector is a spline
     precondition; two events with identical ts would otherwise abort
     the whole job on the scipy-free path). Fewer than 4 distinct known
-    knots per series falls back to linear fill."""
+    knots per series falls back to linear fill.
+
+    ``use_scipy``: None (default) prefers scipy's interp1d when
+    importable — bit-compatible with the reference's exact code path;
+    False forces the built-in evaluator regardless (the conformance
+    query pins its committed fixture to the built-in's exact float
+    behavior, which scipy's different solve order would perturb in the
+    last ulp); True requires scipy and raises if absent."""
     import pandas as pd
 
-    try:
-        from scipy.interpolate import interp1d
-    except ImportError:
-        interp1d = None
+    interp1d = None
+    if use_scipy is not False:
+        try:
+            from scipy.interpolate import interp1d
+        except ImportError:
+            if use_scipy is True:
+                raise
 
     out_col = out_col or value_col
     schema = df.withColumn(out_col, F.col(value_col).cast("double")).schema

@@ -45,13 +45,24 @@ _PERSISTED: deque[DataFrame] = deque()
 _PERSISTED_CAP = 8
 
 
+def _drop_oldest() -> None:
+    """Unpersist the oldest registered cache; a handle bound to a
+    stopped SparkSession just drops silently (the deque outlives the
+    session in long-lived processes that recreate their session)."""
+    df = _PERSISTED.popleft()
+    try:
+        df.unpersist()
+    except Exception:  # noqa: BLE001 — dead-session handle, nothing to free
+        pass
+
+
 def release_quantile_caches() -> int:
     """Unpersist every cached intermediate from prior quantile_disc
     calls; returns how many were released. Plans already returned stay
     valid — they recompute the count agg if executed again."""
     n = 0
     while _PERSISTED:
-        _PERSISTED.popleft().unpersist()
+        _drop_oldest()
         n += 1
     return n
 
@@ -85,7 +96,7 @@ def quantile_disc(
     )
     _PERSISTED.append(cnt)
     while len(_PERSISTED) > _PERSISTED_CAP:
-        _PERSISTED.popleft().unpersist()
+        _drop_oldest()
     mm = cnt.agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
     ).collect()[0]

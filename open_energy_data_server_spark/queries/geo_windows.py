@@ -284,7 +284,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            r.event_id AS tick_id, {sql_ts_str('r.ts')} AS pts_s,
            r.value AS tick_value
     FROM events l JOIN events r
-      ON l.user_id = r.user_id
+      ON l.user_id IS NOT DISTINCT FROM r.user_id
      AND r.ts >= l.ts - INTERVAL '30 minutes'
      AND r.ts <= l.ts + INTERVAL '30 minutes'
     WHERE l.event_id % 10 = 0 AND r.event_id % 10 = 5

@@ -8,6 +8,8 @@ strings, so no fixed-point is needed except where sums appear.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -305,7 +307,13 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/gen_cubic_fixture.py, which must be re-run if these change.
 CUBIC_N_SERIES = 40
 CUBIC_N_POINTS = 250
-CUBIC_FIXTURE = "/root/repo/fixtures/cubic_expected.parquet"
+# repo-root-relative so the oracle string survives a different checkout
+# location (resolved once at import; oracle_sql() is called afterwards)
+CUBIC_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "cubic_expected.parquet",
+)
 
 
 def cubic_input_df(spark: SparkSession) -> DataFrame:
@@ -349,7 +357,12 @@ def q_interpolate_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_energy_data_server_spark.operators.interpolate import interpolate_cubic
 
     sparse = cubic_input_df(spark)
-    out = interpolate_cubic(sparse, "v", "x", partition_by=["series_id"], out_col="v_fit")
+    # use_scipy=False: the fixture pins the BUILT-IN evaluator's exact
+    # floats; scipy's different solve order would perturb the last ulp
+    # and flip 6-digit roundings in a scipy-equipped environment
+    out = interpolate_cubic(
+        sparse, "v", "x", partition_by=["series_id"], out_col="v_fit", use_scipy=False
+    )
     return out.select("row_id", "series_id", F.round("v_fit", 6).alias("v_cubic"))
 
 

@@ -68,9 +68,17 @@ def land(
     if unpack and sevenzip.is_7z(payload):
         extract_dir = target + ".d"
         shutil.rmtree(extract_dir, ignore_errors=True)
+        root = os.path.realpath(extract_dir)
         for member, content in sevenzip.read_7z(payload).items():
-            # members may carry archive-relative subpaths
-            dest = os.path.join(extract_dir, *member.replace("\\", "/").split("/"))
+            # members may carry archive-relative subpaths; a fetched
+            # archive is untrusted input, so reject absolute or
+            # ../-escaping names instead of writing outside the landing
+            # dir (zipfile.extractall applies the same containment)
+            dest = os.path.realpath(
+                os.path.join(root, *member.replace("\\", "/").split("/"))
+            )
+            if os.path.commonpath([root, dest]) != root:
+                raise ValueError(f"7z member escapes extraction dir: {member!r}")
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             with open(dest, "wb") as mf:
                 mf.write(content)

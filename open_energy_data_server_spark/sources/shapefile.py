@@ -217,9 +217,6 @@ def read_shapefile_dir(spark: SparkSession, glob_path: str) -> DataFrame:
     )
 
 
-GdbRangeReader = "Callable[[str, str, int, int], pd.DataFrame]"
-
-
 def read_gdb(
     spark: SparkSession,
     gdb_dir: str,
@@ -259,7 +256,10 @@ def read_gdb(
         for i, start in enumerate(range(0, total_rows, rows_per_task))
     ]
     ranges = local_df(spark, slices, "slice_id int, start long, stop long")
-    ranges = ranges.repartition(len(slices), "slice_id")
+    # range (not hash) partitioning: pmod(hash(id), n) birthday-collides
+    # several slices into one task while leaving others empty — range
+    # boundaries over the dense int domain give the true 1:1 layout
+    ranges = ranges.repartitionByRange(len(slices), "slice_id")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

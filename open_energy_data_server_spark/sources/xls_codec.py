@@ -69,9 +69,7 @@ def _decode_rk(rk: int) -> float | int:
             v -= 1 << 30
     else:  # high 30 bits of an IEEE double
         (v,) = struct.unpack("<d", struct.pack("<Q", (rk & ~0x3) << 32))
-    if div100:
-        return v / 100
-    return v if isinstance(v, int) else v
+    return v / 100 if div100 else v
 
 
 def _read_unicode(buf: bytes, off: int, cch: int) -> tuple[str, int]:
@@ -136,11 +134,18 @@ def _parse_sst(stream: bytes) -> list[str]:
         wide = bool(grbit & 0x01)
         while remaining:
             if off >= len(frags[fi]):
+                if fi + 1 >= len(frags):
+                    raise XlsError("truncated SST (string continues past last fragment)")
                 fi, off = fi + 1, 0
                 wide = bool(frags[fi][off] & 0x01)  # continue re-flags
                 off += 1
             avail = len(frags[fi]) - off
             take = min(remaining, avail // 2 if wide else avail)
+            if take == 0:
+                # odd trailing byte before a wide run: spec-conformant
+                # writers split at char boundaries, so this is corrupt —
+                # raise instead of spinning forever
+                raise XlsError("corrupt SST (fragment splits a UTF-16 code unit)")
             if wide:
                 text += frags[fi][off: off + 2 * take].decode("utf-16-le")
                 off += 2 * take

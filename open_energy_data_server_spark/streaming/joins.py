@@ -74,7 +74,13 @@ def stream_stream_join(
         ts_ok = isinstance(l_wm.schema[left_ts].dataType, TimestampType) and isinstance(
             r_wm.schema[right_ts].dataType, TimestampType
         )
-        w_us = (_interval_ms(lower) + _interval_ms(upper)) * 1000
+        try:
+            # single-unit intervals only; compound forms ('1 hour 30
+            # minutes') fall through to the plain join, which accepts
+            # the full Spark INTERVAL grammar
+            w_us = (_interval_ms(lower) + _interval_ms(upper)) * 1000
+        except (KeyError, ValueError):
+            w_us = 0
         if w_us > 0 and ts_ok:
             lo_b = F.floor(
                 (F.unix_micros(F.col(left_ts)) - F.lit(_interval_ms(lower) * 1000))

@@ -54,6 +54,7 @@ def running_user_stats(events: DataFrame) -> DataFrame:
 
 
 OUTPUT_SCHEMA_TTL = "user_id bigint, n bigint, total double, last_value double, expired boolean"
+STATE_SCHEMA_TTL = "n bigint, total double, last_value double, last_ts_ms bigint"
 
 
 def running_user_stats_ttl(events: DataFrame, ttl: str = "30 minutes") -> DataFrame:
@@ -76,7 +77,7 @@ def running_user_stats_ttl(events: DataFrame, ttl: str = "30 minutes") -> DataFr
         key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            n, total, last = state.get
+            n, total, last, _ = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -88,21 +89,27 @@ def running_user_stats_ttl(events: DataFrame, ttl: str = "30 minutes") -> DataFr
                 }
             )
             return
-        n, total, last = state.get if state.exists else (0, 0.0, None)
-        last_event_ms = None
+        n, total, last, last_ts_ms = state.get if state.exists else (0, 0.0, None, -1)
+        # last_value/deadline follow the MAX EVENT TIME seen so far —
+        # compared per chunk AND against state, because Arrow chunks
+        # within a batch arrive in arbitrary order and a late-but-valid
+        # older event must neither overwrite last_value nor drag the
+        # TTL deadline backwards
         for pdf in batches:
             if pdf.empty:
                 continue
             n += len(pdf)
             total += float(pdf["value"].sum())
-            pdf_sorted = pdf.sort_values("ts")
-            last = float(pdf_sorted["value"].iloc[-1])
-            last_event_ms = int(pdf_sorted["ts"].iloc[-1].timestamp() * 1000)
-        state.update((n, total, last))
-        if last_event_ms is not None:
-            # deadline = last event time + TTL, floored above the current
-            # watermark (Spark rejects timeouts at/below the watermark)
-            deadline = max(last_event_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            idx = pdf["ts"].idxmax()
+            chunk_ms = int(pdf["ts"].loc[idx].timestamp() * 1000)
+            if chunk_ms > last_ts_ms:
+                last_ts_ms = chunk_ms
+                last = float(pdf["value"].loc[idx])
+        state.update((n, total, last, last_ts_ms))
+        if last_ts_ms >= 0:
+            # deadline = newest event time + TTL, floored above the
+            # current watermark (Spark rejects timeouts at/below it)
+            deadline = max(last_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
             state.setTimeoutTimestamp(deadline)
         yield pd.DataFrame(
             {
@@ -115,7 +122,7 @@ def running_user_stats_ttl(events: DataFrame, ttl: str = "30 minutes") -> DataFr
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
-        update, OUTPUT_SCHEMA_TTL, STATE_SCHEMA, "update", GroupStateTimeout.EventTimeTimeout
+        update, OUTPUT_SCHEMA_TTL, STATE_SCHEMA_TTL, "update", GroupStateTimeout.EventTimeTimeout
     )
 
 

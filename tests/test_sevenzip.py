@@ -111,3 +111,15 @@ def test_landing_unpacks_7z_and_spark_reads_members(spark, tmp_path):
     )
     counts = {r["house"]: r["n"] for r in df.groupBy("house").agg(F.count("*").alias("n")).collect()}
     assert counts == {"house_1": 50, "house_2": 80}
+
+
+def test_landing_rejects_path_traversal_member(tmp_path):
+    """A fetched 7z is untrusted: a member named '../evil' must raise,
+    not write outside the extraction dir."""
+    from open_energy_data_server_spark.sources.landing import land
+
+    src = tmp_path / "evil.7z"
+    src.write_bytes(write_7z({"../../evil.txt": b"pwned"}, codec="copy"))
+    with pytest.raises(ValueError, match="escapes extraction dir"):
+        land(str(src), str(tmp_path / "landing"), "evil.7z")
+    assert not (tmp_path / "evil.txt").exists()

@@ -241,6 +241,10 @@ def test_read_gdb_distributed_slices(spark, tmp_path):
         rows_per_task=1000,
     )
     assert df.rdd.getNumPartitions() == 11  # ceil(10007/1000) slices
+    # true 1:1 slice→task layout (range partitioning — hash would
+    # birthday-collide slices into shared tasks)
+    sizes = sorted(len(p) for p in df.rdd.glom().collect())
+    assert sizes == [7] + [1000] * 10
     assert df.count() == n
     got = df.filter("id IN (0, 9999, 10006)").orderBy("id").collect()
     assert [r.id for r in got] == [0, 9999, 10006]

@@ -335,3 +335,54 @@ def test_stateful_ttl_expires_and_restarts(spark, tmp_path):
     assert (1, 2.0, False) in eights, f"expected fresh restart, got {eights}"
     # the tombstone carries the pre-expiry totals exactly once
     assert eights.count((1, 5.0, True)) == 1
+
+
+def test_stateful_ttl_out_of_order_event_keeps_newest(spark, tmp_path):
+    """A late-but-valid OLDER event (above watermark) must neither
+    overwrite last_value nor drag the TTL deadline backwards — the
+    newest-event-time rule, kept in state across batches."""
+    from open_energy_data_server_spark.streaming.stateful import running_user_stats_ttl
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, dt.datetime(2024, 1, 1, 13, 0), 7, 30.0)])
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src).withWatermark("ts", "10 minutes")
+    q = (
+        running_user_stats_ttl(stream, ttl="30 minutes")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory")
+        .queryName("ttl_ooo")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # older event at 12:55 — above the 12:50 watermark so it is NOT
+        # late-filtered, but older than the 13:00 state
+        _write_batch(spark, src, [(2, dt.datetime(2024, 1, 1, 12, 55), 7, 99.0)])
+        q.processAllAvailable()
+        rows = [
+            (r.n, r.last_value, r.expired)
+            for r in spark.sql("SELECT * FROM ttl_ooo WHERE user_id = 7 ORDER BY n").collect()
+        ]
+    finally:
+        q.stop()
+    # both events counted, but last_value stays the 13:00 reading
+    assert rows[-1] == (2, 30.0, False), rows
+
+
+def test_stream_stream_join_compound_interval_falls_back(spark):
+    """Compound interval strings aren't bucket-parseable — the batch
+    path must fall back to the plain join, not crash."""
+    from open_energy_data_server_spark.streaming.joins import stream_stream_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0, 7, 1.0)], EVENTS_DDL)
+    right = spark.createDataFrame(
+        [(9, t0 + dt.timedelta(minutes=70), 7, 2.0)],
+        "rid long, pts timestamp, user_id long, price double",
+    )
+    out = stream_stream_join(
+        left, right, ["user_id"], "ts", "pts", "1 minute", "1 minute",
+        "1 hour 30 minutes", "1 hour 30 minutes",
+    )
+    assert [(r.event_id, r.rid) for r in out.collect()] == [(1, 9)]

@@ -146,3 +146,25 @@ def test_read_excel_files_mixed_formats_distributed(spark, tmp_path):
     rows = {r.source_file: (r.name, r.ratio) for r in df.collect() if r.name in ("delta", "alpha")}
     assert rows["old"] == ("delta", 9.5)
     assert rows["new"][0] == "alpha"
+
+
+def test_corrupt_sst_odd_split_raises_not_hangs():
+    """A wide SST fragment ending on an odd byte (splitting a UTF-16
+    code unit) is corrupt per spec — must raise XlsError, not spin."""
+    s = "wide"
+    # header says 4 wide chars, but fragment carries 3 bytes of chars
+    part0 = struct.pack("<HB", 4, 1) + s.encode("utf-16-le")[:3]
+    part1 = b"\x01" + s.encode("utf-16-le")[3:]
+    book = _rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 1, 0))
+    book += _rec(0x00FC, struct.pack("<II", 1, 1) + part0)
+    book += _rec(0x003C, part1)
+    nm = b"S"
+    probe = _rec(0x0085, struct.pack("<IBB", 0, 0, 0) + bytes([1, 0]) + nm)
+    pos = len(book) + len(probe) + 4
+    book += _rec(0x0085, struct.pack("<IBB", pos, 0, 0) + bytes([1, 0]) + nm)
+    book += _rec(0x000A, b"")
+    book += _rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 1, 0))
+    book += _rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))
+    book += _rec(0x000A, b"")
+    with pytest.raises(XlsError, match="corrupt SST|truncated SST"):
+        parse_xls(write_cfb({"Workbook": book}), header=False)
