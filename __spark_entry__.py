@@ -30,6 +30,9 @@ _DRIVER_PRIORITY = [
     "q_interpolate_cubic",
     "q_stream_stream_join",
     "q_boilerplate_strip",
+    "q_tfidf_topk",
+    "q_bm25_search",
+    "q_familiarity_buckets",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

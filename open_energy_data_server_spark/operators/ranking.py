@@ -1,0 +1,211 @@
+"""Lexical relevance ranking over the document corpus: TF-IDF keyword
+extraction, BM25 retrieval, and a unigram-LM familiarity score (the
+CCNet-style "perplexity bucket" quality signal, log-free).
+
+Reference parity: the reference serves its curated tables to
+dashboards that filter/rank by free-text relevance only via SQL LIKE
+(e.g. /root/reference/dashboards/*.json panel queries); a corpus-scale
+engine needs real ranked retrieval. All three operators are pure
+relational compositions — tokenize → explode → hash-agg joins — no
+Python in any path, so they run at scan speed and every shuffle key is
+a (term) or (doc_id) skinny row, never the document text.
+
+Determinism note (oracle parity): transcendental functions are NOT
+bit-identical across engines (measured: JVM ``Math.log`` vs DuckDB
+``ln`` differ in the last ulp for ~7% of arguments), so the
+conformance variants (``exact=True``) use a *rational* idf —
+``(N+1)/(df+1)`` for TF-IDF, the Robertson–Spärck-Jones
+``(N-df+0.5)/(df+0.5)`` for BM25 *without* the outer log. IEEE
+``+ - * /`` and ``sqrt`` are correctly rounded, hence bit-identical on
+both engines given the same parenthesization; per-term scores are
+fixed-point-summed (see queries/_util.py) so the reduction is
+order-free. The default (``exact=False``) applies the standard
+logarithmic idf for production use.
+
+Scale notes (100 TB): the document-frequency table is |vocab| rows —
+tiny relative to the corpus — and is broadcast into the per-term scan;
+the only full shuffle is the (doc_id) score re-aggregation whose rows
+are (doc_id, bigint) pairs. Top-k per doc pushes WindowGroupLimit
+below the exchange (rank-window on skinny rows). BM25's query-term
+set is plan-embedded (an IN filter on the exploded terms → predicate
+pushdown prunes everything else before the first shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.constants import SCALE
+from open_energy_data_server_spark.operators.textops import tokens
+
+
+def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf, dl) — per-document term frequencies plus the
+    document length in tokens. One generate + one (doc, term) partial
+    hash-agg; text leaves the row before any exchange."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, "doc")
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    exact: bool = False,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document:
+    ``score = (tf/dl) · idf`` with ``idf = ln((N+1)/(df+1)) + 1``
+    (sklearn-smoothed) or, for ``exact=True`` (conformance), the
+    rational ``idf = (N+1)/(df+1)`` — same monotone direction in df,
+    bit-identical across engines.
+
+    Plan: per-(doc,term) agg → broadcast join of the |vocab|-row df
+    table and the scalar N → rank window partitioned by doc (the
+    engine's WindowGroupLimit keeps only k rows per doc below the
+    exchange). Ties break on term so output order is total.
+    """
+    terms = doc_terms(df, id_col, text_col)
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = terms.join(F.broadcast(dfreq), "term").join(F.broadcast(n))
+    ratio = (F.col("n_docs").cast("double") + 1.0) / (
+        F.col("df").cast("double") + 1.0
+    )
+    idf = ratio if exact else F.log(ratio) + 1.0
+    score = (F.col("tf").cast("double") / F.col("dl").cast("double")) * idf
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "term",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exact: bool = False,
+) -> DataFrame:
+    """BM25 top-``k`` documents for a bag-of-words query.
+
+    ``score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·((1-b) + b·dl/avgdl))``
+    with the Robertson–Spärck-Jones idf ``ln(1 + (N-df+0.5)/(df+0.5))``
+    or, for ``exact=True`` (conformance), its log-free rational core
+    ``(N-df+0.5)/(df+0.5)``. The per-term contributions are rounded to
+    6-decimal fixed point and summed as BIGINT so the per-doc total is
+    reduction-order-free (oracle-hashable); parenthesization matches
+    the SQL twin operation for operation.
+
+    Plan: the plan-embedded IN(query_terms) filter prunes the exploded
+    term stream *before* the first aggregation; df/N/avgdl are
+    broadcast scalars; the only full shuffle carries (doc, bigint).
+    """
+    all_terms = doc_terms(df, id_col, text_col)
+    terms = all_terms.filter(F.col("term").isin(list(query_terms)))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    stats = df.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        all_terms.groupBy("doc")
+        .agg(F.max("dl").alias("dl"))
+        .agg(
+            F.sum("dl").alias("sum_dl"),
+            F.count(F.lit(1)).alias("n_with_terms"),
+        )
+    )
+    joined = terms.join(F.broadcast(dfreq), "term").join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_with_terms").cast("double")
+    rsj = (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5) / (
+        F.col("df").cast("double") + 0.5
+    )
+    idf = rsj if exact else F.log(1.0 + rsj)
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    contrib = idf * ((tf * F.lit(k1 + 1.0)) / denom)
+    per_doc = (
+        joined.select(
+            "doc", F.round(contrib * SCALE, 0).cast("bigint").alias("c")
+        )
+        .groupBy("doc")
+        .agg((F.sum("c").cast("double") / F.lit(float(SCALE))).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias("doc_id"), "score", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def familiarity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style corpus-familiarity bucketing, log-free.
+
+    CCNet ranks documents by an external LM's perplexity and splits
+    the corpus into head/middle/tail thirds. The engine's native
+    analog scores each document by the *corpus's own* unigram model —
+    ``score(D) = (1/|D|) · Σ_tok p(tok)`` with
+    ``p(tok) = count(tok)/total_tokens`` — so familiar, repetitive
+    corpus language scores high (head) and rare/outlier language
+    scores low (tail). No external model, no transcendentals: p(tok)
+    is one exact-int division, the per-doc mean is a fixed-point sum
+    (order-free) divided by |D|, and buckets are ``ntile`` over
+    (score, doc) — a total order, so the split is deterministic.
+
+    Plan: the unigram table is |vocab| rows → broadcast; one (doc)
+    shuffle of bigint partials; the ntile window is a single skinny
+    global sort (rows = |docs|, not |tokens|). At 100 TB replace the
+    global ntile with precomputed score-quantile cut points (the
+    engine's two-phase quantiles) — same output contract.
+    """
+    terms = doc_terms(df, id_col, text_col)
+    uni = terms.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("total"))
+    p = (F.col("cnt").cast("double") / F.col("total").cast("double"))
+    scored = (
+        terms.join(F.broadcast(uni), "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc",
+            "dl",
+            F.round((F.col("tf").cast("double") * p) * SCALE, 0)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("doc", "dl")
+        .agg(
+            (
+                (F.sum("c").cast("double") / F.lit(float(SCALE)))
+                / F.col("dl").cast("double")
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc"))
+    return scored.select(
+        F.col("doc").alias("doc_id"),
+        "score",
+        F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+    )

@@ -47,6 +47,7 @@ def _load_all() -> None:
         relational,
         reshape_asof,
         scalars,
+        search_rank,
         windows,
     )
 

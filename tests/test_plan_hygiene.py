@@ -57,10 +57,15 @@ def test_no_python_in_query_plans(spark):
 #   - brute-force ANN: |Q| query rows broadcast (non-equi vid != qid)
 #   - sampled cosine near-dup: 1/17 sample, block_col bounds it at scale
 #   - watermark filter: 1-row agg(max) scalar broadcast (W4 pattern)
+#   - ranking queries: 1-row corpus-stat broadcasts (N docs, Σdl,
+#     Σcnt) attached keylessly — the scalar-subquery shape
 NLJ_ALLOWED = {
     "q_ann_bruteforce_topk",
     "q_dedup_embedding_cosine",
     "q_incremental_since_watermark",
+    "q_tfidf_topk",
+    "q_bm25_search",
+    "q_familiarity_buckets",
 }
 
 

@@ -1,0 +1,69 @@
+"""Unit tests for operators/ranking.py — the production (log-idf)
+variants and structural invariants; the exact conformance variants are
+covered by test_oracle_parity via queries/search_rank.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.operators.ranking import (
+    bm25_topk,
+    doc_terms,
+    familiarity_buckets,
+    tfidf_topk,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark spark spark join"),
+        (2, "join hash window stream join hash"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (4, "spark  Spark\tSPARK"),  # case/whitespace normalization
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_doc_terms_normalizes_and_counts(spark):
+    t = {
+        (r["doc"], r["term"]): (r["tf"], r["dl"])
+        for r in doc_terms(_docs(spark), "doc_id", "text").collect()
+    }
+    assert t[(4, "spark")] == (3, 3)  # lowercased, multi-space split
+    assert t[(1, "spark")] == (3, 4)
+    assert t[(2, "join")] == (2, 6)
+
+
+def test_tfidf_log_variant_ranks_rare_terms_first(spark):
+    out = tfidf_topk(_docs(spark), "doc_id", "text", k=2, exact=False)
+    rows = {(r["doc_id"], r["rank"]): r["term"] for r in out.collect()}
+    # doc 1: 'spark' (tf 3/4, df 2) outranks 'join' (tf 1/4, df 2)
+    assert rows[(1, 1)] == "spark"
+    # every doc emits at most k rows, ranks are 1..k contiguous
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    for r in per_doc.collect():
+        assert r["n"] == r["mx"] <= 2
+
+
+def test_bm25_log_variant_prefers_matching_docs(spark):
+    out = bm25_topk(
+        _docs(spark), "doc_id", "text", ["join", "hash"], k=10, exact=False
+    ).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # doc 2 has both terms twice; doc 1 has one 'join'; doc 3/4 none
+    assert ranked[0] == 2
+    assert set(ranked) == {1, 2}
+
+
+def test_familiarity_bucket_head_is_common_language(spark):
+    rows = [(i, "common words common words") for i in range(1, 7)] + [
+        (7, "xylophone quark zeppelin"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["bucket"] for r in
+           familiarity_buckets(docs, "doc_id", "text", n_buckets=3).collect()}
+    # the outlier-language doc lands in the tail bucket
+    assert out[7] == 3
+    assert min(out.values()) == 1
