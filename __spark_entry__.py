@@ -33,6 +33,8 @@ _DRIVER_PRIORITY = [
     "q_tfidf_topk",
     "q_bm25_search",
     "q_familiarity_buckets",
+    "q_semdedup_pairs",
+    "q_image_dhash",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
@@ -186,3 +186,98 @@ def sample_video_frames(
             yield pd.DataFrame({"asset_id": ids, "t_s": ts, "payload": frames})
 
     return src.mapInPandas(run, "asset_id bigint, t_s double, payload binary")
+
+
+# ---- perceptual difference-hash (dHash) near-dup --------------------------
+#
+# dHash (Krawetz): downsample to a (h × w) grayscale grid, emit one bit
+# per horizontal neighbour pair — bit set iff px[r,c] < px[r,c+1] —
+# giving an h·(w-1)-bit fingerprint that survives re-encoding and small
+# edits; near-duplicate frames differ in a few bits (Hamming).
+#
+# The grid feed is relational: callers pass a column holding the
+# row-major byte grid. For true binary payloads the decode/resize to
+# the grid happens in the documented mapInPandas codec seam
+# (fake_resize_bytes / injectable PIL); the conformance path uses an
+# ASCII byte-grid stand-in (the q_multimodal_decode convention) so the
+# hash arithmetic itself — the product under test — is pure
+# whole-stage-codegen expressions on both engines.
+
+DHASH_W = 11  # grid width  → 10 comparisons per row
+DHASH_H = 6  # grid height → 60 bits total (4 bands × 15, simhash-style)
+DHASH_BITS = DHASH_H * (DHASH_W - 1)
+DHASH_BANDS = 4
+
+
+def dhash_bits(grid: Column) -> Column:
+    """60-bit dHash of a row-major ``DHASH_H×DHASH_W`` byte grid held
+    in a string column (first ``DHASH_H*DHASH_W`` bytes are used).
+    Pure expression — no Python, no shuffle."""
+    acc = F.lit(0).cast("bigint")
+    for r in range(DHASH_H):
+        for c in range(DHASH_W - 1):
+            j = r * (DHASH_W - 1) + c
+            pos = r * DHASH_W + c + 1  # 1-based
+            left = F.ascii(F.substring(grid, pos, 1))
+            right = F.ascii(F.substring(grid, pos + 1, 1))
+            acc = acc + F.when(
+                left < right, F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+    return acc
+
+
+def dhash_bands(hash_col: Column) -> list[Column]:
+    """Split a 60-bit dHash into 4 × 15-bit band keys (LSH banding:
+    two images within Hamming distance 3 agree on ≥1 band — the
+    pigeonhole guarantee the simhash pair search also uses)."""
+    width = DHASH_BITS // DHASH_BANDS
+    mask = (1 << width) - 1
+    return [
+        (F.shiftrightunsigned(hash_col, b * width).bitwiseAND(F.lit(mask)))
+        .cast("bigint")
+        .alias(f"band{b}")
+        for b in range(DHASH_BANDS)
+    ]
+
+
+def dhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) image near-dup pairs by banded dHash.
+
+    Candidate generation is the banded equality join — |assets|·4
+    skinny (band, key) rows, never pairs² — then the exact Hamming
+    check (bit_count of xor) filters. 100% recall for
+    ``max_hamming < DHASH_BANDS`` by pigeonhole."""
+    base = df.select(
+        F.col(id_col).alias("aid"),
+        F.col(hash_col).alias("h"),
+    )
+    banded = base.select(
+        "aid",
+        "h",
+        F.posexplode(F.array(*[c for c in dhash_bands(F.col("h"))])).alias(
+            "band", "key"
+        ),
+    )
+    a = banded.select(
+        F.col("aid").alias("id_a"), F.col("h").alias("h_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("aid").alias("id_b"), F.col("h").alias("h_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -384,3 +384,45 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    found by clustering the embedding space first and comparing only
+    *within* clusters — the principled blocking scheme for
+    embedding-cosine dedup at corpus scale.
+
+    Codebook: the ``n_clusters`` lowest-id vectors (the deterministic
+    stand-in the IVF path also uses; swap in an offline k-means
+    codebook in production — the assignment/blocking machinery is
+    identical). Assignment is the zero-shuffle ``ivf_assign``
+    projection; the pair search is ``cosine_neardup_pairs`` blocked on
+    the cluster id, so candidate generation is Σ|cluster|² instead of
+    |corpus|² — and at 100 TB the corpus is written bucketed BY
+    cluster, making the pair join co-partitioned and shuffle-free.
+
+    Output: (id_a, id_b, cluster, cosine) with id_a < id_b and
+    cosine ≥ threshold.
+    """
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in df.filter(F.col(id_col) < n_clusters)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    withblk = df.select(F.col(id_col).alias("vid"), F.col(vec_col)).join(
+        assigned, "vid"
+    )
+    pairs = cosine_neardup_pairs(
+        withblk, "vid", vec_col, threshold=threshold, block_col="cluster"
+    )
+    return pairs.join(
+        F.broadcast(assigned.withColumnRenamed("vid", "id_a")), "id_a"
+    ).select("id_a", "id_b", F.col("cluster").cast("int").alias("cluster"), "cosine")

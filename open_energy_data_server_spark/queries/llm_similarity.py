@@ -235,3 +235,105 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", query_ids=list(range(10)), n_centroids=16,
         nprobe=2, k=5,
     )
+
+
+@query(
+    "q_semdedup_pairs",
+    oracle=f"""
+    WITH {SQL_COMP},
+    norms AS (
+      SELECT vid, {_FS.format(expr="val * val")} AS norm2 FROM comp GROUP BY vid
+    ),
+    centc AS (SELECT vid AS cid, pos, val AS cval FROM comp WHERE vid < 8),
+    cscore AS (
+      SELECT c.vid, cc.cid, {_FS.format(expr="c.val * cc.cval")} AS dot
+      FROM comp c JOIN centc cc ON c.pos = cc.pos
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s.vid, s.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vid
+               ORDER BY s.dot / (SQRT(nv.norm2) * SQRT(nc.norm2)) DESC, s.cid) AS rn
+      FROM cscore s
+      JOIN norms nv ON s.vid = nv.vid
+      JOIN norms nc ON s.cid = nc.vid
+    ),
+    assigned AS (SELECT vid, cid AS cluster FROM ranked WHERE rn = 1),
+    pairs AS (
+      SELECT a.vid AS va, b.vid AS vb, a.cluster
+      FROM assigned a JOIN assigned b USING (cluster)
+      WHERE a.vid < b.vid
+    ),
+    pdots AS (
+      SELECT p.va, p.vb, p.cluster, {_FS.format(expr="ca.val * cb.val")} AS dot
+      FROM pairs p
+      JOIN comp ca ON ca.vid = p.va
+      JOIN comp cb ON cb.vid = p.vb AND cb.pos = ca.pos
+      GROUP BY 1, 2, 3
+    )
+    SELECT va AS id_a, vb AS id_b, CAST(cluster AS INTEGER) AS cluster,
+           d.dot / (SQRT(na.norm2) * SQRT(nb.norm2)) AS cosine
+    FROM pdots d
+    JOIN norms na ON d.va = na.vid
+    JOIN norms nb ON d.vb = nb.vid
+    WHERE d.dot / (SQRT(na.norm2) * SQRT(nb.norm2)) >= 0.3
+    """,
+)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 8 deterministic coarse
+    clusters (lowest-id codebook, as the IVF path), within-cluster
+    cosine near-dup pairs at threshold 0.3 — the cluster id is the
+    blocking key cosine_neardup_pairs requires at scale
+    (operators.similarity.semdedup_pairs)."""
+    from open_energy_data_server_spark.operators.similarity import semdedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, "vec_id", "embedding", n_clusters=8, threshold=0.3)
+
+
+# DuckDB twin of multimodal.dhash_bits on the ASCII stand-in grid
+_DHASH_SQL = " + ".join(
+    f"(CASE WHEN ascii(substr(text, {r * 11 + c + 1}, 1))"
+    f" < ascii(substr(text, {r * 11 + c + 2}, 1))"
+    f" THEN CAST({1 << (r * 10 + c)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for r in range(6)
+    for c in range(10)
+)
+
+
+@query(
+    "q_image_dhash",
+    oracle=f"""
+    WITH grids AS (
+      SELECT doc_id AS asset_id, text FROM documents
+      WHERE strlen(text) = length(text) AND length(text) >= 66
+    ),
+    h AS (SELECT asset_id, ({_DHASH_SQL}) AS dhash FROM grids)
+    SELECT asset_id, dhash,
+           CAST((dhash >> 0)  & 32767 AS BIGINT) AS band0,
+           CAST((dhash >> 15) & 32767 AS BIGINT) AS band1,
+           CAST((dhash >> 30) & 32767 AS BIGINT) AS band2,
+           CAST((dhash >> 45) & 32767 AS BIGINT) AS band3
+    FROM h
+    """,
+)
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash index build (multimodal near-dup
+    scale path): 60-bit dHash per asset + the 4 × 15-bit LSH band
+    keys that bucket the corpus for pair search
+    (operators.multimodal.dhash_bits/dhash_bands). Byte grids use the
+    ASCII stand-in convention of q_multimodal_decode; real binary
+    payloads reach the same grid through the injectable codec seam.
+    Pure projection — zero shuffles, whole-stage codegen."""
+    from open_energy_data_server_spark.operators.multimodal import (
+        dhash_bands,
+        dhash_bits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grids = docs.filter(
+        (F.octet_length("text") == F.length("text")) & (F.length("text") >= 66)
+    ).select(F.col("doc_id").alias("asset_id"), F.col("text"))
+    h = grids.select("asset_id", dhash_bits(F.col("text")).alias("dhash"))
+    return h.select("asset_id", "dhash", *dhash_bands(F.col("dhash")))
