@@ -1,0 +1,121 @@
+"""Distributed spherical k-means (Lloyd iterations) over an embedding
+column — the offline codebook trainer behind the IVF index and
+SemDeDup blocking (operators/similarity.py uses its output as the
+plan-embedded centroid table).
+
+Iteration shape (per Lloyd step):
+  1. ASSIGN — nearest centroid by cosine, a zero-shuffle projection
+     against plan-embedded centroid literals (``ivf_assign``); ties
+     break on centroid id so the argmax is total.
+  2. UPDATE — new centroid c = per-dimension mean of its members:
+     one (cluster, pos) hash-agg over the exploded components, k·d
+     result rows collected to the driver (bounded: 8×64 here; even a
+     4096×4096 codebook is 16M scalars — driver metadata, not data).
+     Clusters that lose all members are dropped (both engines drop
+     identically — deterministic).
+
+Determinism (oracle parity): assignment uses the engine's fixed-point
+cosine (``fixed_dot``), and the per-dim mean is a fixed-point bigint
+sum divided by the member count — every double on the path is the
+result of correctly-rounded IEEE ops on identical inputs, so a DuckDB
+twin replays a full Lloyd step bit-for-bit (q_kmeans_refine).
+
+Scale notes: each iteration is one scan + one skinny shuffle of
+(cluster, pos, bigint) partials — map-side combine applies; the
+vectors themselves never shuffle. Driver round-trips are O(iters),
+not O(rows). The classic Spark-first iterative-algorithm shape:
+declarative per-step plans, imperative driver loop only across steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.constants import SCALE
+from open_energy_data_server_spark.operators.similarity import (
+    ivf_assign,
+    unpack_components,
+)
+
+Centroids = list[tuple[int, list[float]]]
+
+
+def init_centroids(df: DataFrame, id_col: str, vec_col: str, k: int) -> Centroids:
+    """Deterministic seeding: the k lowest-id vectors (the same
+    convention the IVF/SemDeDup stand-in codebooks use, so a fit
+    refines exactly what those paths start from)."""
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    return [(int(r["i"]), [float(x) for x in r["v"]]) for r in rows]
+
+
+def update_centroids(
+    df: DataFrame, id_col: str, vec_col: str, centroids: Centroids
+) -> Centroids:
+    """One Lloyd step: assign to nearest centroid (cosine), return the
+    per-dimension member means as the new codebook, keeping each
+    cluster's old centroid id as its key (empty clusters dropped)."""
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    comp = unpack_components(df, id_col, vec_col)
+    means = (
+        comp.join(assigned, "vid")
+        .groupBy("cluster", "pos")
+        .agg(
+            (
+                (
+                    F.sum(F.round(F.col("val") * SCALE, 0).cast("bigint")).cast(
+                        "double"
+                    )
+                    / float(SCALE)
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cid.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["m"])
+    return [
+        (cid, [vals[p] for p in sorted(vals)]) for cid, vals in sorted(by_cid.items())
+    ]
+
+
+def kmeans_fit(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 2
+) -> Centroids:
+    """``iters`` Lloyd steps from the deterministic seed; returns the
+    trained codebook for ``ivf_assign`` / ``semdedup_pairs``."""
+    centroids = init_centroids(df, id_col, vec_col, k)
+    for _ in range(iters):
+        centroids = update_centroids(df, id_col, vec_col, centroids)
+    return centroids
+
+
+def kmeans_refine_assignment(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8
+) -> DataFrame:
+    """(vid, cluster0, cluster, moved) — membership before and after
+    ONE Lloyd refinement of the lowest-id seed codebook. The
+    conformance surface for the iterative path: a DuckDB twin replays
+    the full step (assign → fixed-point means → re-assign)."""
+    cent0 = init_centroids(df, id_col, vec_col, k)
+    a0 = ivf_assign(df, id_col, vec_col, cent0).withColumnRenamed(
+        "cluster", "cluster0"
+    )
+    cent1 = update_centroids(df, id_col, vec_col, cent0)
+    a1 = ivf_assign(df, id_col, vec_col, cent1)
+    return (
+        a0.join(a1, "vid")
+        .select(
+            "vid",
+            F.col("cluster0").cast("int").alias("cluster0"),
+            F.col("cluster").cast("int").alias("cluster"),
+            (F.col("cluster0") != F.col("cluster")).alias("moved"),
+        )
+    )

@@ -337,3 +337,75 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("asset_id"), F.col("text"))
     h = grids.select("asset_id", dhash_bits(F.col("text")).alias("dhash"))
     return h.select("asset_id", "dhash", *dhash_bands(F.col("dhash")))
+
+
+@query(
+    "q_kmeans_refine",
+    oracle=f"""
+    WITH {SQL_COMP},
+    norms AS (
+      SELECT vid, {_FS.format(expr="val * val")} AS norm2 FROM comp GROUP BY vid
+    ),
+    centc0 AS (SELECT vid AS cid, pos, val AS cval FROM comp WHERE vid < 8),
+    cscore0 AS (
+      SELECT c.vid, cc.cid, {_FS.format(expr="c.val * cc.cval")} AS dot
+      FROM comp c JOIN centc0 cc ON c.pos = cc.pos
+      GROUP BY 1, 2
+    ),
+    cnorm0 AS (
+      SELECT cid, {_FS.format(expr="cval * cval")} AS norm2 FROM centc0 GROUP BY cid
+    ),
+    ranked0 AS (
+      SELECT s.vid, s.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vid
+               ORDER BY s.dot / (SQRT(nv.norm2) * SQRT(nc.norm2)) DESC, s.cid) AS rn
+      FROM cscore0 s
+      JOIN norms nv ON s.vid = nv.vid
+      JOIN cnorm0 nc ON s.cid = nc.cid
+    ),
+    a0 AS (SELECT vid, cid AS cluster0 FROM ranked0 WHERE rn = 1),
+    cent1 AS (
+      SELECT a.cluster0 AS cid, c.pos,
+             (CAST(SUM(CAST(ROUND(c.val * {SCALE}, 0) AS BIGINT)) AS DOUBLE)
+                / {SCALE}.0) / COUNT(*) AS cval
+      FROM comp c JOIN a0 a ON c.vid = a.vid
+      GROUP BY 1, 2
+    ),
+    cnorm1 AS (
+      SELECT cid, {_FS.format(expr="cval * cval")} AS norm2 FROM cent1 GROUP BY cid
+    ),
+    cscore1 AS (
+      SELECT c.vid, t.cid, {_FS.format(expr="c.val * t.cval")} AS dot
+      FROM comp c JOIN cent1 t ON c.pos = t.pos
+      GROUP BY 1, 2
+    ),
+    ranked1 AS (
+      SELECT s.vid, s.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vid
+               ORDER BY s.dot / (SQRT(nv.norm2) * SQRT(nc.norm2)) DESC, s.cid) AS rn
+      FROM cscore1 s
+      JOIN norms nv ON s.vid = nv.vid
+      JOIN cnorm1 nc ON s.cid = nc.cid
+    ),
+    a1 AS (SELECT vid, cid AS cluster FROM ranked1 WHERE rn = 1)
+    SELECT a0.vid, CAST(cluster0 AS INTEGER) AS cluster0,
+           CAST(cluster AS INTEGER) AS cluster,
+           cluster0 <> cluster AS moved
+    FROM a0 JOIN a1 ON a0.vid = a1.vid
+    """,
+)
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd step of the distributed spherical k-means
+    codebook trainer (operators/kmeans.py): assign to the lowest-id
+    seed, recompute centroids as fixed-point per-dim means, re-assign.
+    The DuckDB twin replays the entire iteration bit-for-bit — the
+    iterative-algorithm path under the same hash gate as the
+    relational operators."""
+    from open_energy_data_server_spark.operators.kmeans import (
+        kmeans_refine_assignment,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_refine_assignment(emb, "vec_id", "embedding", k=8)
