@@ -36,6 +36,7 @@ _DRIVER_PRIORITY = [
     "q_semdedup_pairs",
     "q_image_dhash",
     "q_kmeans_refine",
+    "q_duplicate_spans",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

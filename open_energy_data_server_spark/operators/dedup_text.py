@@ -505,3 +505,80 @@ def contamination_flags(
     return flagged.select(
         "doc", "n_grams", "n_contaminated", frac.alias("frac")
     ).filter(F.col("frac") >= min_frac)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token span whose ``window``-token substrings each
+    occur ≥ ``min_count`` times across the corpus. The
+    suffix-array-free relational formulation: slide a ``window``-token
+    rolling hash over every document, count occurrences per hash
+    corpus-wide, keep duplicated windows, and merge
+    overlapping/adjacent ones into maximal spans with one
+    gaps-and-islands pass per document.
+
+    Output: (doc_id, span_start, span_end, n_windows) — token offsets,
+    0-based inclusive.
+
+    Scale shape: the only corpus-wide exchange carries (hash60,
+    count) — 8-byte keys with map-side combine, never text; the
+    join-back is on the same skinny key; the islands pass is one
+    (doc)-partitioned sort over *duplicated windows only* (a small
+    fraction of the corpus). Exactly the scan→count→merge pipeline
+    that replaces an O(n) suffix array at 100 TB, at the price of a
+    fixed window size.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("t")
+    ).filter(F.size("t") >= window)
+    wins = toks.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - window),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    hash60(
+                        F.concat_ws(" ", F.slice("t", i + 1, window))
+                    ).alias("wh"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc", F.col("w.start").alias("start"), F.col("w.wh").alias("wh"))
+    counts = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
+    dup = wins.join(counts.filter(F.col("c") >= min_count), "wh").select(
+        "doc", "start", (F.col("start") + window - 1).alias("end")
+    )
+    w = Window.partitionBy("doc").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("start") > prev_max_end + 1), 1)
+        .otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+        )
+    )

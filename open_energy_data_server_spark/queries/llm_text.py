@@ -784,3 +784,52 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop decisions and the reassembly order."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.strip_boilerplate_lines(docs, "doc_id", "text")
+
+
+@query(
+    "q_duplicate_spans",
+    oracle=r"""
+    WITH toksd AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id AS doc, i AS start, i + 7 AS end_,
+             CAST('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)
+               AS BIGINT) AS wh
+      FROM toksd, LATERAL (SELECT unnest(range(len(t) - 7)) AS i)
+      WHERE len(t) >= 8
+    ),
+    cnt AS (SELECT wh, COUNT(*) AS c FROM win GROUP BY 1),
+    dup AS (SELECT doc, start, end_ FROM win JOIN cnt USING (wh) WHERE c >= 2),
+    isl AS (
+      SELECT doc, start, end_,
+             CASE WHEN MAX(end_) OVER w IS NULL
+                    OR start > MAX(end_) OVER w + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup
+      WINDOW w AS (PARTITION BY doc ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+      SELECT doc, start, end_,
+             SUM(ni) OVER (PARTITION BY doc ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM isl
+    )
+    SELECT doc AS doc_id,
+           CAST(MIN(start) AS BIGINT) AS span_start,
+           CAST(MAX(end_) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl2 GROUP BY doc, island
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022) — maximal
+    token spans whose 8-token windows repeat anywhere in the corpus
+    (operators.dedup_text.duplicate_spans: rolling hash60 windows →
+    corpus-wide count on the 8-byte key → gaps-and-islands merge).
+    The relational replacement for suffix-array dedup at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_text.duplicate_spans(docs, "doc_id", "text", window=8, min_count=2)

@@ -304,3 +304,49 @@ def test_strip_boilerplate_lines_semantics(spark):
     assert out[2] == (2, 1, w1)
     assert out[3] == (1, 1, "")
     assert 4 not in out
+
+
+def test_duplicate_spans_merges_overlaps(spark):
+    from open_energy_data_server_spark.operators.dedup_text import duplicate_spans
+
+    rep = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, rep + " filler1 one two three"),
+            (2, "pre1 pre2 " + rep + " tail9"),
+            (3, "unrelated words only here nothing repeats at all today now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_spans(docs, "doc_id", "text", window=8).collect()
+    }
+    # the shared 10-token run has 3 duplicated 8-token windows,
+    # merged into ONE maximal span per doc at the right offsets
+    assert out[1] == (0, 9, 3)
+    assert out[2] == (2, 11, 3)
+    assert 3 not in out
+
+
+def test_duplicate_spans_reports_disjoint_islands(spark):
+    from open_energy_data_server_spark.operators.dedup_text import duplicate_spans
+
+    repa = "a1 a2 a3 a4 a5 a6 a7 a8"
+    repb = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (1, repa + " gapx gapy gapz " + repb),
+            (2, repa + " other words entirely " + repb),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = duplicate_spans(docs, "doc_id", "text", window=8).collect()
+    per_doc = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # each doc: two disjoint 8-token islands, not one merged span
+    assert sorted(per_doc[1]) == [(0, 7), (11, 18)]
+    assert sorted(per_doc[2]) == [(0, 7), (11, 18)]
