@@ -43,13 +43,16 @@ from open_energy_data_server_spark.operators.textops import tokens
 def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, term, tf, dl) — per-document term frequencies plus the
     document length in tokens. One generate + one (doc, term) partial
-    hash-agg; text leaves the row before any exchange."""
+    hash-agg, then dl as a window sum over the SAME rows — a join
+    against a per-doc aggregate would make Spark re-tokenize the
+    corpus for each branch of the self-join (DataFrame lineage has no
+    CTE materialization); the window keeps one scan. Text leaves the
+    row before any exchange."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    return tf.join(dl, "doc")
+    return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc")))
 
 
 def tfidf_topk(
@@ -71,9 +74,13 @@ def tfidf_topk(
     exchange). Ties break on term so output order is total.
     """
     terms = doc_terms(df, id_col, text_col)
-    dfreq = terms.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    # (doc, term) rows are distinct, so a per-term row count IS the
+    # document frequency — window, not join (single lineage)
+    dfreq = terms.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n = df.select(F.count(F.lit(1)).alias("n_docs"))
-    scored = terms.join(F.broadcast(dfreq), "term").join(F.broadcast(n))
+    scored = dfreq.join(F.broadcast(n))
     ratio = (F.col("n_docs").cast("double") + 1.0) / (
         F.col("df").cast("double") + 1.0
     )
@@ -117,18 +124,24 @@ def bm25_topk(
     term stream *before* the first aggregation; df/N/avgdl are
     broadcast scalars; the only full shuffle carries (doc, bigint).
     """
-    all_terms = doc_terms(df, id_col, text_col)
-    terms = all_terms.filter(F.col("term").isin(list(query_terms)))
-    dfreq = terms.groupBy("term").agg(F.countDistinct("doc").alias("df"))
-    stats = df.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        all_terms.groupBy("doc")
-        .agg(F.max("dl").alias("dl"))
-        .agg(
-            F.sum("dl").alias("sum_dl"),
-            F.count(F.lit(1)).alias("n_with_terms"),
-        )
+    terms = doc_terms(df, id_col, text_col).filter(
+        F.col("term").isin(list(query_terms))
     )
-    joined = terms.join(F.broadcast(dfreq), "term").join(F.broadcast(stats))
+    # df per query term as a window over the filtered rows (distinct
+    # (doc, term) ⇒ per-term row count = document frequency)
+    dfreq = terms.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    # corpus stats from ONE cheap scan (no explode): Σ dl over docs is
+    # the total token count, and a doc contributes to dl iff it has a
+    # non-empty token
+    ntoks = F.size(F.filter(tokens(text_col), lambda t: t != ""))
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntoks).alias("sum_dl"),
+        F.count(F.when(ntoks > 0, 1)).alias("n_with_terms"),
+    )
+    joined = dfreq.join(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_with_terms").cast("double")
     rsj = (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5) / (
         F.col("df").cast("double") + 0.5
@@ -182,12 +195,16 @@ def familiarity_buckets(
     engine's two-phase quantiles) — same output contract.
     """
     terms = doc_terms(df, id_col, text_col)
-    uni = terms.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    total = uni.agg(F.sum("cnt").alias("total"))
+    # corpus unigram count per term: window sum over the (doc, term)
+    # rows; the corpus total is Σ token counts from one scan
+    uni = terms.withColumn(
+        "cnt", F.sum("tf").over(Window.partitionBy("term"))
+    )
+    ntoks = F.size(F.filter(tokens(text_col), lambda t: t != ""))
+    total = df.select(F.sum(ntoks).alias("total"))
     p = (F.col("cnt").cast("double") / F.col("total").cast("double"))
     scored = (
-        terms.join(F.broadcast(uni), "term")
-        .join(F.broadcast(total))
+        uni.join(F.broadcast(total))
         .select(
             "doc",
             "dl",
