@@ -50,6 +50,14 @@ DEFAULT_QUERIES = [
     "q_interpolate_linear",
     "q_stream_stream_join",
     "q_boilerplate_strip",
+    # round-4 additions: the new curation/ranking families
+    "q_tfidf_topk",
+    "q_bm25_search",
+    "q_familiarity_buckets",
+    "q_duplicate_spans",
+    "q_image_dhash",
+    "q_kmeans_refine",
+    "q_semdedup_pairs",
 ]
 
 SHIFTS = {
