@@ -37,6 +37,7 @@ _DRIVER_PRIORITY = [
     "q_image_dhash",
     "q_kmeans_refine",
     "q_duplicate_spans",
+    "q_dedup_groups",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

@@ -833,3 +833,48 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     The relational replacement for suffix-array dedup at scale."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_text.duplicate_spans(docs, "doc_id", "text", window=8, min_count=2)
+
+
+@query(
+    "q_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {SQL_TOKS}, {SQL_SHINGLES}, {SQL_MINHASH},
+    banded AS (
+      SELECT doc, CAST(i // 2 AS INTEGER) AS band,
+             array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))), ',')
+               AS bsig
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.doc AS da, b.doc AS db
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT da AS a, db AS b FROM cand
+      UNION
+      SELECT db AS a, da AS b FROM cand
+    ),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT re.node, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
+    )
+    SELECT node AS doc_id, MIN(r) AS group_id, (node = MIN(r)) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group resolution: distributed connected components
+    (min-label propagation to fixpoint, operators/graph.py) over the
+    MinHash-LSH candidate pairs — every flagged doc's transitive
+    duplicate group + the lowest-id keeper. The DuckDB oracle reaches
+    the identical fixpoint via a recursive-CTE transitive closure, so
+    the iterative distributed algorithm sits behind the full hash
+    gate."""
+    from open_energy_data_server_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = dedup_text.minhash_wide(docs, "doc_id", "text")
+    pairs = dedup_text.lsh_candidate_pairs_wide(wide, k=16, rows_per_band=2)
+    return graph.dedup_groups(pairs, "doc_a", "doc_b")
