@@ -38,6 +38,7 @@ _DRIVER_PRIORITY = [
     "q_kmeans_refine",
     "q_duplicate_spans",
     "q_dedup_groups",
+    "q_quantiles_cont",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

@@ -155,3 +155,112 @@ def quantile_disc(
         .agg(F.min(value_col))
     )
     return hit
+
+
+def quantile_cont(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    picks: list[tuple[float, str]],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact CONTINUOUS (type-7 / pandas-default interpolated)
+    quantiles per group — same two-phase shape as ``quantile_disc``
+    (per-(group, value) counts → driver-walked coarse histogram →
+    rank only the target buckets), but each quantile resolves TWO
+    ranks: with ``h = (n-1)*p``, the result is
+    ``v[floor(h)+1] + (h-floor(h)) * (v[floor(h)+2] - v[floor(h)+1])``
+    (1-based ranks).
+
+    Determinism: ``h`` is one IEEE double product of exact operands and
+    the interpolation is written with the same parenthesization the
+    SQL oracle states, so results hash-match cross-engine (the reason
+    this exists instead of ``percentile_approx`` — and DuckDB's native
+    ``quantile_cont`` is NOT used in the oracle precisely so the
+    arithmetic is pinned by our SQL, not an engine built-in).
+    """
+    from pyspark import StorageLevel
+
+    from open_energy_data_server_spark.io import local_df
+
+    cnt = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(cnt)
+    while len(_PERSISTED) > _PERSISTED_CAP:
+        _drop_oldest()
+    mm = cnt.agg(F.min(value_col).alias("lo"), F.max(value_col).alias("hi")).collect()[0]
+    if mm["lo"] is None:
+        raise ValueError(f"quantile_cont: no non-null {value_col!r} values")
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    width = (hi - lo) / n_buckets or 1.0
+    bucket = F.least(
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    bucketed = cnt.withColumn("__b", bucket)
+    hist = bucketed.groupBy(group_col, "__b").agg(F.sum("c").alias("bc")).collect()
+
+    by_group: dict[object, list[tuple[int, int]]] = {}
+    for row in hist:
+        by_group.setdefault(row[group_col], []).append((row["__b"], row["bc"]))
+
+    def _bucket_of(buckets: list[tuple[int, int]], r: int) -> tuple[int, int]:
+        cum = 0
+        for b, bc in buckets:
+            if cum + bc >= r:
+                return b, r - cum
+            cum += bc
+        raise AssertionError("rank beyond group count")
+
+    targets = []  # (group, bucket, tag, rank_within_bucket)
+    fracs = []  # (group, alias, frac)
+    for g, buckets in by_group.items():
+        buckets.sort()
+        n = sum(bc for _, bc in buckets)
+        for p, alias in picks:
+            h = (n - 1) * p  # same IEEE product the oracle computes
+            r1 = int(math.floor(h)) + 1
+            frac = h - math.floor(h)
+            r2 = r1 + 1 if (frac > 0.0 and r1 < n) else r1
+            b1, w1 = _bucket_of(buckets, r1)
+            targets.append((g, b1, alias + " lo", w1))
+            b2, w2 = _bucket_of(buckets, r2)
+            targets.append((g, b2, alias + " hi", w2))
+            fracs.append((g, alias, frac))
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    tgt = local_df(
+        df.sparkSession, targets, f"{group_col} {gtype}, __b int, __tag string, __r bigint"
+    )
+    sub = bucketed.join(F.broadcast(tgt), [group_col, "__b"])
+    w = (
+        Window.partitionBy(group_col, "__tag")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = (
+        sub.withColumn("__cum", F.sum("c").over(w))
+        .filter(F.col("__cum") >= F.col("__r"))
+        .groupBy(group_col, "__tag")
+        .agg(F.min(value_col).alias("__v"))
+        .withColumn("__alias", F.split("__tag", " ")[0])
+        .withColumn("__side", F.split("__tag", " ")[1])
+        .groupBy(group_col, "__alias")
+        .pivot("__side", ["lo", "hi"])
+        .agg(F.first("__v"))
+    )
+    fr = local_df(df.sparkSession, fracs, f"{group_col} {gtype}, __alias string, __f double")
+    interp = picked.join(F.broadcast(fr), [group_col, "__alias"]).withColumn(
+        "__q",
+        F.col("lo").cast("double")
+        + F.col("__f") * (F.col("hi").cast("double") - F.col("lo").cast("double")),
+    )
+    return (
+        interp.groupBy(group_col)
+        .pivot("__alias", [alias for _, alias in picks])
+        .agg(F.first("__q"))
+    )

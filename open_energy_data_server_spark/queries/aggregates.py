@@ -494,3 +494,49 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("ps").cast("double") / F.lit(float(SCALE))).alias("revenue"),
         ],
     )
+
+
+def _qcont_sql(picks: list[tuple[float, str]]) -> str:
+    """Build the manual type-7 interpolation oracle (NOT DuckDB's
+    native quantile_cont — the arithmetic must be pinned by our SQL):
+    h=(n-1)*p, v[floor(h)+1] + (h-floor(h))*(v[floor(h)+2]-v[floor(h)+1])."""
+    sel, out = [], []
+    for p, alias in picks:
+        h = f"((n - 1) * {p})"
+        r1 = f"(CAST(FLOOR({h}) AS BIGINT) + 1)"
+        r2 = f"(CASE WHEN {h} > FLOOR({h}) AND {r1} < n THEN {r1} + 1 ELSE {r1} END)"
+        sel.append(f"MIN(CASE WHEN rn = {r1} THEN v END) AS lo_{alias}")
+        sel.append(f"MIN(CASE WHEN rn = {r2} THEN v END) AS hi_{alias}")
+        sel.append(f"MIN({h} - FLOOR({h})) AS f_{alias}")
+        out.append(f"lo_{alias} + f_{alias} * (hi_{alias} - lo_{alias}) AS {alias}")
+    return f"""
+    WITH c AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    r AS (
+      SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM c
+    ),
+    sel AS (SELECT g, {", ".join(sel)} FROM r GROUP BY g)
+    SELECT g AS l_returnflag, {", ".join(out)} FROM sel
+    """
+
+
+_QCONT_PICKS = [(0.25, "p25"), (0.50, "p50"), (0.75, "p75")]
+
+
+@query("q_quantiles_cont", oracle=_qcont_sql(_QCONT_PICKS))
+def q_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated (type-7, the pandas/np default) quantiles per
+    group via the two-phase histogram plan (operators.quantiles
+    .quantile_cont): same scale shape as the DISC path — the heavy
+    shuffle keys on (group, value), only the two target buckets per
+    quantile are ranked — plus one deterministic lerp. The oracle
+    spells the interpolation arithmetic out (no engine-native
+    quantile_cont on either side), so doubles hash-match."""
+    from open_energy_data_server_spark.operators.quantiles import quantile_cont
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantile_cont(li, "l_returnflag", "l_extendedprice", _QCONT_PICKS)

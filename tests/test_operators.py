@@ -318,3 +318,43 @@ def test_quantile_disc_cache_registry_bounded_and_releasable(spark):
     # a plan built before the release still executes correctly
     # (rank ceil(0.5·20)=10 → 10th smallest of 0..19 = 9.0)
     assert plans[0].collect()[0]["p50"] == 9.0
+
+
+def test_quantile_cont_matches_numpy_type7(spark):
+    """Two-phase quantile_cont vs numpy.percentile (linear/type-7 —
+    the definition the operator implements), across bucket counts that
+    force single-bucket, boundary, and many-bucket paths."""
+    import random
+
+    import numpy as np
+
+    from open_energy_data_server_spark.operators.quantiles import quantile_cont
+
+    rng = random.Random(11)
+    rows = [
+        (g, float(rng.choice([1, 2, 2, 3, 5, 8, 13, 21, 34, 55])))
+        for g in ("a", "b", "c")
+        for _ in range(rng.randint(30, 60))
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    picks = [(0.0, "p0"), (0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (1.0, "p100")]
+
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    expected = {
+        g: {name: float(np.percentile(vs, p * 100, method="linear"))
+            for p, name in picks}
+        for g, vs in by_g.items()
+    }
+
+    for n_buckets in (1, 7, 1024):
+        got = {
+            r["g"]: {name: r[name] for _, name in picks}
+            for r in quantile_cont(df, "g", "v", picks, n_buckets=n_buckets).collect()
+        }
+        for g in expected:
+            for name in expected[g]:
+                assert abs(got[g][name] - expected[g][name]) < 1e-9, (
+                    f"{g}/{name} n_buckets={n_buckets}"
+                )
