@@ -386,3 +386,64 @@ def test_stream_stream_join_compound_interval_falls_back(spark):
         "1 hour 30 minutes", "1 hour 30 minutes",
     )
     assert [(r.event_id, r.rid) for r in out.collect()] == [(1, 9)]
+
+
+def test_foreachbatch_ledger_sink_exactly_once(spark, tmp_path):
+    """BatchIdLedgerSink: per-batch-id overwrite + write-then-publish
+    manifest — a replayed micro-batch (foreachBatch's at-least-once
+    contract) replaces its own output instead of duplicating it."""
+    from open_energy_data_server_spark.streaming.sinks import BatchIdLedgerSink
+
+    src = str(tmp_path / "src")
+    sink = BatchIdLedgerSink(str(tmp_path / "lake"))
+    _write_batch(spark, src, _rows([(0, 0), (0, 30)]))
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink.apply)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sink.committed() == [0]
+    assert sink.read(spark).count() == 2
+
+    # crash-replay simulation: deliver batch 0 AGAIN (same data, same
+    # id) — the idempotent overwrite must leave exactly 2 rows
+    batch0 = spark.createDataFrame(_rows([(0, 0), (0, 30)]), EVENTS_DDL)
+    sink.apply(batch0, 0)
+    assert sink.committed() == [0]
+    assert sink.read(spark).count() == 2
+
+    # a second real batch appends under its own id
+    _write_batch(spark, src, _rows([(1, 0)], start_id=10))
+    q = (
+        spark.readStream.schema(EVENTS_DDL)
+        .parquet(src)
+        .writeStream.foreachBatch(sink.apply)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sink.committed() == [0, 1]
+    assert sink.read(spark).count() == 3
+
+
+def test_foreachbatch_uncommitted_batch_invisible(spark, tmp_path):
+    """Write-then-publish: data written without its manifest marker
+    (crash before the commit point) is excluded from committed reads
+    but present in the raw lake."""
+    from open_energy_data_server_spark.streaming.sinks import BatchIdLedgerSink
+
+    sink = BatchIdLedgerSink(str(tmp_path / "lake"))
+    batch = spark.createDataFrame(_rows([(0, 0)]), EVENTS_DDL)
+    # simulate the crash: data lands, publish never happens
+    batch.write.mode("overwrite").parquet(str(tmp_path / "lake" / "batch_id=5"))
+    assert sink.committed() == []
+    assert sink.read(spark).count() == 0
+    assert sink.read(spark, committed_only=False).count() == 1
+    # replay completes the delivery; the batch becomes visible
+    sink.apply(batch, 5)
+    assert sink.committed() == [5]
+    assert sink.read(spark).count() == 1
