@@ -39,6 +39,7 @@ _DRIVER_PRIORITY = [
     "q_duplicate_spans",
     "q_dedup_groups",
     "q_quantiles_cont",
+    "q_mixture_sample",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

@@ -96,3 +96,55 @@ def weighted_hash_sample(df: DataFrame, key_col: str, weight_col) -> DataFrame:
     return df.filter(
         hash60(F.col(key_col).cast("string")).cast("double") < w * float(TWO_60)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Token-budget mixture construction (the Pile/Dolma-style data
+    MIXING step): from each stratum (domain/language/source), take
+    documents until the stratum's token budget is filled; strata
+    absent from ``budgets`` contribute nothing.
+
+    Selection order within a stratum is the key's 60-bit hash (ties:
+    key) — so the mixture is rerun-stable, engine-replayable, and
+    *nested*: raising one stratum's budget only ADDS documents to it
+    (the prefix property incremental curation wants; a budget change
+    never reshuffles what was already selected).
+
+    A document is kept while its cumulative token count BEFORE it is
+    below the budget (offset-partitioned convention, same as
+    ``pack_by_budget``): the last kept doc may overshoot by at most
+    itself — a pure prefix sum, no sequential close-on-overflow state.
+
+    Plan: one shuffle on the stratum key for the ordered prefix-sum
+    window; the budget table is a plan-embedded literal. Output keeps
+    (key, stratum, tokens, start_offset) so downstream packing can
+    reuse the offsets without re-sorting.
+    """
+    from open_energy_data_server_spark.io import local_df
+
+    bt = local_df(
+        df.sparkSession,
+        [(s, int(b)) for s, b in sorted(budgets.items())],
+        f"{stratum_col} {df.schema[stratum_col].dataType.simpleString()}, __budget bigint",
+    )
+    h = hash60(F.col(key_col).cast("string"))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = df.withColumn(
+        "start_offset",
+        (F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)).cast("bigint"),
+    )
+    return (
+        offs.join(F.broadcast(bt), stratum_col)
+        .filter(F.col("start_offset") < F.col("__budget"))
+        .select(key_col, stratum_col, tokens_col, "start_offset")
+    )

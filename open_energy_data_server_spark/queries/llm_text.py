@@ -878,3 +878,47 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = dedup_text.minhash_wide(docs, "doc_id", "text")
     pairs = dedup_text.lsh_candidate_pairs_wide(wide, k=16, rows_per_band=2)
     return graph.dedup_groups(pairs, "doc_a", "doc_b")
+
+
+@query(
+    "q_mixture_sample",
+    oracle=r"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               AS h
+      FROM documents
+    ),
+    budgets(lang, b) AS (VALUES ('de', 1500), ('en', 6000), ('zh', 2000)),
+    offs AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+               AS start_offset
+      FROM sized
+    )
+    SELECT doc_id, lang, n_tokens, start_offset
+    FROM offs JOIN budgets USING (lang)
+    WHERE start_offset < b
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture construction (data MIXING, the step after
+    per-domain stats): fill per-language token budgets ({de: 1500,
+    en: 6000, zh: 2000} — es/fr excluded) in hash order, so the
+    mixture is rerun-stable and nested under budget growth
+    (operators.sampling.mixture_sample)."""
+    from open_energy_data_server_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(textops.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return mixture_sample(
+        sized, "doc_id", "lang", "n_tokens",
+        budgets={"de": 1500, "en": 6000, "zh": 2000},
+    )

@@ -350,3 +350,38 @@ def test_duplicate_spans_reports_disjoint_islands(spark):
     # each doc: two disjoint 8-token islands, not one merged span
     assert sorted(per_doc[1]) == [(0, 7), (11, 18)]
     assert sorted(per_doc[2]) == [(0, 7), (11, 18)]
+
+
+def test_mixture_sample_budget_and_nesting(spark):
+    from open_energy_data_server_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens bigint")
+
+    small = mixture_sample(df, "doc_id", "lang", "n_tokens", {"a": 50}).collect()
+    # budget 50 at 10 tokens/doc -> exactly 5 docs, stratum b excluded
+    assert len(small) == 5 and all(r["lang"] == "a" for r in small)
+    assert all(r["start_offset"] < 50 for r in small)
+
+    # nesting: a larger budget strictly extends the smaller selection
+    big = mixture_sample(
+        df, "doc_id", "lang", "n_tokens", {"a": 100, "b": 30}
+    ).collect()
+    picked_small = {r["doc_id"] for r in small}
+    picked_big_a = {r["doc_id"] for r in big if r["lang"] == "a"}
+    assert picked_small <= picked_big_a and len(picked_big_a) == 10
+    assert sum(1 for r in big if r["lang"] == "b") == 3
+
+
+def test_mixture_sample_overshoot_bounded_by_last_doc(spark):
+    from open_energy_data_server_spark.operators.sampling import mixture_sample
+
+    rows = [(1, "x", 7), (2, "x", 9), (3, "x", 11), (4, "x", 13)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens bigint")
+    out = mixture_sample(df, "doc_id", "lang", "n_tokens", {"x": 20}).collect()
+    total = sum(r["n_tokens"] for r in out)
+    last = max(out, key=lambda r: r["start_offset"])
+    # every selected doc STARTS under budget; total exceeds it by at
+    # most the last doc (offset-partitioned convention)
+    assert all(r["start_offset"] < 20 for r in out)
+    assert total - last["n_tokens"] < 20 <= total + last["n_tokens"]
