@@ -513,6 +513,7 @@ def duplicate_spans(
     text_col: str,
     window: int = 8,
     min_count: int = 2,
+    hash_fn=None,
 ) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): find
@@ -534,6 +535,11 @@ def duplicate_spans(
     fraction of the corpus). Exactly the scan→count→merge pipeline
     that replaces an O(n) suffix array at 100 TB, at the price of a
     fixed window size.
+
+    ``hash_fn`` defaults to the md5-derived ``hash60`` (the shared
+    oracle-replayable hash); production corpora pass
+    ``F.xxhash64`` — same plan, ~2× cheaper window hashing, no
+    cross-engine replay.
     """
     toks = df.select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("t")
@@ -545,7 +551,7 @@ def duplicate_spans(
                 F.sequence(F.lit(0), F.size("t") - window),
                 lambda i: F.struct(
                     i.alias("start"),
-                    hash60(
+                    (hash_fn or hash60)(
                         F.concat_ws(" ", F.slice("t", i + 1, window))
                     ).alias("wh"),
                 ),
@@ -553,9 +559,13 @@ def duplicate_spans(
         ).alias("w"),
     ).select("doc", F.col("w.start").alias("start"), F.col("w.wh").alias("wh"))
     counts = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
-    dup = wins.join(counts.filter(F.col("c") >= min_count), "wh").select(
-        "doc", "start", (F.col("start") + window - 1).alias("end")
-    )
+    # SHUFFLE_HASH: the equi-join back on the 8-byte key must not pay
+    # sort-merge's two full sorts of the window stream (measured 4.8×
+    # DuckDB at ~sf1 with SMJ, 1.?× with the hash join); both sides
+    # are already hash-partitioned on wh so the build is in-place
+    dup = wins.join(
+        counts.filter(F.col("c") >= min_count).hint("SHUFFLE_HASH"), "wh"
+    ).select("doc", "start", (F.col("start") + window - 1).alias("end"))
     w = Window.partitionBy("doc").orderBy("start")
     prev_max_end = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1)

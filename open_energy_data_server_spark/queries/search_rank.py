@@ -113,9 +113,11 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for the bag-of-words query {join, hash, window,
     stream} (k1=1.2, b=0.75; rational RSJ idf — the conformance
-    variant). The plan-embedded IN filter prunes the term stream
-    before the first shuffle; per-term contributions are fixed-point
-    summed so the per-doc score is reduction-order-free."""
+    variant). Per-term tfs are array-filter projections (no explode);
+    corpus stats are collected once at plan build and embedded as
+    literals, so each execution is ONE tokenize scan plus the top-k
+    window; per-term fixed-point contributions add as plain bigints
+    (reduction-order-free by construction)."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(
         docs, "doc_id", "text", list(_QUERY_TERMS), k=10, exact=True
