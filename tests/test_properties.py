@@ -299,3 +299,103 @@ def test_stratified_sample_matches_python_reference(spark, ids, rate):
         if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) < thresh
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation == classic union-find on
+    arbitrary small graphs (self-loops and duplicates included)."""
+    from open_energy_data_server_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    nodes = {n for e in edges for n in e}
+    expected = {n: find(n) for n in nodes}
+    # path-compress to the true min representative
+    expected = {n: find(r) for n, r in expected.items()}
+
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "a", "b").collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1), min_size=2,
+             max_size=12, unique=True)
+)
+@SETTINGS
+def test_dhash_banding_pigeonhole_recall(spark, hashes):
+    """Banded candidate generation finds EVERY pair within hamming 3
+    (pigeonhole over 4 bands) — recall, not just precision."""
+    from open_energy_data_server_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "id bigint, h bigint"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_neardup_pairs(df, "id", "h", max_hamming=3).collect()
+    }
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            ham = bin(hashes[i] ^ hashes[j]).count("1")
+            if ham <= 3:
+                assert got.get((i, j)) == ham
+            else:
+                assert (i, j) not in got
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=300),
+)
+@SETTINGS
+def test_mixture_sample_nesting_property(spark, rows, budget):
+    """Raising a stratum budget only ADDS documents (hash-order prefix
+    property) and never selects a doc whose start offset is over
+    budget."""
+    from open_energy_data_server_spark.operators.sampling import mixture_sample
+
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id bigint, lang string, n_tokens bigint")
+    lo = mixture_sample(df, "doc_id", "lang", "n_tokens", {"x": budget})
+    hi = mixture_sample(df, "doc_id", "lang", "n_tokens", {"x": budget * 2})
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    assert lo_ids <= hi_ids
+    assert all(r["start_offset"] < budget for r in lo.collect())
