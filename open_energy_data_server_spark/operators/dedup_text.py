@@ -517,8 +517,14 @@ def duplicate_spans(
 ) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): find
-    every maximal token span whose ``window``-token substrings each
-    occur ≥ ``min_count`` times across the corpus. The
+    every maximal run of tokens COVERED by ``window``-token substrings
+    that each occur ≥ ``min_count`` times across the corpus
+    (union-of-coverage semantics: overlapping and back-to-back
+    duplicated windows merge into one span — the right unit for span
+    REMOVAL, where adjacent duplicated regions are excised together;
+    a span does not promise that every interior ``window``-gram is
+    itself duplicated, only that every token lies inside one that
+    is). The
     suffix-array-free relational formulation: slide a ``window``-token
     rolling hash over every document, count occurrences per hash
     corpus-wide, keep duplicated windows, and merge

@@ -34,8 +34,7 @@ from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.constants import SCALE
 from open_energy_data_server_spark.operators.similarity import (
-    ivf_assign,
-    unpack_components,
+    ivf_assign,  # noqa: F401 — re-exported: the public assign step for trained codebooks
 )
 
 Centroids = list[tuple[int, list[float]]]
@@ -59,12 +58,28 @@ def update_centroids(
 ) -> Centroids:
     """One Lloyd step: assign to nearest centroid (cosine), return the
     per-dimension member means as the new codebook, keeping each
-    cluster's old centroid id as its key (empty clusters dropped)."""
-    assigned = ivf_assign(df, id_col, vec_col, centroids)
-    comp = unpack_components(df, id_col, vec_col)
+    cluster's old centroid id as its key (empty clusters dropped).
+
+    The cluster id is computed in the SAME projection as the vector
+    (plan-embedded codebook → ``ivf_scores(...)[0]``), so the step is
+    one scan + one (cluster, pos) shuffle of fixed-point partials —
+    no assignment join, and the vectors never enter an exchange."""
+    from open_energy_data_server_spark.operators.similarity import (
+        fixed_norm2,
+        ivf_scores,
+    )
+
+    assigned = df.select(
+        ivf_scores(F.col(vec_col), fixed_norm2(F.col(vec_col)), centroids)[0][
+            "cid"
+        ].alias("cluster"),
+        F.col(vec_col).alias("vec"),
+    )
+    comp = assigned.select(
+        "cluster", F.posexplode("vec").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
     means = (
-        comp.join(assigned, "vid")
-        .groupBy("cluster", "pos")
+        comp.groupBy("cluster", "pos")
         .agg(
             (
                 (

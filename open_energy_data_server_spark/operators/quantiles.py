@@ -67,27 +67,31 @@ def release_quantile_caches() -> int:
     return n
 
 
-def quantile_disc(
+def _count_histogram(
     df: DataFrame,
     group_col: str,
     value_col: str,
-    picks: list[tuple[float, str]],
-    n_buckets: int = 1024,
-) -> DataFrame:
-    """→ one row per group with a column per (p, alias) in ``picks``."""
+    n_buckets: int,
+    op_name: str,
+) -> tuple[DataFrame, dict]:
+    """Shared phase 1+2 of the two-phase quantile algorithms:
+    persisted per-(group, value) counts (registered in the capped
+    cache FIFO), coarse fixed-width bucketing, and the driver-side
+    cumulative histogram ``{group: sorted [(bucket, count)]}``.
+
+    Persisted like jaccard_pairs' posting stream: the histogram pass
+    (plan-build time) and the final ranking pass share it, so the
+    (group, value) agg runs once. MEMORY_AND_DISK — size is the
+    distinct-value domain, spillable, LRU-evicted. NULLs are excluded
+    like percentile_disc/cont exclude them (otherwise they'd be
+    counted into the top bucket — least() skips nulls — inflating
+    every rank). No eager unpersist — the returned plan re-reads the
+    cache on every execution — but each handle is registered in a
+    capped FIFO so repeated calls in one session evict the oldest
+    cache instead of accumulating (release_quantile_caches() drops
+    them all)."""
     from pyspark import StorageLevel
 
-    # persisted like jaccard_pairs' posting stream: the histogram pass
-    # (plan-build time) and the final ranking pass share it, so the
-    # (group, value) agg runs once. MEMORY_AND_DISK — size is the
-    # distinct-value domain, spillable, LRU-evicted.
-    # NULLs are excluded like quantile_disc/percentile_disc exclude
-    # them (otherwise they'd be counted into the top bucket — least()
-    # skips nulls — inflating every rank). No eager unpersist — the
-    # returned plan re-reads the cache on every execution — but each
-    # handle is registered in a capped FIFO so repeated calls in one
-    # session evict the oldest cache instead of accumulating
-    # (release_quantile_caches() drops them all).
     cnt = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(group_col, value_col)
@@ -101,7 +105,7 @@ def quantile_disc(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
     ).collect()[0]
     if mm["lo"] is None:
-        raise ValueError(f"quantile_disc: no non-null {value_col!r} values")
+        raise ValueError(f"{op_name}: no non-null {value_col!r} values")
     lo, hi = float(mm["lo"]), float(mm["hi"])
     width = (hi - lo) / n_buckets or 1.0
     bucket = F.least(
@@ -109,27 +113,44 @@ def quantile_disc(
         F.lit(n_buckets - 1),
     )
     bucketed = cnt.withColumn("__b", bucket)
-    hist = (
-        bucketed.groupBy(group_col, "__b")
-        .agg(F.sum("c").alias("bc"))
-        .collect()
-    )
-
-    by_group: dict[object, list[tuple[int, int]]] = {}
+    hist = bucketed.groupBy(group_col, "__b").agg(F.sum("c").alias("bc")).collect()
+    by_group: dict = {}
     for row in hist:
         by_group.setdefault(row[group_col], []).append((row["__b"], row["bc"]))
+    for buckets in by_group.values():
+        buckets.sort()
+    return bucketed, by_group
+
+
+def _bucket_of(buckets: list, r: int) -> tuple[int, int]:
+    """(bucket id, residual rank) of global rank ``r`` in a group's
+    sorted cumulative histogram."""
+    cum = 0
+    for b, bc in buckets:
+        if cum + bc >= r:
+            return b, r - cum
+        cum += bc
+    raise AssertionError("rank beyond group count")
+
+
+def quantile_disc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    picks: list[tuple[float, str]],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """→ one row per group with a column per (p, alias) in ``picks``."""
+    bucketed, by_group = _count_histogram(
+        df, group_col, value_col, n_buckets, "quantile_disc"
+    )
     targets = []  # (group, bucket, alias, rank_within_bucket)
     for g, buckets in by_group.items():
-        buckets.sort()
         n = sum(bc for _, bc in buckets)
         for p, alias in picks:
             r = math.ceil(p * n)  # same IEEE double product the oracle computes
-            cum = 0
-            for b, bc in buckets:
-                if cum + bc >= r:
-                    targets.append((g, b, alias, r - cum))
-                    break
-                cum += bc
+            b, w_in = _bucket_of(buckets, r)
+            targets.append((g, b, alias, w_in))
 
     from open_energy_data_server_spark.io import local_df
 
@@ -179,47 +200,14 @@ def quantile_cont(
     ``quantile_cont`` is NOT used in the oracle precisely so the
     arithmetic is pinned by our SQL, not an engine built-in).
     """
-    from pyspark import StorageLevel
-
     from open_energy_data_server_spark.io import local_df
 
-    cnt = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(group_col, value_col)
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    bucketed, by_group = _count_histogram(
+        df, group_col, value_col, n_buckets, "quantile_cont"
     )
-    _PERSISTED.append(cnt)
-    while len(_PERSISTED) > _PERSISTED_CAP:
-        _drop_oldest()
-    mm = cnt.agg(F.min(value_col).alias("lo"), F.max(value_col).alias("hi")).collect()[0]
-    if mm["lo"] is None:
-        raise ValueError(f"quantile_cont: no non-null {value_col!r} values")
-    lo, hi = float(mm["lo"]), float(mm["hi"])
-    width = (hi - lo) / n_buckets or 1.0
-    bucket = F.least(
-        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
-        F.lit(n_buckets - 1),
-    )
-    bucketed = cnt.withColumn("__b", bucket)
-    hist = bucketed.groupBy(group_col, "__b").agg(F.sum("c").alias("bc")).collect()
-
-    by_group: dict[object, list[tuple[int, int]]] = {}
-    for row in hist:
-        by_group.setdefault(row[group_col], []).append((row["__b"], row["bc"]))
-
-    def _bucket_of(buckets: list[tuple[int, int]], r: int) -> tuple[int, int]:
-        cum = 0
-        for b, bc in buckets:
-            if cum + bc >= r:
-                return b, r - cum
-            cum += bc
-        raise AssertionError("rank beyond group count")
-
     targets = []  # (group, bucket, tag, rank_within_bucket)
     fracs = []  # (group, alias, frac)
     for g, buckets in by_group.items():
-        buckets.sort()
         n = sum(bc for _, bc in buckets)
         for p, alias in picks:
             h = (n - 1) * p  # same IEEE product the oracle computes

@@ -26,9 +26,9 @@ Scale notes (100 TB): the document-frequency table is |vocab| rows —
 tiny relative to the corpus — and is broadcast into the per-term scan;
 the only full shuffle is the (doc_id) score re-aggregation whose rows
 are (doc_id, bigint) pairs. Top-k per doc pushes WindowGroupLimit
-below the exchange (rank-window on skinny rows). BM25's query-term
-set is plan-embedded (an IN filter on the exploded terms → predicate
-pushdown prunes everything else before the first shuffle).
+below the exchange (rank-window on skinny rows). BM25 avoids the
+exploded stream entirely: per-query-term tfs are array-filter
+projections and the corpus stats are plan-embedded (see bm25_topk).
 """
 
 from __future__ import annotations
@@ -122,9 +122,10 @@ def bm25_topk(
     reduction-order-free (oracle-hashable); parenthesization matches
     the SQL twin operation for operation.
 
-    Plan: the plan-embedded IN(query_terms) filter prunes the exploded
-    term stream *before* the first aggregation; df/N/avgdl are
-    broadcast scalars; the only full shuffle carries (doc, bigint).
+    Plan: per-term tfs are array-filter projections over the token
+    array (no explode); corpus stats (N, Σdl, df_t) are one 1-row agg
+    collected at plan build and embedded as literals; per-execution
+    cost is a single tokenize scan plus the top-k window.
     """
     # a bag-of-words query is a FIXED small term set, so per-doc term
     # frequencies are array-filter projections over the token array —
@@ -132,6 +133,8 @@ def bm25_topk(
     # final top-k window. (For large term sets — beyond ~32 — an
     # exploded inverted-index formulation wins instead.)
     qterms = list(query_terms)
+    if not qterms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     toks_arr = F.filter(tokens(text_col), lambda t: t != "")
     ntoks = F.size(toks_arr)
     def _tf(term: str):
@@ -159,6 +162,8 @@ def bm25_topk(
         ],
     ).collect()[0]
     joined = base
+    if stats["sum_dl"] is None or int(stats["n_with_terms"]) == 0:
+        raise ValueError("bm25_topk: corpus has no tokenized documents")
     # same IEEE division the SQL oracle states: CAST(sum_dl)/CAST(n)
     avgdl_val = float(stats["sum_dl"]) / float(stats["n_with_terms"])
 
@@ -225,11 +230,17 @@ def familiarity_buckets(
     uni = terms.withColumn(
         "cnt", F.sum("tf").over(Window.partitionBy("term"))
     )
+    # corpus total: ONE explode-free count collected at plan build and
+    # embedded as a literal (the bm25 pattern) — a second per-execution
+    # tokenize scan of the corpus would double the dominant cost
     ntoks = F.size(F.filter(tokens(text_col), lambda t: t != ""))
-    total = df.select(F.sum(ntoks).alias("total"))
-    p = (F.col("cnt").cast("double") / F.col("total").cast("double"))
+    total_row = df.select(F.sum(ntoks).alias("total")).collect()[0]
+    if total_row["total"] is None or int(total_row["total"]) == 0:
+        raise ValueError("familiarity_buckets: corpus has no tokens")
+    total_val = int(total_row["total"])
+    p = (F.col("cnt").cast("double") / F.lit(total_val).cast("double"))
     scored = (
-        uni.join(F.broadcast(total))
+        uni
         .select(
             "doc",
             "dl",

@@ -139,12 +139,15 @@ def mixture_sample(
         .orderBy(h.asc(), F.col(key_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offs = df.withColumn(
+    # budget join FIRST: strata absent from ``budgets`` are pruned
+    # BEFORE the only shuffle — the per-stratum window is unaffected
+    # by dropping other strata, so a 100-language corpus with one
+    # budgeted language sorts one language, not a hundred
+    offs = df.join(F.broadcast(bt), stratum_col).withColumn(
         "start_offset",
         (F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)).cast("bigint"),
     )
     return (
-        offs.join(F.broadcast(bt), stratum_col)
-        .filter(F.col("start_offset") < F.col("__budget"))
+        offs.filter(F.col("start_offset") < F.col("__budget"))
         .select(key_col, stratum_col, tokens_col, "start_offset")
     )

@@ -222,6 +222,7 @@ def cosine_neardup_pairs(
     threshold: float,
     block_col: str | None = None,
     allow_quadratic: bool = False,
+    block_out: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-suite member
     for vector columns): all (a, b) with cosine ≥ threshold.
@@ -232,6 +233,9 @@ def cosine_neardup_pairs(
     ``hyperplane_buckets``, a label, or a shard key). The unblocked
     cross join is for sampled/small sets only and must be opted into
     with ``allow_quadratic=True`` — otherwise it raises.
+
+    ``block_out``: emit the blocking value as an output column under
+    this name (rides along on the pair rows — no extra join).
     """
     if block_col is None and not allow_quadratic:
         raise ValueError(
@@ -262,11 +266,21 @@ def cosine_neardup_pairs(
     cos = fixed_dot(F.col("vec_a"), F.col("vec_b")) / (
         F.sqrt("norm2_a") * F.sqrt("norm2_b")
     )
+    extra = (
+        [F.col("__blk").alias(block_out)]
+        if (block_out is not None and block_col is not None)
+        else []
+    )
     return (
         pairs.filter(F.col("vid_a") < F.col("vid_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("vid_a").alias("id_a"), F.col("vid_b").alias("id_b"), "cosine")
+        .select(
+            F.col("vid_a").alias("id_a"),
+            F.col("vid_b").alias("id_b"),
+            *extra,
+            "cosine",
+        )
     )
 
 
@@ -416,16 +430,33 @@ def semdedup_pairs(
         .select(id_col, vec_col)
         .collect()
     ]
-    assigned = ivf_assign(df, id_col, vec_col, centroids)
-    withblk = df.select(F.col(id_col).alias("vid"), F.col(vec_col)).join(
-        assigned, "vid"
+    # cluster id computed in the SAME projection as the vectors (the
+    # ivf_topk shape) — no assignment join, and the block value rides
+    # the pair rows out via block_out instead of a corpus-sized
+    # broadcast re-join (which would OOM the driver at real scale)
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col),
+        fixed_norm2(F.col(vec_col)).alias("norm2"),
     )
-    pairs = cosine_neardup_pairs(
-        withblk, "vid", vec_col, threshold=threshold, block_col="cluster"
+    scored = base.select(
+        "vid",
+        vec_col,
+        F.explode(
+            F.array(ivf_scores(F.col(vec_col), F.col("norm2"), centroids))
+        ).alias("sc"),
     )
-    return pairs.join(
-        F.broadcast(assigned.withColumnRenamed("vid", "id_a")), "id_a"
-    ).select("id_a", "id_b", F.col("cluster").cast("int").alias("cluster"), "cosine")
+    withblk = scored.select(
+        "vid", vec_col, F.col("sc")[0]["cid"].cast("int").alias("cluster")
+    )
+    return cosine_neardup_pairs(
+        withblk,
+        "vid",
+        vec_col,
+        threshold=threshold,
+        block_col="cluster",
+        block_out="cluster",
+    ).select("id_a", "id_b", "cluster", "cosine")
 
 
 def semdedup_pairs_gemm(

@@ -17,20 +17,29 @@ its own previous output instead of appending a duplicate.
   (``read()``), so the ledger doubles as delivery provenance;
 - downstream consumers that must not see a batch twice filter on a
   committed-ids manifest (``committed()``) written AFTER the data —
-  write-then-publish ordering makes the publish atomic on any
-  filesystem with atomic rename.
+  write-then-publish ordering makes the publish the commit point.
+
+The manifest lives on the SAME filesystem as the data: markers are
+created through the Hadoop FileSystem API resolved from the root URI
+(local path, HDFS, s3a://, ...), not driver-local ``os`` calls — a
+local-disk manifest beside an object-store lake would silently
+un-commit every batch on driver replacement. Publish is
+create-temp + rename; on filesystems without atomic rename (plain
+S3), pair the lake with a committer that provides it, as for any
+Spark output.
 
 Scale notes: each micro-batch is a normal distributed parquet write
 (partitioned by whatever the payload carries); the per-batch overwrite
 touches only that batch's directory, never the lake. The manifest is
-one tiny file per batch — O(batches) driver-side metadata, no listing
-of data files needed to establish what is committed.
+one tiny file per batch — O(batches) metadata, no listing of data
+files needed to establish what is committed. No extra pass over the
+batch: the marker records only the batch id (a row count would
+recompute the whole micro-batch, doubling per-batch latency).
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,38 +50,58 @@ class BatchIdLedgerSink:
     passed to ``writeStream.foreachBatch``."""
 
     def __init__(self, root: str) -> None:
-        self.root = root
-        self._manifest_dir = os.path.join(root, "_committed")
+        self.root = root.rstrip("/")
+        self._manifest_dir = self.root + "/_committed"
+        self._spark: SparkSession | None = None
+
+    # -- Hadoop FS helpers (same filesystem as the data) ---------------
+
+    def _fs(self, spark: SparkSession):
+        jvm = spark._jvm
+        jsc = spark._jsc
+        path = jvm.org.apache.hadoop.fs.Path(self.root)
+        return jvm, path.getFileSystem(jsc.hadoopConfiguration())
+
+    def _publish(self, spark: SparkSession, batch_id: int) -> None:
+        jvm, fs = self._fs(spark)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs.mkdirs(hpath(self._manifest_dir))
+        tmp = hpath(f"{self._manifest_dir}/{batch_id}.json.tmp")
+        out = fs.create(tmp, True)
+        out.write(bytearray(json.dumps({"batch_id": batch_id}).encode("utf-8")))
+        out.close()
+        # rename = the commit point (atomic where the FS provides it)
+        fs.rename(tmp, hpath(f"{self._manifest_dir}/{batch_id}.json"))
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(self.root, f"batch_id={batch_id}")
-            )
+        self._spark = batch_df.sparkSession
+        batch_df.write.mode("overwrite").parquet(
+            f"{self.root}/batch_id={batch_id}"
         )
         # publish AFTER the data: replayed crashes re-run the write
         # above (idempotent overwrite) before re-publishing
-        os.makedirs(self._manifest_dir, exist_ok=True)
-        marker = os.path.join(self._manifest_dir, f"{batch_id}.json")
-        tmp = marker + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump({"batch_id": batch_id, "rows": batch_df.count()}, fh)
-        os.replace(tmp, marker)  # atomic rename = the commit point
+        self._publish(batch_df.sparkSession, batch_id)
 
-    def committed(self) -> list[int]:
-        if not os.path.isdir(self._manifest_dir):
+    def committed(self, spark: SparkSession | None = None) -> list[int]:
+        spark = spark or self._spark
+        if spark is None:
+            raise ValueError("committed() before any apply(): pass a SparkSession")
+        jvm, fs = self._fs(spark)
+        mpath = jvm.org.apache.hadoop.fs.Path(self._manifest_dir)
+        if not fs.exists(mpath):
             return []
-        return sorted(
-            int(f.split(".")[0])
-            for f in os.listdir(self._manifest_dir)
-            if f.endswith(".json")
-        )
+        out = []
+        for st in fs.listStatus(mpath):
+            name = st.getPath().getName()
+            if name.endswith(".json"):
+                out.append(int(name.split(".")[0]))
+        return sorted(out)
 
     def read(self, spark: SparkSession, committed_only: bool = True) -> DataFrame:
         df = spark.read.option("basePath", self.root).parquet(
-            os.path.join(self.root, "batch_id=*")
+            f"{self.root}/batch_id=*"
         )
         if committed_only:
-            ids = self.committed()
+            ids = self.committed(spark)
             df = df.filter(F.col("batch_id").isin(ids) if ids else F.lit(False))
         return df

@@ -440,7 +440,7 @@ def test_foreachbatch_uncommitted_batch_invisible(spark, tmp_path):
     batch = spark.createDataFrame(_rows([(0, 0)]), EVENTS_DDL)
     # simulate the crash: data lands, publish never happens
     batch.write.mode("overwrite").parquet(str(tmp_path / "lake" / "batch_id=5"))
-    assert sink.committed() == []
+    assert sink.committed(spark) == []
     assert sink.read(spark).count() == 0
     assert sink.read(spark, committed_only=False).count() == 1
     # replay completes the delivery; the batch becomes visible
