@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     "q_dedup_groups",
     "q_quantiles_cont",
     "q_mixture_sample",
+    "q_dedup_purge",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

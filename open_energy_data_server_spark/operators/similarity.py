@@ -49,15 +49,6 @@ def cosine_zip(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
-def unpack_components(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, pos, val) long form of an embedding column — the relational
-    representation every oracle-checked similarity op builds on."""
-    return df.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col)).alias("pos", "val"),
-    ).withColumn("val", F.col("val").cast("double"))
-
-
 def _fixed_sum(col: Column) -> Column:
     return F.sum(F.round(col * SCALE, 0).cast("bigint")).cast("double") / float(SCALE)
 

@@ -15,8 +15,9 @@ from open_energy_data_server_spark.operators.similarity import (
 from open_energy_data_server_spark.queries import query
 from open_energy_data_server_spark.queries._util import SCALE
 
-# DuckDB twin of operators.similarity.unpack_components (zipped unnest
-# is 0-based via range(), matching posexplode)
+# (vid, pos, val) long form of the embedding column — the relational
+# twin of the engine's per-row zip_with folds (zipped unnest is
+# 0-based via range(), matching posexplode)
 SQL_COMP = """
   comp AS (
     SELECT vec_id AS vid,

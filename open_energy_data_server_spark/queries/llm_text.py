@@ -922,3 +922,62 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sized, "doc_id", "lang", "n_tokens",
         budgets={"de": 1500, "en": 6000, "zh": 2000},
     )
+
+
+@query(
+    "q_dedup_purge",
+    oracle=f"""
+    WITH RECURSIVE {SQL_TOKS}, {SQL_SHINGLES}, {SQL_MINHASH},
+    banded AS (
+      SELECT doc, CAST(i // 2 AS INTEGER) AS band,
+             array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))), ',')
+               AS bsig
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.doc AS da, b.doc AS db
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT da AS a, db AS b FROM cand
+      UNION
+      SELECT db AS a, da AS b FROM cand
+    ),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT re.node, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    dropped AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(r)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+             AS n_tokens_kept
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY lang
+    """,
+)
+def q_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION, end to end: MinHash-LSH candidate pairs →
+    connected-component duplicate groups → purge every non-keeper →
+    per-language corpus accounting of what survives. Composes three
+    engine layers (dedup_text, graph, aggregation) under one hash
+    gate; at scale the purge is the left-anti join every curation run
+    ships — the drop set is |flagged non-keepers| rows, tiny next to
+    the corpus, and the corpus scan never shuffles."""
+    from open_energy_data_server_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = dedup_text.minhash_wide(docs, "doc_id", "text")
+    pairs = dedup_text.lsh_candidate_pairs_wide(wide, k=16, rows_per_band=2)
+    groups = graph.dedup_groups(pairs, "doc_a", "doc_b")
+    drop = groups.filter(~F.col("is_keeper")).select("doc_id")
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("n_tokens_kept"),
+    )
