@@ -245,7 +245,7 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms AS (
       SELECT vid, {_FS.format(expr="val * val")} AS norm2 FROM comp GROUP BY vid
     ),
-    centc AS (SELECT vid AS cid, pos, val AS cval FROM comp WHERE vid < 8),
+    centc AS (SELECT vid AS cid, pos, val AS cval FROM comp WHERE vid < 16),
     cscore AS (
       SELECT c.vid, cc.cid, {_FS.format(expr="c.val * cc.cval")} AS dot
       FROM comp c JOIN centc cc ON c.pos = cc.pos
@@ -282,15 +282,18 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: 8 deterministic coarse
+    """SemDeDup over the embeddings table: 16 deterministic coarse
     clusters (lowest-id codebook, as the IVF path), within-cluster
     cosine near-dup pairs at threshold 0.3 — the cluster id is the
     blocking key cosine_neardup_pairs requires at scale
-    (operators.similarity.semdedup_pairs)."""
+    (operators.similarity.semdedup_pairs). Doubling the codebook from
+    8 halved the blocked pair count (Σ|c|² — the knob that bounds
+    SemDeDup's cost as the corpus grows: k scales with n so |cluster|
+    stays fixed)."""
     from open_energy_data_server_spark.operators.similarity import semdedup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup_pairs(emb, "vec_id", "embedding", n_clusters=8, threshold=0.3)
+    return semdedup_pairs(emb, "vec_id", "embedding", n_clusters=16, threshold=0.3)
 
 
 # DuckDB twin of multimodal.dhash_bits on the ASCII stand-in grid
