@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "q_quantiles_cont",
     "q_mixture_sample",
     "q_dedup_purge",
+    "q_remove_duplicate_spans",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

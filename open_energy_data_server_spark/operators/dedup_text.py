@@ -598,3 +598,66 @@ def duplicate_spans(
             F.col("n_windows").cast("bigint").alias("n_windows"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The ACTION for ``duplicate_spans`` (Lee et al.'s actual dedup
+    step): excise every duplicated span from every document and
+    rebuild the text.
+
+    → (doc_id, n_tokens, n_removed, clean_text) for every document —
+    docs without spans pass through unchanged (n_removed = 0).
+
+    Scale shape: the span table carries only flagged (doc, start, end)
+    rows — a sliver of the corpus — and joins the token stream on the
+    doc key with the span bound as a residual predicate; the (doc)
+    exchange it requires is the SAME one the per-doc text reassembly
+    pays anyway (the one shuffle any corpus rewrite costs, as in
+    ``strip_boilerplate_lines``). Rebuilt order is pinned by
+    array_sort over (pos, tok) structs — shuffle-order independent.
+    """
+    spans = duplicate_spans(df, id_col, text_col, window, min_count).select(
+        F.col("doc_id").alias("doc"), "span_start", "span_end"
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    marked = toks.join(
+        spans,
+        on=[
+            toks["doc"] == spans["doc"],
+            F.col("pos") >= F.col("span_start"),
+            F.col("pos") <= F.col("span_end"),
+        ],
+        how="left",
+    ).select(
+        toks["doc"].alias("doc"),
+        "pos",
+        "tok",
+        F.col("span_start").isNotNull().alias("in_span"),
+    )
+    kept_struct = F.when(~F.col("in_span"), F.struct(F.col("pos"), F.col("tok")))
+    return (
+        marked.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_span"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["tok"]
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"), "n_tokens", "n_removed", "clean_text"
+        )
+    )

@@ -469,8 +469,11 @@ def semdedup_pairs_gemm(
     BLAS territory — numpy GEMM does |c|²·d flops at memory bandwidth,
     far beyond per-pair expression-tree evaluation, and nothing needs
     the fixed-point determinism the conformance variant exists for
-    (measured at sf0.1: 5.3 s relational / oracle-parity path vs
-    1.4 s this path, identical pair set). Row-blocking keeps peak
+    (measured at sf0.1, 8-cluster codebook: 5.3 s relational /
+    oracle-parity path vs 1.4 s this path, identical pair set; the
+    relational path has since dropped to ~1.9 s with the 16-cluster
+    default — the GEMM advantage grows with |cluster| either way).
+    Row-blocking keeps peak
     memory at O(row_block · |c|) per task regardless of cluster size;
     the shuffle key is the cluster id, so at 100 TB a cluster's
     members land in one task from a bucketed-by-cluster layout with

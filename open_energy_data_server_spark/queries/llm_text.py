@@ -981,3 +981,65 @@ def q_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("n_tokens_kept"),
     )
+
+
+@query(
+    "q_remove_duplicate_spans",
+    oracle=r"""
+    WITH toksd AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id AS doc, i AS start, i + 7 AS end_,
+             CAST('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)
+               AS BIGINT) AS wh
+      FROM toksd, LATERAL (SELECT unnest(range(len(t) - 7)) AS i)
+      WHERE len(t) >= 8
+    ),
+    cnt AS (SELECT wh, COUNT(*) AS c FROM win GROUP BY 1),
+    dup AS (SELECT doc, start, end_ FROM win JOIN cnt USING (wh) WHERE c >= 2),
+    isl AS (
+      SELECT doc, start, end_,
+             CASE WHEN MAX(end_) OVER w IS NULL
+                    OR start > MAX(end_) OVER w + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup
+      WINDOW w AS (PARTITION BY doc ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+      SELECT doc, start, end_,
+             SUM(ni) OVER (PARTITION BY doc ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc, MIN(start) AS s, MAX(end_) AS e FROM isl2 GROUP BY doc, island
+    ),
+    tokpos AS (
+      SELECT doc_id AS doc, i AS pos, t[i + 1] AS tok
+      FROM toksd, LATERAL (SELECT unnest(range(len(t))) AS i)
+    ),
+    marked AS (
+      SELECT tp.doc, tp.pos, tp.tok, (sp.doc IS NOT NULL) AS in_span
+      FROM tokpos tp
+      LEFT JOIN spans sp
+        ON tp.doc = sp.doc AND tp.pos BETWEEN sp.s AND sp.e
+    )
+    SELECT doc AS doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN in_span THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT in_span THEN tok END, ' '
+                               ORDER BY pos), '') AS clean_text
+    FROM marked GROUP BY doc
+    """,
+)
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REALIZED (Lee et al.'s removal step):
+    every duplicated span excised and the text rebuilt, per document
+    (operators.dedup_text.remove_duplicate_spans). The only corpus
+    exchange is the per-doc reassembly every rewrite pays."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_text.remove_duplicate_spans(docs, "doc_id", "text", window=8)

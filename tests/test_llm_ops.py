@@ -385,3 +385,27 @@ def test_mixture_sample_overshoot_bounded_by_last_doc(spark):
     # most the last doc (offset-partitioned convention)
     assert all(r["start_offset"] < 20 for r in out)
     assert total - last["n_tokens"] < 20 <= total + last["n_tokens"]
+
+
+def test_remove_duplicate_spans_excises_and_rebuilds(spark):
+    from open_energy_data_server_spark.operators.dedup_text import (
+        remove_duplicate_spans,
+    )
+
+    rep = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, rep + " unique1 unique2"),
+            (2, "pre " + rep),
+            (3, "totally different words here nothing repeated at all today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "unique1 unique2"
+    assert out[1]["n_removed"] == 8 and out[1]["n_tokens"] == 10
+    assert out[2]["clean_text"] == "pre"
+    # untouched doc passes through verbatim (lowercased tokenization)
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "totally different words here nothing repeated at all today"
