@@ -606,6 +606,7 @@ def remove_duplicate_spans(
     text_col: str,
     window: int = 8,
     min_count: int = 2,
+    hash_fn=None,
 ) -> DataFrame:
     """The ACTION for ``duplicate_spans`` (Lee et al.'s actual dedup
     step): excise every duplicated span from every document and
@@ -621,10 +622,12 @@ def remove_duplicate_spans(
     pays anyway (the one shuffle any corpus rewrite costs, as in
     ``strip_boilerplate_lines``). Rebuilt order is pinned by
     array_sort over (pos, tok) structs — shuffle-order independent.
+    ``hash_fn`` forwards to ``duplicate_spans`` (F.xxhash64 for
+    production corpora).
     """
-    spans = duplicate_spans(df, id_col, text_col, window, min_count).select(
-        F.col("doc_id").alias("doc"), "span_start", "span_end"
-    )
+    spans = duplicate_spans(
+        df, id_col, text_col, window, min_count, hash_fn=hash_fn
+    ).select(F.col("doc_id").alias("doc"), "span_start", "span_end")
     toks = df.select(
         F.col(id_col).alias("doc"), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )

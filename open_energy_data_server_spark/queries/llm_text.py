@@ -50,6 +50,64 @@ SQL_MINHASH = f"""
     FROM hashed, params GROUP BY 1, 2
   )"""
 
+# Shared oracle chains for the round-4 dedup closure/span queries —
+# hoisted (like SQL_TOKS/SQL_SHINGLES/SQL_MINHASH) so the queries that
+# must AGREE on what a duplicate is (find vs purge, spans vs removal)
+# cannot silently diverge. SQL_LSH_CLOSURE continues from SQL_MINHASH's
+# `sig`; SQL_SPAN_CHAIN opens its own WITH (window=8, min_count=2 —
+# matches the operators' conformance defaults).
+SQL_LSH_CLOSURE = """    banded AS (
+      SELECT doc, CAST(i // 2 AS INTEGER) AS band,
+             array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))), ',')
+               AS bsig
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.doc AS da, b.doc AS db
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT da AS a, db AS b FROM cand
+      UNION
+      SELECT db AS a, da AS b FROM cand
+    ),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT re.node, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
+    )"""
+
+SQL_SPAN_CHAIN = r"""    WITH toksd AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id AS doc, i AS start, i + 7 AS end_,
+             CAST('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)
+               AS BIGINT) AS wh
+      FROM toksd, LATERAL (SELECT unnest(range(len(t) - 7)) AS i)
+      WHERE len(t) >= 8
+    ),
+    cnt AS (SELECT wh, COUNT(*) AS c FROM win GROUP BY 1),
+    dup AS (SELECT doc, start, end_ FROM win JOIN cnt USING (wh) WHERE c >= 2),
+    isl AS (
+      SELECT doc, start, end_,
+             CASE WHEN MAX(end_) OVER w IS NULL
+                    OR start > MAX(end_) OVER w + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup
+      WINDOW w AS (PARTITION BY doc ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+      SELECT doc, start, end_,
+             SUM(ni) OVER (PARTITION BY doc ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM isl
+    )"""
+
 
 def _sql_simhash_cte(bits: int = 60) -> str:
     sums = ",\n           ".join(
@@ -788,36 +846,8 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_duplicate_spans",
-    oracle=r"""
-    WITH toksd AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-      FROM documents
-    ),
-    win AS (
-      SELECT doc_id AS doc, i AS start, i + 7 AS end_,
-             CAST('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)
-               AS BIGINT) AS wh
-      FROM toksd, LATERAL (SELECT unnest(range(len(t) - 7)) AS i)
-      WHERE len(t) >= 8
-    ),
-    cnt AS (SELECT wh, COUNT(*) AS c FROM win GROUP BY 1),
-    dup AS (SELECT doc, start, end_ FROM win JOIN cnt USING (wh) WHERE c >= 2),
-    isl AS (
-      SELECT doc, start, end_,
-             CASE WHEN MAX(end_) OVER w IS NULL
-                    OR start > MAX(end_) OVER w + 1
-                  THEN 1 ELSE 0 END AS ni
-      FROM dup
-      WINDOW w AS (PARTITION BY doc ORDER BY start
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    ),
-    isl2 AS (
-      SELECT doc, start, end_,
-             SUM(ni) OVER (PARTITION BY doc ORDER BY start
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-      FROM isl
-    )
+    oracle=f"""
+{SQL_SPAN_CHAIN}
     SELECT doc AS doc_id,
            CAST(MIN(start) AS BIGINT) AS span_start,
            CAST(MAX(end_) AS BIGINT) AS span_end,
@@ -839,27 +869,7 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_groups",
     oracle=f"""
     WITH RECURSIVE {SQL_TOKS}, {SQL_SHINGLES}, {SQL_MINHASH},
-    banded AS (
-      SELECT doc, CAST(i // 2 AS INTEGER) AS band,
-             array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))), ',')
-               AS bsig
-      FROM sig GROUP BY 1, 2
-    ),
-    cand AS (
-      SELECT a.doc AS da, b.doc AS db
-      FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc
-      GROUP BY 1, 2
-    ),
-    edges AS (
-      SELECT da AS a, db AS b FROM cand
-      UNION
-      SELECT db AS a, da AS b FROM cand
-    ),
-    reach AS (
-      SELECT a AS node, a AS r FROM edges
-      UNION
-      SELECT re.node, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
-    )
+{SQL_LSH_CLOSURE}
     SELECT node AS doc_id, MIN(r) AS group_id, (node = MIN(r)) AS is_keeper
     FROM reach GROUP BY node
     """,
@@ -928,27 +938,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_purge",
     oracle=f"""
     WITH RECURSIVE {SQL_TOKS}, {SQL_SHINGLES}, {SQL_MINHASH},
-    banded AS (
-      SELECT doc, CAST(i // 2 AS INTEGER) AS band,
-             array_to_string(list_sort(list(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))), ',')
-               AS bsig
-      FROM sig GROUP BY 1, 2
-    ),
-    cand AS (
-      SELECT a.doc AS da, b.doc AS db
-      FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc < b.doc
-      GROUP BY 1, 2
-    ),
-    edges AS (
-      SELECT da AS a, db AS b FROM cand
-      UNION
-      SELECT db AS a, da AS b FROM cand
-    ),
-    reach AS (
-      SELECT a AS node, a AS r FROM edges
-      UNION
-      SELECT re.node, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
-    ),
+{SQL_LSH_CLOSURE},
     dropped AS (
       SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(r)
     )
@@ -985,36 +975,8 @@ def q_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_remove_duplicate_spans",
-    oracle=r"""
-    WITH toksd AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-      FROM documents
-    ),
-    win AS (
-      SELECT doc_id AS doc, i AS start, i + 7 AS end_,
-             CAST('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)
-               AS BIGINT) AS wh
-      FROM toksd, LATERAL (SELECT unnest(range(len(t) - 7)) AS i)
-      WHERE len(t) >= 8
-    ),
-    cnt AS (SELECT wh, COUNT(*) AS c FROM win GROUP BY 1),
-    dup AS (SELECT doc, start, end_ FROM win JOIN cnt USING (wh) WHERE c >= 2),
-    isl AS (
-      SELECT doc, start, end_,
-             CASE WHEN MAX(end_) OVER w IS NULL
-                    OR start > MAX(end_) OVER w + 1
-                  THEN 1 ELSE 0 END AS ni
-      FROM dup
-      WINDOW w AS (PARTITION BY doc ORDER BY start
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    ),
-    isl2 AS (
-      SELECT doc, start, end_,
-             SUM(ni) OVER (PARTITION BY doc ORDER BY start
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-      FROM isl
-    ),
+    oracle=f"""
+{SQL_SPAN_CHAIN},
     spans AS (
       SELECT doc, MIN(start) AS s, MAX(end_) AS e FROM isl2 GROUP BY doc, island
     ),

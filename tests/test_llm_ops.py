@@ -409,3 +409,21 @@ def test_remove_duplicate_spans_excises_and_rebuilds(spark):
     # untouched doc passes through verbatim (lowercased tokenization)
     assert out[3]["n_removed"] == 0
     assert out[3]["clean_text"] == "totally different words here nothing repeated at all today"
+
+
+def test_dedup_purge_token_accounting_skips_null_text(spark):
+    """Pins the cross-engine null contract the purge accounting relies
+    on: Spark 4's size(split(NULL)) is NULL (not legacy -1), so SUM
+    skips null-text docs exactly like DuckDB's SUM(len(NULL))."""
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.operators.textops import tokens
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id bigint, text string"
+    )
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens("text"))).alias("s"),
+    ).collect()[0]
+    assert (row["n"], row["s"]) == (2, 3)
