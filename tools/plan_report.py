@@ -1,0 +1,69 @@
+"""Generate PLAN_REPORT.md: one row per conformance query with the
+mechanical plan-quality facts (exchanges, scans, Python stages,
+broadcast joins) extracted from the EXECUTED physical plan at sf0.001.
+
+This is the at-a-glance evidence behind PLANS.md's prose: a query
+whose exchange count silently grows in a refactor shows up as a diff
+in a committed artifact, not just a slower bench line.
+
+Usage: PYTHONPATH=. python tools/plan_report.py > PLAN_REPORT.md
+"""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PY_MARKERS = (
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "ArrowEvalPython",
+    "PythonMapInArrow",
+)
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from open_energy_data_server_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-report")
+    rows = []
+    for name, fn in sorted(e.queries().items()):
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows.append(
+            (
+                name,
+                plan.count("Exchange hashpartitioning")
+                + plan.count("Exchange rangepartitioning")
+                + plan.count("Exchange SinglePartition"),
+                plan.count("BroadcastExchange"),
+                plan.count("FileScan"),
+                sum(plan.count(m) for m in PY_MARKERS),
+                "yes" if "WindowGroupLimit" in plan else "",
+            )
+        )
+    print("# PLAN REPORT — mechanical plan-quality facts per query")
+    print()
+    print("Extracted from the executed physical plan at sf0.001")
+    print("(`tools/plan_report.py`). `shuffles` counts hash/range/single-")
+    print("partition exchanges (broadcasts listed separately — they ship")
+    print("dims/scalars, not data); `py` counts Arrow/Python stages (only")
+    print("the two documented seams may be non-zero); `wgl` marks top-k")
+    print("plans where WindowGroupLimit prunes below the exchange.")
+    print()
+    print("| query | shuffles | broadcasts | scans | py | wgl |")
+    print("|---|---|---|---|---|---|")
+    for name, ex, bc, sc, py, wgl in rows:
+        print(f"| `{name}` | {ex} | {bc} | {sc} | {py} | {wgl} |")
+    tot_py = sum(r[4] for r in rows)
+    print()
+    print(
+        f"{len(rows)} queries; {sum(1 for r in rows if r[1] == 0)} plan with "
+        f"ZERO shuffles; {tot_py} Python stages total (the documented "
+        "multimodal-decode and cubic-spline seams)."
+    )
+
+
+if __name__ == "__main__":
+    main()
