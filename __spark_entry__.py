@@ -42,6 +42,7 @@ _DRIVER_PRIORITY = [
     "q_mixture_sample",
     "q_dedup_purge",
     "q_remove_duplicate_spans",
+    "q_quality_classifier",
     "q_ann_ivf_probe",
     "q_text_stats",
     "q_lang_id",

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.constants import SCALE
-from open_energy_data_server_spark.operators.textops import tokens
+from open_energy_data_server_spark.operators.textops import hash60, tokens
 
 
 def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -261,4 +261,76 @@ def familiarity_buckets(
         F.col("doc").alias("doc_id"),
         "score",
         F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+    )
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 4096,
+    weights: list[float] | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE — the
+    model-based filter step of modern curation pipelines (the GPT-3 /
+    LLaMA "quality classifier" stage): hash each token into one of
+    ``n_features`` buckets, score the document as the mean feature
+    weight, flag ``keep = score >= threshold``.
+
+    → (doc_id, n_tokens, score, keep).
+
+    ``weights``: an exported trained model (one float per feature
+    bucket), plan-embedded as a literal array — inference is then a
+    pure projection at scan speed, no model server, no Python. With
+    ``weights=None`` a deterministic arithmetic pseudo-model is used
+    (w(f) = ((f·2654435761) mod 2³¹)/2³¹ − 0.5, a Knuth-hash spread)
+    so the conformance path replays engine-independently — the
+    plumbing (hashing, bucketing, fixed-point mean, thresholding) is
+    the product under test, exactly like the multimodal codec seam.
+
+    Determinism: feature ids come from the shared md5 ``hash60``;
+    per-token weights are rounded to 6-decimal fixed point and summed
+    as BIGINT (order-free), then divided by the token count — every
+    double on the path is a correctly-rounded IEEE op on identical
+    operands, so DuckDB hash-matches.
+
+    Scale shape: one generate + one (doc) shuffle of bigint partials
+    (map-side combine); with explicit ``weights`` the lookup is
+    ``element_at`` on a plan-embedded array — nothing is joined,
+    nothing Python."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    fid = hash60(F.col("term")) % n_features
+    if weights is None:
+        w = (
+            ((fid * F.lit(2654435761)) % F.lit(2147483648)).cast("double")
+            / F.lit(2147483648.0)
+        ) - F.lit(0.5)
+    else:
+        if len(weights) != n_features:
+            raise ValueError(
+                f"linear_text_classifier: {len(weights)} weights for "
+                f"{n_features} features"
+            )
+        w = F.element_at(
+            F.array(*[F.lit(float(x)) for x in weights]), fid.cast("int") + 1
+        )
+    scored = (
+        toks.select("doc", F.round(w * SCALE, 0).cast("bigint").alias("c"))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                (F.sum("c").cast("double") / F.lit(float(SCALE)))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("score"),
+        )
+    )
+    return scored.select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        "score",
+        (F.col("score") >= F.lit(threshold)).alias("keep"),
     )

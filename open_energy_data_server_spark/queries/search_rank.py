@@ -153,3 +153,46 @@ def q_familiarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     model). bucket 1 = head (most familiar), 3 = tail."""
     docs = load_table(spark, sf_dir, "documents")
     return familiarity_buckets(docs, "doc_id", "text", n_buckets=3)
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH tokx AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    f AS (
+      SELECT doc,
+             (CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 4096) AS fid
+      FROM tokx WHERE term <> ''
+    ),
+    c AS (
+      SELECT doc,
+             CAST(ROUND(((CAST((fid * 2654435761) % 2147483648 AS DOUBLE)
+                            / 2147483648.0) - 0.5) * {SCALE}, 0) AS BIGINT) AS c
+      FROM f
+    )
+    SELECT doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           (CAST(SUM(c) AS DOUBLE) / {SCALE}.0) / CAST(COUNT(*) AS DOUBLE)
+             AS score,
+           ((CAST(SUM(c) AS DOUBLE) / {SCALE}.0) / CAST(COUNT(*) AS DOUBLE))
+             >= 0.0 AS keep
+    FROM c GROUP BY doc
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier inference (the
+    model-based filter of modern curation pipelines): hashed-bucket
+    features, plan-embedded weights, fixed-point per-doc mean score +
+    keep flag (operators.ranking.linear_text_classifier — the
+    conformance path runs the deterministic arithmetic pseudo-model;
+    a trained export drops into the same plumbing)."""
+    from open_energy_data_server_spark.operators.ranking import (
+        linear_text_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_text_classifier(docs, "doc_id", "text", n_features=4096)

@@ -67,3 +67,48 @@ def test_familiarity_bucket_head_is_common_language(spark):
     # the outlier-language doc lands in the tail bucket
     assert out[7] == 3
     assert min(out.values()) == 1
+
+
+def test_linear_classifier_explicit_weights_and_threshold(spark):
+    from open_energy_data_server_spark.operators.ranking import (
+        linear_text_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good good good"), (2, "bad bad"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    # weights: everything 0 except the buckets 'good'/'bad' hash into
+    from open_energy_data_server_spark.operators.textops import hash60
+    from pyspark.sql import functions as F
+
+    fids = {
+        r["t"]: r["f"]
+        for r in spark.createDataFrame([("good",), ("bad",)], "t string")
+        .select("t", (hash60(F.col("t")) % 16).alias("f"))
+        .collect()
+    }
+    w = [0.0] * 16
+    w[fids["good"]] = 1.0
+    w[fids["bad"]] = -1.0
+    out = {
+        r["doc_id"]: r
+        for r in linear_text_classifier(
+            docs, "doc_id", "text", n_features=16, weights=w, threshold=0.5
+        ).collect()
+    }
+    assert out[1]["score"] == 1.0 and out[1]["keep"]
+    assert out[2]["score"] == -1.0 and not out[2]["keep"]
+    assert 3 not in out  # no tokens -> no row (matches the oracle)
+
+
+def test_linear_classifier_rejects_wrong_weight_count(spark):
+    import pytest
+
+    from open_energy_data_server_spark.operators.ranking import (
+        linear_text_classifier,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="weights"):
+        linear_text_classifier(docs, "doc_id", "text", n_features=8, weights=[0.1])
