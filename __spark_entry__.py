@@ -19,65 +19,61 @@ FLAGSHIP = "q1_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's per-round correctness harness checks queries in
-# registration order (first 50). Round-4 rotation: q_interpolate_cubic
-# first (newly hash-checkable via the committed fixture oracle —
-# formerly the one rows-only row), then the 35 names whose latest
-# driver row predates round 3 (r3 changed shared code: io.load_table,
-# xlsx, quantiles), so every name's driver row is ≤1 round old after
-# this round. The remaining 14 slots re-sample r3-green names in
-# registration order.
+# registration order (first 50). Round-5 rotation: the 50 names whose
+# latest driver row is from round 3 or earlier (round 4 sampled the
+# other half; every name has been hash-green at least once) go first,
+# so after this round every name's driver row is <=1 round old again.
 _DRIVER_PRIORITY = [
-    "q_interpolate_cubic",
-    "q_stream_stream_join",
-    "q_boilerplate_strip",
-    "q_tfidf_topk",
-    "q_bm25_search",
-    "q_familiarity_buckets",
-    "q_semdedup_pairs",
-    "q_image_dhash",
-    "q_kmeans_refine",
-    "q_duplicate_spans",
-    "q_dedup_groups",
-    "q_quantiles_cont",
-    "q_mixture_sample",
-    "q_dedup_purge",
-    "q_remove_duplicate_spans",
-    "q_quality_classifier",
-    "q_ann_ivf_probe",
-    "q_text_stats",
-    "q_lang_id",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_minhash_signatures",
-    "q_dedup_minhash_lsh",
-    "q_simhash",
-    "q_simhash_pairs",
-    "q_doc_fingerprint_winnow",
-    "q_stratified_sample",
-    "q_token_pack",
-    "q_quality_filters",
-    "q_curation_pipeline",
-    "q_sample_fixed_k",
-    "q1_pricing_summary",
-    "q_melt_part_measures",
-    "q_melt_wide_chunked",
-    "q_suffix_melt",
-    "q_pivot_event_counts",
-    "q_asof_rate_join",
-    "q_sanitize_columns",
-    "q_locale_number_parse",
-    "q_case_when_classify",
-    "q_string_kit",
-    "q_date_arithmetic",
-    "q_tz_roundtrip",
-    "q_unit_conversions",
-    "q_null_handling",
-    "q_lag_diff_decumulate",
-    "q_latest_per_user",
-    "q_ffill_bfill",
-    "q_running_sum",
-    "q_snapshot_at_latest",
     "q_topk_per_group",
+    "q_time_bucket_hourly",
+    "q_multi_measure_by_type",
+    "q_watermark_probe",
+    "q_distinct_dims",
+    "q_dedup_keep_first",
+    "q_value_histogram",
+    "q_catalog_stats",
+    "q_net_generation",
+    "q_union_cte_count",
+    "q_json_extract_agg",
+    "q_approx_distinct_kmv",
+    "q_rollup_revenue",
+    "q_quantiles_disc",
+    "q_corr_regression",
+    "q_skew_salted_agg",
+    "q_postgrest_filter_project",
+    "q_postgrest_aggregate",
+    "q_postgrest_in_like",
+    "q_stored_procedure_view",
+    "q_extract_year_filter",
+    "q_join_distinct_subquery",
+    "q_grafana_panel",
+    "q_point_in_polygon",
+    "q_weather_shape_rollup",
+    "q_polygon_centroids",
+    "q_wkt_to_geojson",
+    "q_tumbling_window_6h",
+    "q_sliding_window_1h30m",
+    "q_session_windows",
+    "q_revenue_by_region",
+    "q_shipping_priority_top10",
+    "q_customers_with_orders",
+    "q_customers_without_orders",
+    "q_incremental_since_watermark",
+    "q_multiway_full_outer",
+    "q_neighbour_pairs",
+    "q_union_distinct",
+    "q_range_join_fiscal_windows",
+    "q_intersect_except",
+    "q_ann_bruteforce_topk",
+    "q_ann_lsh_buckets",
+    "q_multimodal_decode",
+    "q_dedup_embedding_cosine",
+    "q_decontaminate",
+    "q_pii_scrub",
+    "q_domain_stats",
+    "q_timestamp_assembly",
+    "q_interpolate_linear",
+    "q_rolling_1h_window",
 ]
 
 

@@ -55,6 +55,7 @@ def connected_components(
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iter):
         # min over self and neighbours' current labels
         neigh = (
@@ -73,6 +74,12 @@ def connected_components(
         # materialize once per round: the convergence probe and the
         # next round's labels must see the SAME computed labeling
         merged = merged.localCheckpoint(eager=True)
+        # the new round's checkpoint no longer depends on the previous
+        # one — release its storage so slow-converging graphs hold at
+        # most two rounds of label blocks, not O(rounds)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = merged
         changed = merged.filter(F.col("new_lbl") != F.col("lbl")).limit(1).count()
         labels = merged.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:

@@ -50,6 +50,11 @@ def init_centroids(df: DataFrame, id_col: str, vec_col: str, k: int) -> Centroid
         .limit(k)
         .collect()
     )
+    if len(rows) < k:
+        raise ValueError(
+            f"init_centroids: wanted k={k} seeds but the corpus has only "
+            f"{len(rows)} vectors"
+        )
     return [(int(r["i"]), [float(x) for x in r["v"]]) for r in rows]
 
 

@@ -70,10 +70,12 @@ def tfidf_topk(
     rational ``idf = (N+1)/(df+1)`` — same monotone direction in df,
     bit-identical across engines.
 
-    Plan: per-(doc,term) agg → broadcast join of the |vocab|-row df
-    table and the scalar N → rank window partitioned by doc (the
-    engine's WindowGroupLimit keeps only k rows per doc below the
-    exchange). Ties break on term so output order is total.
+    Plan: per-(doc,term) agg → document frequency as a count window
+    over ``Window.partitionBy(term)`` (one exchange on term, single
+    lineage — see the inline comment) → broadcast join of the scalar
+    N → rank window partitioned by doc (the engine's WindowGroupLimit
+    keeps only k rows per doc below the exchange). Ties break on term
+    so output order is total.
     """
     terms = doc_terms(df, id_col, text_col)
     # (doc, term) rows are distinct, so a per-term row count IS the

@@ -391,6 +391,28 @@ def ivf_topk(
     )
 
 
+def _lowid_codebook(
+    df: DataFrame, id_col: str, vec_col: str, n_clusters: int
+) -> list[tuple[int, list[float]]]:
+    """The deterministic stand-in codebook (vectors with id <
+    ``n_clusters``), validated: a corpus whose ids don't cover
+    0..n_clusters-1 fails loudly here instead of silently blocking on
+    a short (or empty → null-keyed, zero-pair) codebook downstream."""
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in df.filter(F.col(id_col) < n_clusters)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    if len(centroids) < n_clusters:
+        raise ValueError(
+            f"codebook shortfall: wanted {n_clusters} centroids but only "
+            f"{len(centroids)} rows have {id_col} < {n_clusters}; pass a "
+            "smaller n_clusters or a corpus whose ids cover the range"
+        )
+    return centroids
+
+
 def semdedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -415,12 +437,7 @@ def semdedup_pairs(
     Output: (id_a, id_b, cluster, cosine) with id_a < id_b and
     cosine ≥ threshold.
     """
-    centroids = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in df.filter(F.col(id_col) < n_clusters)
-        .select(id_col, vec_col)
-        .collect()
-    ]
+    centroids = _lowid_codebook(df, id_col, vec_col, n_clusters)
     # cluster id computed in the SAME projection as the vectors (the
     # ivf_topk shape) — no assignment join, and the block value rides
     # the pair rows out via block_out instead of a corpus-sized
@@ -487,12 +504,7 @@ def semdedup_pairs_gemm(
     import numpy as np
     import pandas as pd
 
-    centroids = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in df.filter(F.col(id_col) < n_clusters)
-        .select(id_col, vec_col)
-        .collect()
-    ]
+    centroids = _lowid_codebook(df, id_col, vec_col, n_clusters)
     assigned = ivf_assign(df, id_col, vec_col, centroids)
     withblk = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).join(
         assigned, "vid"

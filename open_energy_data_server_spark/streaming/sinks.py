@@ -70,8 +70,19 @@ class BatchIdLedgerSink:
         out = fs.create(tmp, True)
         out.write(bytearray(json.dumps({"batch_id": batch_id}).encode("utf-8")))
         out.close()
-        # rename = the commit point (atomic where the FS provides it)
-        fs.rename(tmp, hpath(f"{self._manifest_dir}/{batch_id}.json"))
+        # rename = the commit point (atomic where the FS provides it).
+        # Hadoop rename reports failure via a false RETURN on several
+        # filesystems rather than throwing — swallowing it would report
+        # success with the batch unpublished. dest-already-exists means
+        # a replay of an already-committed batch: drop the tmp, done.
+        dest = hpath(f"{self._manifest_dir}/{batch_id}.json")
+        if not fs.rename(tmp, dest):
+            if fs.exists(dest):
+                fs.delete(tmp, False)
+            else:
+                raise IOError(
+                    f"publish failed: rename({tmp}, {dest}) returned false"
+                )
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
         self._spark = batch_df.sparkSession
@@ -97,7 +108,23 @@ class BatchIdLedgerSink:
                 out.append(int(name.split(".")[0]))
         return sorted(out)
 
+    def _batch_dirs(self, spark: SparkSession) -> bool:
+        """True iff at least one ``batch_id=*`` directory exists."""
+        jvm, fs = self._fs(spark)
+        root = jvm.org.apache.hadoop.fs.Path(self.root)
+        if not fs.exists(root):
+            return False
+        return any(
+            st.getPath().getName().startswith("batch_id=")
+            for st in fs.listStatus(root)
+        )
+
     def read(self, spark: SparkSession, committed_only: bool = True) -> DataFrame:
+        if not self._batch_dirs(spark):
+            # an empty lake is a valid state (stream not started yet) —
+            # return an empty, schema-less-but-readable frame instead of
+            # surfacing the glob's path-not-found
+            return spark.createDataFrame([], "batch_id bigint")
         df = spark.read.option("basePath", self.root).parquet(
             f"{self.root}/batch_id=*"
         )

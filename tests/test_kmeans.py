@@ -74,3 +74,15 @@ def test_refine_assignment_schema_and_moved_flag(spark):
     assert {r["vid"] for r in rows} == set(range(12))
     for r in rows:
         assert r["moved"] == (r["cluster0"] != r["cluster"])
+
+
+def test_init_centroids_shortfall_raises(spark):
+    import pytest
+
+    from open_energy_data_server_spark.operators.kmeans import init_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="init_centroids"):
+        init_centroids(df, "vec_id", "embedding", k=5)

@@ -40,3 +40,16 @@ def test_gemm_row_blocking_boundaries(spark):
     blocked = semdedup_pairs_gemm(emb, "vec_id", "embedding", row_block=7)
     key = lambda r: (r["id_a"], r["id_b"])
     assert sorted(map(key, full.collect())) == sorted(map(key, blocked.collect()))
+
+
+def test_codebook_shortfall_raises(spark):
+    """A corpus whose ids don't cover 0..n_clusters-1 must fail loudly
+    (silently-short codebooks previously produced null clusters and an
+    empty pair set)."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter("vec_id >= 100")
+    with pytest.raises(ValueError, match="codebook shortfall"):
+        semdedup_pairs(emb, "vec_id", "embedding", n_clusters=8)
+    with pytest.raises(ValueError, match="codebook shortfall"):
+        semdedup_pairs_gemm(emb, "vec_id", "embedding", n_clusters=8)

@@ -447,3 +447,17 @@ def test_foreachbatch_uncommitted_batch_invisible(spark, tmp_path):
     sink.apply(batch, 5)
     assert sink.committed() == [5]
     assert sink.read(spark).count() == 1
+
+
+def test_ledger_sink_empty_lake_reads_empty(spark, tmp_path):
+    """read() on a lake with no batch_id=* directories (stream never
+    started) returns an empty DataFrame instead of raising the glob's
+    path-not-found."""
+    from open_energy_data_server_spark.streaming.sinks import BatchIdLedgerSink
+
+    sink = BatchIdLedgerSink(str(tmp_path / "never-written"))
+    assert sink.read(spark).count() == 0
+    # root exists but holds no batch dirs: same contract
+    root = tmp_path / "empty-root"
+    root.mkdir()
+    assert BatchIdLedgerSink(str(root)).read(spark).count() == 0

@@ -1,6 +1,9 @@
 """Generate PLAN_REPORT.md: one row per conformance query with the
 mechanical plan-quality facts (exchanges, scans, Python stages,
-broadcast joins) extracted from the EXECUTED physical plan at sf0.001.
+broadcast joins) extracted from the final AQE physical plan at
+sf0.001 — each query is actually executed (noop-format write) before
+the plan is read, so runtime re-plans (broadcast conversions,
+coalesced exchanges, skew splits) are reflected.
 
 This is the at-a-glance evidence behind PLANS.md's prose: a query
 whose exchange count silently grows in a refactor shows up as a diff
@@ -30,14 +33,27 @@ def main() -> None:
     rows = []
     for name, fn in sorted(e.queries().items()):
         df = fn(spark, SF_DIR)
+        # run the query so AQE finalizes the plan (runtime broadcast
+        # conversions / coalesced exchanges show up, initial-plan
+        # guesses don't); noop format = full execution, nothing written
+        df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # count per-line so a ReusedExchange reference (which repeats
+        # the reused subtree header in some renderings) is not counted
+        # as a second physical shuffle
+        lines = [ln for ln in plan.splitlines() if "ReusedExchange" not in ln]
+        n_ex = sum(
+            1
+            for ln in lines
+            if "Exchange hashpartitioning" in ln
+            or "Exchange rangepartitioning" in ln
+            or "Exchange SinglePartition" in ln
+        )
         rows.append(
             (
                 name,
-                plan.count("Exchange hashpartitioning")
-                + plan.count("Exchange rangepartitioning")
-                + plan.count("Exchange SinglePartition"),
-                plan.count("BroadcastExchange"),
+                n_ex,
+                sum(1 for ln in lines if "BroadcastExchange" in ln),
                 plan.count("FileScan"),
                 sum(plan.count(m) for m in PY_MARKERS),
                 "yes" if "WindowGroupLimit" in plan else "",
@@ -45,7 +61,8 @@ def main() -> None:
         )
     print("# PLAN REPORT — mechanical plan-quality facts per query")
     print()
-    print("Extracted from the executed physical plan at sf0.001")
+    print("Extracted from the final AQE physical plan after executing")
+    print("each query at sf0.001")
     print("(`tools/plan_report.py`). `shuffles` counts hash/range/single-")
     print("partition exchanges (broadcasts listed separately — they ship")
     print("dims/scalars, not data); `py` counts Arrow/Python stages (only")
