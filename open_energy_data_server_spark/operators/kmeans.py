@@ -71,6 +71,7 @@ def update_centroids(
     no assignment join, and the vectors never enter an exchange."""
     from open_energy_data_server_spark.operators.similarity import (
         fixed_norm2,
+        fixed_round,
         ivf_scores,
     )
 
@@ -88,7 +89,7 @@ def update_centroids(
         .agg(
             (
                 (
-                    F.sum(F.round(F.col("val") * SCALE, 0).cast("bigint")).cast(
+                    F.sum(fixed_round(F.col("val") * SCALE)).cast(
                         "double"
                     )
                     / float(SCALE)

@@ -26,7 +26,14 @@ SQL_COMP = """
     FROM embeddings
   )"""
 
-_FS = f"CAST(SUM(CAST(ROUND(({{expr}}) * {SCALE}, 0) AS BIGINT)) AS DOUBLE) / {SCALE}.0"
+# fixed-point term: sign(z)·floor(|z|+0.5) — the oracle twin of
+# operators.similarity.fixed_round (identical IEEE double ops in both
+# engines; see its docstring for why not ROUND)
+_FR = (
+    f"CAST(SIGN(({{expr}}) * {SCALE}) "
+    f"* FLOOR(ABS(({{expr}}) * {SCALE}) + 0.5) AS BIGINT)"
+)
+_FS = f"CAST(SUM({_FR}) AS DOUBLE) / {SCALE}.0"
 
 
 @query(
@@ -371,7 +378,8 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a0 AS (SELECT vid, cid AS cluster0 FROM ranked0 WHERE rn = 1),
     cent1 AS (
       SELECT a.cluster0 AS cid, c.pos,
-             (CAST(SUM(CAST(ROUND(c.val * {SCALE}, 0) AS BIGINT)) AS DOUBLE)
+             (CAST(SUM(CAST(SIGN(c.val * {SCALE})
+                            * FLOOR(ABS(c.val * {SCALE}) + 0.5) AS BIGINT)) AS DOUBLE)
                 / {SCALE}.0) / COUNT(*) AS cval
       FROM comp c JOIN a0 a ON c.vid = a.vid
       GROUP BY 1, 2
