@@ -24,6 +24,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # other half; every name has been hash-green at least once) go first,
 # so after this round every name's driver row is <=1 round old again.
 _DRIVER_PRIORITY = [
+    # round-5 additions (never driver-checked) first
+    "q_fuzzy_dedup_names",
+    "q_load_duration_curve",
+    "q_anomaly_outliers",
+    "q_pagerank",
+    "q_bigram_lm_score",
+    # then the names whose latest driver row predates round 4
     "q_topk_per_group",
     "q_time_bucket_hourly",
     "q_multi_measure_by_type",

@@ -1,0 +1,92 @@
+"""Fuzzy record linkage: edit-distance candidates via deletion
+neighborhoods (the FastSS / SymSpell blocking family — public
+literature), verified with the JVM built-in Levenshtein.
+
+Reference parity: the reference reconciles entity/series names across
+datasets with ad-hoc string normalization
+(/root/reference/crawler/entsoe_crawler.py:54-69 strips "illegal
+values from a series name"; /root/reference/crawler/ecmwf.py:27 notes
+an upstream field spontaneously renamed); this operator is the
+scalable generalization — find all near-identical name pairs
+mechanically, then keep a mapping table.
+
+Why not a cross join + levenshtein filter: that's |corpus|² distance
+computations. Deletion blocking is exact for distance ≤ 1: two
+strings within one edit always share a member of
+``{s} ∪ one-char-deletions(s)`` —
+  equal            → share s itself;
+  one substitution → share the deletion at the mismatch position;
+  one insert/delete→ the shorter string IS a deletion of the longer.
+So candidates come from a hash self-join on the variant key:
+|corpus|·(L+1) skinny rows through the exchange, never pairs².
+
+Scale shape: the variant key is the shuffle key (high cardinality —
+names × positions), map-side distinct applies before the join, and
+the verify step (levenshtein) touches only bucket-mates. Text length
+is bounded by the name column, not the document body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_keys(col: Column) -> Column:
+    """array<string> of the value itself plus every one-character
+    deletion (index 0 = identity; index i = drop the i-th char,
+    1-based). The identical expression exists in ANSI SQL
+    (``list_transform(range(0, length+1), ...)``), so oracle engines
+    reproduce the same blocking keys bit-for-bit."""
+    return F.transform(
+        F.sequence(F.lit(0), F.length(col)),
+        lambda i: F.when(i == F.lit(0), col).otherwise(
+            F.concat(
+                F.substr(col, F.lit(1), i - 1),
+                F.substr(col, i + 1, F.length(col)),
+            )
+        ),
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, name_a, name_b, dist) for every pair of rows whose
+    ``name_col`` values are within ``max_dist`` edits (complete for
+    max_dist ≤ 1 by the deletion-neighborhood property; for larger
+    distances the blocking is a recall-limited prefilter and callers
+    should chain neighborhoods — raise rather than silently miss)."""
+    if max_dist > 1:
+        raise ValueError(
+            "deletion-neighborhood blocking is exact only for max_dist <= 1; "
+            "chain multi-deletion neighborhoods for larger radii"
+        )
+    # rename first, explode second — exploding in the same select as
+    # the rename trips Spark's lateral-column-alias resolution when the
+    # caller's column is already named "name"
+    named = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    keyed = named.select(
+        "id", "name", F.explode(deletion_keys(F.col("name"))).alias("k")
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "k"
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "k"
+    )
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b").cast("int")
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )

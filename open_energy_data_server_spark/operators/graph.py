@@ -91,6 +91,67 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``iters`` rounds of PageRank over the
+    undirected graph induced by ``edges`` (each edge contributes both
+    directions; duplicate edges collapse).
+
+    r_{k+1}(v) = (1−d) + d · Σ_{u∈N(v)} r_k(u) / deg(u), r_0 = 1.
+
+    Determinism contract: the neighbor sum is a fixed-point
+    accumulation (each contribution r/deg — itself deterministic
+    double division — rounds to 1/SCALE via the shared sign·floor
+    term and sums exactly as bigint), so a SQL oracle unrolling the
+    same ``iters`` reaches bit-identical ranks regardless of either
+    engine's reduction order.
+
+    Scale shape: per round, one join of skinny (a, b) edges against
+    (node, rank, deg) — both narrow — and one hash agg on the
+    receiving node with map-side combine; the same per-round plan as
+    ``connected_components``, and the classic Pregel-on-relations
+    formulation. Driver round-trips are O(iters), no collect."""
+    from open_energy_data_server_spark.constants import SCALE
+    from open_energy_data_server_spark.operators.similarity import fixed_round
+
+    e = edges.select(
+        F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("node", "deg", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            und.join(
+                ranks.select(
+                    F.col("node").alias("a"),
+                    (F.col("rank") / F.col("deg")).alias("w"),
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg(
+                (F.sum(fixed_round(F.col("w") * SCALE)).cast("double") / SCALE).alias(
+                    "insum"
+                )
+            )
+        )
+        ranks = deg.join(contrib, "node", "left").select(
+            "node",
+            "deg",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce("insum", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", "rank")
+
+
 def dedup_groups(
     pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
 ) -> DataFrame:

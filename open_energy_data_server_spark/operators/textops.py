@@ -264,3 +264,56 @@ def strip_boilerplate_lines(
             ).alias("cleaned_text"),
         )
     )
+
+
+def bigram_lm_scores(df, id_col: str, text_col: str):
+    """(doc_id, n_bigrams, lm_score): score every document under a
+    bigram language model trained on the corpus ITSELF — the
+    self-supervised fluency signal a CCNet-style pipeline buckets on
+    (docs whose token transitions are rare in the corpus read as
+    noise / boilerplate / wrong-language).
+
+    lm_score = mean over a doc's bigrams of P(tok | prev) =
+    c(prev,tok) / c(prev·) — kept as plain conditional probabilities
+    (no log-perplexity: ln is transcendental and engine-dependent; the
+    mean probability ranks documents the same way for bucketing, and
+    stays inside the engine's exact-arithmetic determinism contract
+    via the fixed-point sign·floor accumulation).
+
+    Plan: tokenize → posexplode → lag window per doc (one exchange on
+    doc_id) → bigram count hash agg (map-side combined, keys are the
+    bigram domain not the corpus) → prefix totals as a second agg →
+    two skinny joins back on the bigram key → per-doc fixed-point
+    mean. Text itself never enters an exchange — only (doc_id, prev,
+    tok) rows. Docs with fewer than two tokens have no bigrams and are
+    absent from the output (the SQL twin behaves identically).
+    """
+    from pyspark.sql import Window
+
+    from open_energy_data_server_spark.constants import SCALE
+    from open_energy_data_server_spark.operators.similarity import fixed_round
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(text_col)).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgf = (
+        toks.withColumn("prev", F.lag("tok").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "tok")
+    )
+    bc = bgf.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c_pt"))
+    pc = bc.groupBy("prev").agg(F.sum("c_pt").cast("bigint").alias("c_p"))
+    p = F.col("c_pt").cast("double") / F.col("c_p").cast("double")
+    scored = bgf.join(bc, ["prev", "tok"]).join(pc, "prev").select("doc_id", p.alias("p"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (
+            (F.sum(fixed_round(F.col("p") * SCALE)).cast("double") / float(SCALE))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("lm_score"),
+    )

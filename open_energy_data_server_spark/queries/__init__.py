@@ -39,6 +39,7 @@ def _load_all() -> None:
     # import for registration side effects
     from open_energy_data_server_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         api_surface,
         geo_windows,
         joins,

@@ -1,0 +1,211 @@
+"""Cross-dataset analytics conformance queries: fuzzy record linkage,
+load-duration curves, variance-gated anomaly flags, PageRank.
+
+Energy-domain parity: the reference's dashboards chart generation /
+load series per area (SURVEY §2.8; e.g. the Grafana panels over
+entsoe tables) — the load-duration curve and anomaly gate are the
+two classic derived views an energy analyst builds next, expressed
+here over the ``events`` table. Linkage and PageRank generalize the
+reference's hand-maintained name fixes and nuts_mapper region graph
+(/root/reference/crawler/nuts_mapper.py) to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.queries import query
+from open_energy_data_server_spark.queries._util import SCALE, _scaled
+
+# oracle twin of operators.similarity.fixed_round (sign·floor term)
+_FR = "CAST(SIGN({z}) * FLOOR(ABS({z}) + 0.5) AS BIGINT)"
+
+
+@query(
+    "q_fuzzy_dedup_names",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey AS id, c_name AS name,
+             unnest(list_transform(range(0, length(c_name) + 1),
+               i -> CASE WHEN i = 0 THEN c_name
+                    ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END))
+               AS k
+      FROM customer
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                      a.name AS name_a, b.name AS name_b
+      FROM keys a JOIN keys b USING (k)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def q_fuzzy_dedup_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 record linkage over customer names via
+    deletion-neighborhood blocking (operators/fuzzy.py): |corpus|·(L+1)
+    skinny variant keys through one self-join — never a pairs² cross
+    join — then Levenshtein verification on bucket-mates only."""
+    from open_energy_data_server_spark.operators.fuzzy import fuzzy_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+@query(
+    "q_load_duration_curve",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type, value, COUNT(*) AS hrs
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, value,
+           CAST(SUM(hrs) OVER (
+             PARTITION BY event_type ORDER BY value DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_hours,
+           CAST(CAST(SUM(hrs) OVER (
+             PARTITION BY event_type ORDER BY value DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(hrs) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE)
+             AS exceed_frac
+    FROM cnt
+    """,
+)
+def q_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration curve per series type: for each observed load
+    level, how many hours (rows) meet or exceed it, and the exceedance
+    fraction — the classic sorted-demand view of an energy dashboard.
+
+    Scale shape (the quantiles-op insight, PLANS.md §quantiles): rows
+    collapse to (type, value) counts in a distributed hash agg FIRST,
+    so the cumulative window runs over the bounded distinct-value
+    domain (2-decimal measures → ≤49k rows per type regardless of
+    corpus size), not over the raw rows — no per-type full sort of
+    the fact table, which is the 3-task ceiling the naive ntile plan
+    would have."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hrs"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = F.sum("hrs").over(wc)
+    tot = F.sum("hrs").over(wt)
+    return cnt.select(
+        "event_type",
+        "value",
+        cum.alias("cum_hours"),
+        (cum.cast("double") / tot.cast("double")).alias("exceed_frac"),
+    )
+
+
+@query(
+    "q_anomaly_outliers",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_id, user_id, value,
+             (CAST(CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT))
+                 OVER (PARTITION BY user_id) AS BIGINT) AS DOUBLE) / {SCALE}.0)
+               / CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS mean_v,
+             (CAST(CAST(SUM(CAST(ROUND((value * value) * {SCALE}, 0) AS BIGINT))
+                 OVER (PARTITION BY user_id) AS BIGINT) AS DOUBLE) / {SCALE}.0)
+               / CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS ex2
+      FROM events
+    )
+    SELECT event_id, user_id, value, mean_v,
+           ex2 - mean_v * mean_v AS var_v
+    FROM st
+    WHERE (value - mean_v) * (value - mean_v)
+          > 4.0 * (ex2 - mean_v * mean_v)
+    """,
+)
+def q_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series outlier gate: flag measurements more than 2 standard
+    deviations from the series mean — stated square-free as
+    (x−mean)² > 4·var, so the whole gate stays in exact-by-construction
+    arithmetic (fixed-point window sums for mean and E[x²]; the
+    comparison itself is the same IEEE ops in both engines — no sqrt,
+    per the engine's no-transcendentals determinism rule).
+
+    Plan: two fixed-point window sums over user_id (high-cardinality
+    series key — parallelism grows with the corpus) in ONE window
+    spec, then a codegen'd filter. No join, one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean_v = (F.sum(_scaled("value")).over(w).cast("double") / F.lit(float(SCALE))) / n
+    ex2 = (
+        F.sum(_scaled(F.col("value") * F.col("value"))).over(w).cast("double")
+        / F.lit(float(SCALE))
+    ) / n
+    var_v = ex2 - mean_v * mean_v
+    dev2 = (F.col("value") - mean_v) * (F.col("value") - mean_v)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            mean_v.alias("mean_v"),
+            var_v.alias("var_v"),
+            dev2.alias("__dev2"),
+        )
+        .filter(F.col("__dev2") > 4.0 * F.col("var_v"))
+        .drop("__dev2")
+    )
+
+
+@query(
+    "q_pagerank",
+    oracle=f"""
+    WITH raw AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY a),
+    r1 AS (
+      SELECT u.b AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * (CAST(SUM({_FR.format(z=f"(CAST(1.0 AS DOUBLE) / CAST(d.deg AS DOUBLE)) * {SCALE}")}) AS DOUBLE) / {SCALE}.0)
+               AS rank
+      FROM und u JOIN deg d ON u.a = d.node
+      GROUP BY u.b
+    ),
+    r2 AS (
+      SELECT u.b AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * (CAST(SUM({_FR.format(z=f"(r1.rank / CAST(d.deg AS DOUBLE)) * {SCALE}")}) AS DOUBLE) / {SCALE}.0)
+               AS rank
+      FROM und u
+      JOIN deg d ON u.a = d.node
+      JOIN r1 ON u.a = r1.node
+      GROUP BY u.b
+    )
+    SELECT node, rank FROM r2
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank rounds over the customer↔supplier co-order graph
+    (operators/graph.py pagerank): per round one skinny edge⋈rank
+    join + one map-side-combined hash agg — the Pregel-on-relations
+    shape shared with connected_components. Rank sums are fixed-point
+    (sign·floor term), so the unrolled SQL twin is bit-identical."""
+    from open_energy_data_server_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, "a", "b", iters=2, damping=0.85)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from open_energy_data_server_spark.constants import SCALE
 from open_energy_data_server_spark.io import load_table
 from open_energy_data_server_spark.operators import dedup_text, textops
 from open_energy_data_server_spark.queries import query
@@ -1005,3 +1006,46 @@ def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is the per-doc reassembly every rewrite pays."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_text.remove_duplicate_spans(docs, "doc_id", "text", window=8)
+
+
+@query(
+    "q_bigram_lm_score",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok
+      FROM t
+    ),
+    ft AS (SELECT doc_id, pos, tok FROM tok WHERE tok <> ''),
+    bg AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+      FROM ft
+    ),
+    bgf AS (SELECT doc_id, prev, tok FROM bg WHERE prev IS NOT NULL),
+    bc AS (SELECT prev, tok, COUNT(*) AS c_pt FROM bgf GROUP BY 1, 2),
+    pc AS (SELECT prev, CAST(SUM(c_pt) AS BIGINT) AS c_p FROM bc GROUP BY 1),
+    scored AS (
+      SELECT b.doc_id, CAST(bc.c_pt AS DOUBLE) / CAST(pc.c_p AS DOUBLE) AS p
+      FROM bgf b
+      JOIN bc ON b.prev = bc.prev AND b.tok = bc.tok
+      JOIN pc ON b.prev = pc.prev
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           (CAST(SUM(CAST(SIGN(p * {SCALE}) * FLOOR(ABS(p * {SCALE}) + 0.5)
+                          AS BIGINT)) AS DOUBLE) / {SCALE}.0)
+             / CAST(COUNT(*) AS DOUBLE) AS lm_score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document (CCNet-style
+    quality bucketing signal; operators/textops.py bigram_lm_scores).
+    Mean conditional probability instead of log-perplexity keeps the
+    whole statistic inside the exact-arithmetic determinism contract
+    (no transcendentals); ranking behavior for bucketing is the same."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bigram_lm_scores(docs, "doc_id", "text")

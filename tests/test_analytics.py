@@ -1,0 +1,87 @@
+"""Unit tests for the round-5 analytics operators: deletion-
+neighborhood fuzzy linkage, PageRank, bigram-LM scoring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_fuzzy_pairs_edit_distance_one(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "abcd"), (4, "xyz"), (5, "abc")],
+        "id bigint, name string",
+    )
+    from open_energy_data_server_spark.operators.fuzzy import fuzzy_pairs
+
+    rows = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(df, "id", "name").collect()
+    }
+    # substitution, insertion, exact duplicate — all found; xyz isolated
+    assert rows == {
+        (1, 2): 1,  # abc ~ abd (substitution)
+        (1, 3): 1,  # abc ~ abcd (insertion)
+        (2, 3): 1,  # abd ~ abcd (insertion)
+        (1, 5): 0,  # exact duplicate
+        (2, 5): 1,
+        (3, 5): 1,
+    }
+
+
+def test_fuzzy_pairs_rejects_large_radius(spark):
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    from open_energy_data_server_spark.operators.fuzzy import fuzzy_pairs
+
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_pairs(df, "id", "name", max_dist=2)
+
+
+def test_pagerank_path_graph(spark):
+    """Hand-computed two rounds on the path 1–2–3 (deg 1,2,1)."""
+    from open_energy_data_server_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+    r = {row["node"]: row["rank"] for row in pagerank(edges, "a", "b", iters=2).collect()}
+    assert r[1] == pytest.approx(0.15 + 0.85 * (1.85 / 2), abs=1e-6)
+    assert r[2] == pytest.approx(0.15 + 0.85 * (0.575 + 0.575), abs=1e-6)
+    assert r[3] == r[1]
+
+
+def test_pagerank_symmetric_pair_is_stationary(spark):
+    from open_energy_data_server_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(7, 8)], "a bigint, b bigint")
+    r = {row["node"]: row["rank"] for row in pagerank(edges, "a", "b", iters=3).collect()}
+    assert r[7] == pytest.approx(1.0, abs=1e-6)
+    assert r[8] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bigram_lm_scores(spark):
+    from open_energy_data_server_spark.operators.textops import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["lm_score"]) for r in
+           bigram_lm_scores(docs, "doc_id", "text").collect()}
+    # c(a,b)=c(a,c)=1, c(a·)=2 → both docs score 0.5; "solo" has no bigrams
+    assert out[1] == (1, pytest.approx(0.5, abs=1e-6))
+    assert out[2] == (1, pytest.approx(0.5, abs=1e-6))
+    assert 3 not in out
+
+
+def test_load_duration_curve_monotone(spark):
+    """exceed_frac is non-decreasing as load level falls, ends at 1."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q_load_duration_curve"](spark, "/root/testdata/sf0.001")
+    rows = df.filter(F.col("event_type") == "click").orderBy(
+        F.col("value").desc()
+    ).collect()
+    fracs = [r["exceed_frac"] for r in rows]
+    assert fracs == sorted(fracs)
+    assert fracs[-1] == pytest.approx(1.0)
+    # the lowest level's cumulative count covers every event of the type
+    assert rows[-1]["cum_hours"] >= len(rows)
