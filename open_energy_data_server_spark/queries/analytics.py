@@ -28,9 +28,9 @@ _FR = "CAST(SIGN({z}) * FLOOR(ABS({z}) + 0.5) AS BIGINT)"
     oracle="""
     WITH keys AS (
       SELECT c_custkey AS id, c_name AS name,
-             unnest(list_transform(range(0, length(c_name) + 1),
+             unnest(list_distinct(list_transform(range(0, length(c_name) + 1),
                i -> CASE WHEN i = 0 THEN c_name
-                    ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END))
+                    ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END)))
                AS k
       FROM customer
     ),

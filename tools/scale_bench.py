@@ -58,6 +58,12 @@ DEFAULT_QUERIES = [
     "q_image_dhash",
     "q_kmeans_refine",
     "q_semdedup_pairs",
+    # round-5 additions: linkage / curve / anomaly / graph / LM families
+    "q_fuzzy_dedup_names",
+    "q_load_duration_curve",
+    "q_anomaly_outliers",
+    "q_pagerank",
+    "q_bigram_lm_score",
 ]
 
 SHIFTS = {
