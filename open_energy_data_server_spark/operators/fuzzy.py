@@ -79,6 +79,12 @@ def fuzzy_pairs(
         "name",
         F.explode(F.array_distinct(deletion_keys(F.col("name")))).alias("k"),
     )
+    # the variant stream feeds both join sides — persist it so the
+    # explode/dedup pipeline runs once (the jaccard_pairs posting-
+    # stream precedent; MEMORY_AND_DISK, skinny rows, Spark LRU evicts)
+    from pyspark import StorageLevel
+
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     a = keyed.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"), "k"
     )

@@ -119,11 +119,21 @@ def pagerank(
     from open_energy_data_server_spark.constants import SCALE
     from open_energy_data_server_spark.operators.similarity import fixed_round
 
+    from pyspark import StorageLevel
+
     e = edges.select(
         F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    # the edge list feeds every round's join (and deg) — persist it so
+    # the upstream edge-derivation pipeline runs once, not O(iters)
+    # times (DataFrame lineage has no CTE materialization; without
+    # this a 2-iter run re-scans the fact tables ~20×). Skinny bigint
+    # pairs, MEMORY_AND_DISK, Spark LRU evicts.
+    und = und.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ranks = deg.select("node", "deg", F.lit(1.0).alias("rank"))
     for _ in range(iters):
         contrib = (
