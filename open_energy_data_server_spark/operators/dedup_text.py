@@ -144,7 +144,9 @@ def jaccard_pairs(
     # ~24 bytes/shingle; Spark LRU evicts)
     from pyspark import StorageLevel
 
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    from open_energy_data_server_spark.operators._cache import register_persisted
+
+    sh = register_persisted(sh.persist(StorageLevel.MEMORY_AND_DISK))
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sz").alias("size_a"), "h")
     b = sh.select(F.col("doc").alias("doc_b"), F.col("sz").alias("size_b"), "h")
     inter = (

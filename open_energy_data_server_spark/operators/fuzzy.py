@@ -81,10 +81,13 @@ def fuzzy_pairs(
     )
     # the variant stream feeds both join sides — persist it so the
     # explode/dedup pipeline runs once (the jaccard_pairs posting-
-    # stream precedent; MEMORY_AND_DISK, skinny rows, Spark LRU evicts)
+    # stream precedent; MEMORY_AND_DISK, skinny rows; registered in
+    # the capped FIFO so repeated calls don't accumulate storage)
     from pyspark import StorageLevel
 
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    from open_energy_data_server_spark.operators._cache import register_persisted
+
+    keyed = register_persisted(keyed.persist(StorageLevel.MEMORY_AND_DISK))
     a = keyed.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"), "k"
     )

@@ -129,11 +129,16 @@ def pagerank(
     # the upstream edge-derivation pipeline runs once, not O(iters)
     # times (DataFrame lineage has no CTE materialization; without
     # this a 2-iter run re-scans the fact tables ~20×). Skinny bigint
-    # pairs, MEMORY_AND_DISK, Spark LRU evicts.
-    und = und.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = und.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # pairs, MEMORY_AND_DISK; capped-FIFO registered so repeated calls
+    # don't accumulate storage.
+    from open_energy_data_server_spark.operators._cache import register_persisted
+
+    und = register_persisted(und.persist(StorageLevel.MEMORY_AND_DISK))
+    deg = register_persisted(
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ranks = deg.select("node", "deg", F.lit(1.0).alias("rank"))
     for _ in range(iters):
         contrib = (

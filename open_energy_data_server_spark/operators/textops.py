@@ -308,10 +308,13 @@ def bigram_lm_scores(df, id_col: str, text_col: str):
     )
     # the bigram stream feeds the count table, the prefix totals AND
     # the scoring join — persist it so the corpus is tokenized once,
-    # not three times (the jaccard_pairs posting-stream precedent)
+    # not three times (the jaccard_pairs posting-stream precedent;
+    # capped-FIFO registered so repeated calls don't accumulate)
     from pyspark import StorageLevel
 
-    bgf = bgf.persist(StorageLevel.MEMORY_AND_DISK)
+    from open_energy_data_server_spark.operators._cache import register_persisted
+
+    bgf = register_persisted(bgf.persist(StorageLevel.MEMORY_AND_DISK))
     bc = bgf.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c_pt"))
     pc = bc.groupBy("prev").agg(F.sum("c_pt").cast("bigint").alias("c_p"))
     p = F.col("c_pt").cast("double") / F.col("c_p").cast("double")

@@ -85,3 +85,22 @@ def test_load_duration_curve_monotone(spark):
     assert fracs[-1] == pytest.approx(1.0)
     # the lowest level's cumulative count covers every event of the type
     assert rows[-1]["cum_hours"] >= len(rows)
+
+
+def test_persist_registry_caps_and_releases(spark):
+    """Operator-internal persists register in the capped FIFO; evicted
+    / released frames recompute correctly (plans stay valid)."""
+    from open_energy_data_server_spark.operators import _cache
+    from open_energy_data_server_spark.operators.fuzzy import fuzzy_pairs
+
+    _cache.release_all()
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd")], "id bigint, name string"
+    )
+    pairs = fuzzy_pairs(df, "id", "name")
+    assert pairs.count() == 1
+    assert len(_cache._PERSISTED) >= 1
+    n = _cache.release_all()
+    assert n >= 1 and len(_cache._PERSISTED) == 0
+    # the returned plan still executes after release (recomputes)
+    assert pairs.count() == 1

@@ -40,8 +40,18 @@ def main() -> None:
         plan = df._jdf.queryExecution().executedPlan().toString()
         # count per-line so a ReusedExchange reference (which repeats
         # the reused subtree header in some renderings) is not counted
-        # as a second physical shuffle
-        lines = [ln for ln in plan.splitlines() if "ReusedExchange" not in ln]
+        # as a second physical shuffle; dedupe identical lines because
+        # a persisted InMemoryRelation prints its cached child plan
+        # under EVERY InMemoryTableScan that references it (same
+        # expression ids → identical lines) while executing it once
+        seen: set[str] = set()
+        lines = []
+        for ln in plan.splitlines():
+            key = ln.strip()
+            if "ReusedExchange" in ln or key in seen:
+                continue
+            seen.add(key)
+            lines.append(ln)
         n_ex = sum(
             1
             for ln in lines
@@ -54,8 +64,8 @@ def main() -> None:
                 name,
                 n_ex,
                 sum(1 for ln in lines if "BroadcastExchange" in ln),
-                plan.count("FileScan"),
-                sum(plan.count(m) for m in PY_MARKERS),
+                sum(1 for ln in lines if "FileScan" in ln),
+                sum(1 for ln in lines for m in PY_MARKERS if m in ln),
                 "yes" if "WindowGroupLimit" in plan else "",
             )
         )
