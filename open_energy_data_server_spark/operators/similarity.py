@@ -257,6 +257,16 @@ def cosine_neardup_pairs(
     if block_col is not None:
         base_cols.append(F.col(block_col).alias("__blk"))
     base = df.select(*base_cols)
+    # base (norms + blocking key — for SemDeDup the whole codebook
+    # assignment) feeds BOTH sides of the self-join; persist it so
+    # that upstream pipeline runs once, not twice (capped-FIFO
+    # registered; at 100 TB the equivalent is the bucketed-by-block
+    # layout the scale notes prescribe)
+    from pyspark import StorageLevel
+
+    from open_energy_data_server_spark.operators._cache import register_persisted
+
+    base = register_persisted(base.persist(StorageLevel.MEMORY_AND_DISK))
     a = base.select(
         *[F.col(c).alias(c + "_a") for c in ("vid", "vec", "norm2")]
         + ([F.col("__blk")] if block_col else [])
