@@ -25,6 +25,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # so after this round every name's driver row is <=1 round old again.
 _DRIVER_PRIORITY = [
     # round-5 additions (never driver-checked) first
+    "q_capacity_factor",
+    "q_ramp_rate",
     "q_fuzzy_dedup_names",
     "q_load_duration_curve",
     "q_anomaly_outliers",

@@ -209,3 +209,77 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, "a", "b", iters=2, damping=0.85)
+
+
+@query(
+    "q_capacity_factor",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type, CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+             CAST(CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / {SCALE}.0 AS v_sum,
+             COUNT(*) AS n,
+             MAX(value) AS v_max
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           (v_sum / CAST(n AS DOUBLE)) / v_max AS capacity_factor,
+           v_max AS peak, CAST(n AS BIGINT) AS n
+    FROM agg
+    WHERE v_max > 0.0
+    """,
+)
+def q_capacity_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily capacity factor per series type — mean output over peak
+    output, THE utilization metric of energy dashboards. One map-side-
+    combined hash agg on (type, day); mean is an exact fixed-point sum
+    over the count, max is exact, the ratio is the same IEEE division
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        (F.sum(_scaled("value")).cast("double") / F.lit(float(SCALE))).alias("v_sum"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("value").alias("v_max"),
+    )
+    return agg.filter(F.col("v_max") > 0.0).select(
+        "event_type",
+        "day",
+        ((F.col("v_sum") / F.col("n").cast("double")) / F.col("v_max")).alias(
+            "capacity_factor"
+        ),
+        F.col("v_max").alias("peak"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "q_ramp_rate",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id, value,
+             value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS ramp
+      FROM events
+    )
+    SELECT user_id,
+           MAX(ABS(ramp)) AS max_abs_ramp,
+           CAST(COUNT(ramp) AS BIGINT) AS n_steps
+    FROM d
+    GROUP BY user_id
+    """,
+)
+def q_ramp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max absolute ramp (step-to-step change) per series — the grid
+    operator's flexibility metric. First differences are exact IEEE
+    subtraction of identical operands; ABS/MAX are exact — no fixed
+    point needed. One window exchange on the series key + one hash agg
+    reusing the same distribution."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.withColumn("ramp", F.col("value") - F.lag("value").over(w))
+    return d.groupBy("user_id").agg(
+        F.max(F.abs("ramp")).alias("max_abs_ramp"),
+        F.count("ramp").cast("bigint").alias("n_steps"),
+    )
