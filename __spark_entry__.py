@@ -19,10 +19,12 @@ FLAGSHIP = "q1_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's per-round correctness harness checks queries in
-# registration order (first 50). Round-5 rotation: the 50 names whose
+# registration order (first 50). Round-5 rotation: the 7 brand-new
+# round-5 queries first (never driver-checked), then the names whose
 # latest driver row is from round 3 or earlier (round 4 sampled the
-# other half; every name has been hash-green at least once) go first,
-# so after this round every name's driver row is <=1 round old again.
+# other half; every pre-existing name has been hash-green at least
+# once). The 7 stale names pushed past slot 50 rotate to the front
+# next round.
 _DRIVER_PRIORITY = [
     # round-5 additions (never driver-checked) first
     "q_capacity_factor",

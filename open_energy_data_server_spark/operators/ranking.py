@@ -191,13 +191,77 @@ def bm25_topk(
         .filter(sum(F.col(f"tf_{i}") for i in range(len(qterms))) > 0)
         .select("doc", "score")
     )
+    # top-k as sort+limit (TakeOrderedAndProject: per-partition heaps
+    # merged on the driver — no single-partition global window over
+    # the corpus); the rank window then runs over ≤ k rows, a bounded
+    # constant
+    top = per_doc.orderBy(F.col("score").desc(), F.col("doc")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc"))
     return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             F.col("doc").alias("doc_id"), "score", F.col("rank").cast("int").alias("rank")
         )
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "__rank",
+    parts: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global row_number over a TOTAL order without a
+    single-partition window: range-repartition on the order keys,
+    row_number within each partition, plus driver-collected partition
+    offsets (bounded metadata — ``parts`` rows, the polygon/watermark
+    precedent). Returns (df + out_col, total_rows).
+
+    The order must be total (include a tiebreak column) — then the
+    result is independent of where the sampled range boundaries land.
+    The repartitioned frame is persisted (capped-FIFO registered)
+    because the offset pass and the rank pass must see the same
+    partitioning."""
+    from pyspark import StorageLevel
+
+    from open_energy_data_server_spark.operators._cache import register_persisted
+
+    spark = df.sparkSession
+    n = parts or spark.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    rp = register_persisted(rp.persist(StorageLevel.MEMORY_AND_DISK))
+    cnts = {
+        r["__pid"]: r["c"]
+        for r in rp.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    total = int(sum(cnts.values()))
+    offs, acc = [], 0
+    for pid in sorted(cnts):
+        offs.append((pid, acc))
+        acc += int(cnts[pid])
+    off_df = spark.createDataFrame(offs, "__pid int, __off bigint")
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    ranked = (
+        rp.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.row_number().over(w).cast("bigint") + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+    return ranked, total
+
+
+def ntile_from_rank(rank, total: int, n_buckets: int):
+    """SQL-standard NTILE(n) from an exact global rank: the first
+    ``total % n`` buckets take ``total // n + 1`` rows, the rest
+    ``total // n`` — integer arithmetic on literals, bit-identical to
+    any engine's NTILE given the same total order."""
+    q, rem = divmod(int(total), int(n_buckets))
+    big = rem * (q + 1)
+    return F.when(
+        rank <= F.lit(big), F.floor((rank - 1) / F.lit(q + 1)) + 1
+    ).otherwise(
+        F.lit(rem) + F.floor((rank - F.lit(big) - 1) / F.lit(max(q, 1))) + 1
     )
 
 
@@ -221,10 +285,11 @@ def familiarity_buckets(
     (score, doc) — a total order, so the split is deterministic.
 
     Plan: the unigram table is |vocab| rows → broadcast; one (doc)
-    shuffle of bigint partials; the ntile window is a single skinny
-    global sort (rows = |docs|, not |tokens|). At 100 TB replace the
-    global ntile with precomputed score-quantile cut points (the
-    engine's two-phase quantiles) — same output contract.
+    shuffle of bigint partials; bucketing is ``global_rank`` (range-
+    repartitioned, offset-corrected row numbers — NO single-partition
+    window) + the exact NTILE formula, so the sort parallelism scales
+    with the doc count (round-5: removed the last global-window
+    ceiling the ~sf1 scale bench surfaced via WindowExec warnings).
     """
     terms = doc_terms(df, id_col, text_col)
     # corpus unigram count per term: window sum over the (doc, term)
@@ -258,11 +323,16 @@ def familiarity_buckets(
             ).alias("score")
         )
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc"))
-    return scored.select(
+    # global rank via range-repartition + partition offsets (no
+    # single-partition ntile window), then the NTILE formula from the
+    # exact rank — identical output to NTILE(n) OVER (ORDER BY ...)
+    ranked, total = global_rank(
+        scored, [F.col("score").desc(), F.col("doc")], out_col="__r"
+    )
+    return ranked.select(
         F.col("doc").alias("doc_id"),
         "score",
-        F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+        ntile_from_rank(F.col("__r"), total, n_buckets).cast("int").alias("bucket"),
     )
 
 

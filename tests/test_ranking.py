@@ -112,3 +112,42 @@ def test_linear_classifier_rejects_wrong_weight_count(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="weights"):
         linear_text_classifier(docs, "doc_id", "text", n_features=8, weights=[0.1])
+
+
+def test_global_rank_matches_single_partition_order(spark):
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(500)], "id bigint, v double"
+    )
+    ranked, total = global_rank(df, [F.col("v").desc(), F.col("id")], out_col="r", parts=8)
+    assert total == 500
+    rows = ranked.orderBy("r").collect()
+    expected = sorted(((r["v"], r["id"]) for r in rows), key=lambda t: (-t[0], t[1]))
+    got = [(r["v"], r["id"]) for r in rows]
+    assert got == expected
+    assert [r["r"] for r in rows] == list(range(1, 501))
+
+
+def test_ntile_formula_matches_sql_ntile(spark):
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.operators.ranking import ntile_from_rank
+
+    # 10 rows, 3 buckets: NTILE gives sizes 4,3,3
+    for total, n in ((10, 3), (5, 7), (6, 3), (1, 4)):
+        got = [
+            spark.range(1)
+            .select(ntile_from_rank(F.lit(r), total, n).alias("b"))
+            .collect()[0]["b"]
+            for r in range(1, total + 1)
+        ]
+        want = [
+            r["b"]
+            for r in spark.sql(
+                f"SELECT ntile({n}) OVER (ORDER BY id) AS b FROM range({total})"
+            ).collect()
+        ]
+        assert got == want, (total, n, got, want)
