@@ -566,6 +566,14 @@ def duplicate_spans(
             )
         ).alias("w"),
     ).select("doc", F.col("w.start").alias("start"), F.col("w.wh").alias("wh"))
+    # the window stream feeds the corpus count AND the join-back —
+    # persist it so the rolling-hash projection (the dominant per-row
+    # cost: window-gram concat + md5) runs once (capped-FIFO registered)
+    from pyspark import StorageLevel
+
+    from open_energy_data_server_spark.operators._cache import register_persisted
+
+    wins = register_persisted(wins.persist(StorageLevel.MEMORY_AND_DISK))
     counts = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
     # SHUFFLE_HASH: the equi-join back on the 8-byte key must not pay
     # sort-merge's two full sorts of the window stream (measured 4.8×
