@@ -27,6 +27,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # next round.
 _DRIVER_PRIORITY = [
     # round-5 additions (never driver-checked) first
+    "q_pq_encode",
+    "q_pq_adc_topk",
+    "q_scd2_history",
+    "q_shuffle_shards",
     "q_capacity_factor",
     "q_ramp_rate",
     "q_fuzzy_dedup_names",

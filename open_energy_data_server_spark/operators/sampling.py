@@ -151,3 +151,35 @@ def mixture_sample(
         offs.filter(F.col("start_offset") < F.col("__budget"))
         .select(key_col, stratum_col, tokens_col, "start_offset")
     )
+
+
+def shuffle_shards(
+    df: DataFrame, key_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic global training-shuffle: assign every row to a
+    shard by key hash and a stable pseudo-random position within the
+    shard — the "shuffle the corpus before writing training shards"
+    step, rerun-stable so a resumed export reproduces byte-identical
+    shards.
+
+    Plan: shard id is a projection (pmod of the 60-bit md5 hash); the
+    only exchange is the per-shard window that numbers positions in
+    hash order. No GLOBAL sort — with n_shards sized to the export
+    (hundreds to thousands of files at 100 TB), each shard sorts
+    independently and in parallel, and downstream `partitionBy(shard)`
+    writes land co-located with zero extra movement. Appends with new
+    keys permute positions only within the shards they land in.
+
+    Output: original columns + (shard, pos) with pos dense 1..|shard|.
+    """
+    h = hash60(F.col(key_col).cast("string"))
+    with_shard = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(key_col).asc()
+    )
+    return (
+        with_shard.withColumn("pos", F.row_number().over(w).cast("int"))
+        .drop("__h")
+    )

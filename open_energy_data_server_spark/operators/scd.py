@@ -1,0 +1,152 @@
+"""Slowly-changing-dimension (Type 2) history — warehouse-core
+versioning the reference's catalog upsert (MERGE, K10) stops short
+of: instead of overwriting a dimension row in place, every observed
+state change becomes a versioned row with a validity interval.
+
+``scd2_history`` turns a raw change stream (one row per observation,
+possibly repeating the same state many times) into the canonical SCD2
+table: consecutive identical states collapse, each surviving state
+gets ``valid_from`` / ``valid_to`` (null = still current) and a dense
+per-key ``version``.
+
+Plan shape: ONE exchange on the dimension key serves every step —
+the change-detection lag, the interval lead, and the version
+row_number are all windows over the same (key, order) partitioning,
+so Catalyst plans a single hash partitioning with stacked Window
+operators (no re-shuffle between them; verify with
+tests/test_scd.py::test_single_exchange). At 100 TB the change
+stream is written partitioned by ingest date and bucketed by key, so
+the exchange prunes to changed partitions — the classic incremental-
+dimension pipeline; nothing in the operator holds more than one key's
+rows in a comparator at a time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """SCD Type 2 from a change stream.
+
+    A row opens a new version exactly when any tracked attribute
+    differs from the key's previous observation (null-safe, so the
+    first observation always opens). ``valid_to`` is the next
+    version's ``valid_from``; the open version has ``valid_to`` null
+    and ``is_current`` true. ``tiebreak_cols`` totalizes the order
+    when ``ts_col`` can repeat within a key (default: the attribute
+    columns themselves).
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or attr_cols)
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    changed = ~state.eqNullSafe(F.lag(state).over(w))
+    opened = df.withColumn("_open", changed).filter(F.col("_open")).drop("_open")
+    # same partitioning and ordering -> no second exchange, and the
+    # lead/version sequence stays total even when ts repeats in a key
+    return opened.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+
+
+def scd2_current(history: DataFrame) -> DataFrame:
+    """The Type-1 view of an SCD2 table: only the open versions."""
+    return history.filter(F.col("is_current"))
+
+
+def scd2_as_of(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time snapshot: the version valid at ``ts`` (a literal
+    or Column) — the query SCD2 exists to answer; partition pruning on
+    ``valid_from`` date does the work at scale."""
+    t = F.lit(ts)
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a batch of new observations
+    into an existing history (the steady-state load; ``scd2_history``
+    is the initial build).
+
+    Contract: an update older than its key's open version is LATE and
+    is dropped (the standard incremental-load assumption — route late
+    rows through operators/incremental.py policies upstream if they
+    must be kept). Untouched keys pass through COLUMN-IDENTICAL with
+    no recompute; for touched keys the closed versions pass through
+    and only the open version + the batch re-run the change collapse,
+    with version numbers continuing the key's existing sequence.
+    Same-timestamp ties within the batch order by the attribute
+    values (history keeps no external tiebreak column to thread
+    through the recompute).
+
+    Plan: one semi-join to find touched keys, the scd2_history window
+    over (open ∪ batch) — all joins and the window share the key
+    hash partitioning, and the batch side is typically a day's
+    changes, so at 100 TB the recompute touches |changed keys| rows,
+    not the dimension.
+    """
+    is_cur = F.col("is_current")
+    touched = updates.select(*key_cols).distinct()
+    hist_touched = history.join(touched, key_cols, "left_semi")
+    hist_untouched = history.join(touched, key_cols, "left_anti")
+
+    open_rows = hist_touched.filter(is_cur).select(
+        *key_cols,
+        *attr_cols,
+        F.col("valid_from").alias(ts_col),
+        F.col("version").alias("__base_version"),
+    )
+    closed_rows = hist_touched.filter(~is_cur)
+
+    base = open_rows.select(*key_cols, F.col(ts_col).alias("__open_from"),
+                            F.col("__base_version"))
+    # late-update gate: keep batch rows at/after the key's open version
+    # (keys new to the dimension have no open row -> keep everything)
+    fresh = (
+        updates.join(base, key_cols, "left")
+        .filter(
+            F.col("__open_from").isNull() | (F.col(ts_col) >= F.col("__open_from"))
+        )
+        .select(*key_cols, *attr_cols, ts_col)
+    )
+    combined = open_rows.drop("__base_version").unionByName(fresh)
+    recomputed = scd2_history(combined, key_cols, ts_col, attr_cols)
+    # continue each key's version sequence: the first recomputed
+    # segment IS the old open version (same valid_from) re-closed
+    renumbered = (
+        recomputed.join(base.select(*key_cols, "__base_version"), key_cols, "left")
+        .withColumn(
+            "version",
+            (
+                F.col("version") + F.coalesce(F.col("__base_version"), F.lit(1)) - 1
+            ).cast("int"),
+        )
+        .drop("__base_version")
+    )
+    out_cols = [*key_cols, *attr_cols, "valid_from", "valid_to",
+                "is_current", "version"]
+    return hist_untouched.select(*out_cols).unionByName(
+        closed_rows.select(*out_cols)
+    ).unionByName(renumbered.select(*out_cols))

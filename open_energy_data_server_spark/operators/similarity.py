@@ -567,3 +567,183 @@ def semdedup_pairs_gemm(
     return withblk.groupBy("cluster").applyInPandas(
         find_pairs, "id_a bigint, id_b bigint, cluster int, cosine double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the compressed-domain ANN
+# path: a d-dim float vector (d·4 bytes) becomes m sub-space codes
+# (m bytes at 256 codes/subspace), and query scoring runs against the
+# codes alone via per-subspace distance tables. At 100 TB this is the
+# difference between scanning 25 TB of raw vectors and 0.4 TB of codes.
+
+
+def _fixed_l2_scaled(a: Column, blist: list[float]) -> Column:
+    """Σ round((aᵢ−bᵢ)²·SCALE) as an exact BIGINT (the fixed-point
+    squared L2 the PQ paths rank by; staying in scaled integers keeps
+    argmin ties and sums bit-identical across engines)."""
+    lit_vec = F.array(*[F.lit(float(x)) for x in blist])
+
+    def term(x: Column, y: Column) -> Column:
+        d = x.cast("double") - y
+        return fixed_round(d * d * F.lit(float(SCALE)))
+
+    return F.aggregate(
+        F.zip_with(a, lit_vec, term),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_codes: int = 16,
+    m: int = 4,
+    dsub: int = 16,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebook: subspace s's entries are the s-th
+    dsub-dim slices of the ``n_codes`` lowest-id vectors (the same
+    deterministic stand-in convention as the IVF/SemDeDup codebooks —
+    production swaps in per-subspace k-means trained with
+    ``operators.kmeans``; every consumer below only sees
+    ``[(code, subvector)]`` per subspace). Bounded driver metadata:
+    n_codes·m·dsub scalars."""
+    full = _lowid_codebook(df, id_col, vec_col, n_codes)
+    return [
+        [(code, vec[s * dsub : (s + 1) * dsub]) for code, vec in full]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: list[list[tuple[int, list[float]]]],
+    dsub: int = 16,
+) -> DataFrame:
+    """(vid, code_0..code_{m-1}) — each subspace's nearest codebook
+    entry by fixed-point squared L2, ties to the lowest code id.
+
+    Plan shape: the codebook is plan-embedded (the PQ analog of a
+    broadcast), so encoding is a zero-shuffle scan-speed projection —
+    every subspace argmin is an array_sort over n_codes
+    (dist, code) structs inside whole-stage codegen. At 100 TB the
+    codes are written next to the vectors at ingest and queries never
+    touch the raw embedding column again."""
+    cols = [F.col(id_col).alias("vid")]
+    for s, entries in enumerate(codebook):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        scored = F.array(
+            *[
+                F.struct(
+                    _fixed_l2_scaled(sub, cvec).alias("dist"),
+                    F.lit(int(code)).alias("code"),
+                )
+                for code, cvec in entries
+            ]
+        )
+        cols.append(F.array_sort(scored)[0]["code"].alias(f"code_{s}"))
+    return df.select(*cols)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    n_codes: int = 16,
+    m: int = 4,
+    dsub: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query keeps
+    its exact vector, the corpus is represented only by its codes, and
+    dist(q, x) ≈ Σ_s dtable[q, s, code_s(x)] where dtable holds the
+    exact fixed-point L2 from q's s-th slice to every codebook entry.
+
+    Relational formulation (everything derives from the raw table, so
+    the DuckDB oracle replays it end to end):
+      1. encode — zero-shuffle projection (``pq_encode``);
+      2. dtable — |Q|·m·n_codes skinny rows computed by re-joining the
+         query vectors' components against the codebook vectors'
+         components (both tiny filters of the corpus);
+      3. score — broadcast dtable onto the exploded (vid, s, code)
+         stream, one map-side-combined (vid, qid) sum of m bigints,
+         one top-k window shuffle of skinny score rows.
+    The corpus vector column is read once (encode); scoring touches
+    codes only — the compressed-domain property that makes PQ the
+    100 TB ANN workhorse.
+
+    Output: (query_id, neighbor_id, adc_dist_scaled, rank) — distances
+    stay in SCALE-scaled exact bigints (ascending = nearest)."""
+    codebook = pq_codebook(df, id_col, vec_col, n_codes=n_codes, m=m, dsub=dsub)
+    encoded = pq_encode(df, id_col, vec_col, codebook, dsub=dsub)
+    enc_long = encoded.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"code_{s}").alias("code")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vid", F.col("e")["s"].alias("s"), F.col("e")["code"].alias("code"))
+
+    # (qid, s, i, qval) / (code, s, i, cval) component streams — tiny
+    qcomp = (
+        df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(F.col(id_col).alias("qid"), F.posexplode(F.col(vec_col)))
+        .select(
+            "qid",
+            (F.col("pos") / dsub).cast("int").alias("s"),
+            (F.col("pos") % dsub).alias("i"),
+            F.col("col").cast("double").alias("qval"),
+        )
+    )
+    ccomp = (
+        df.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code"), F.posexplode(F.col(vec_col)))
+        .select(
+            "code",
+            (F.col("pos") / dsub).cast("int").alias("s"),
+            (F.col("pos") % dsub).alias("i"),
+            F.col("col").cast("double").alias("cval"),
+        )
+    )
+    diff = F.col("qval") - F.col("cval")
+    dtable = (
+        qcomp.join(ccomp, ["s", "i"])
+        .groupBy("qid", "s", "code")
+        .agg(
+            F.sum(fixed_round(diff * diff * F.lit(float(SCALE))))
+            .cast("bigint")
+            .alias("sub_dist")
+        )
+    )
+
+    scored = (
+        enc_long.join(F.broadcast(dtable), ["s", "code"])
+        .groupBy("vid", "qid")
+        .agg(F.sum("sub_dist").cast("bigint").alias("adc_dist_scaled"))
+        .filter(F.col("vid") != F.col("qid"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist_scaled").asc(), F.col("vid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "adc_dist_scaled",
+            "rank",
+        )
+    )

@@ -421,3 +421,110 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_refine_assignment(emb, "vec_id", "embedding", k=8)
+
+
+# PQ oracle building blocks: (vid, s, i, val) subspace components and
+# the per-(vid, subspace, code) fixed-point squared L2 to each of the
+# 16 codebook entries (codebook = subslices of the 16 lowest-id
+# vectors — the same deterministic stand-in the Spark side embeds).
+_PQ_SUB = """
+  sub AS (
+    SELECT vid, CAST(FLOOR(pos / 16) AS INTEGER) AS s, pos % 16 AS i, val
+    FROM comp
+  ),
+  cb AS (SELECT vid AS code, s, i, val AS cval FROM sub WHERE vid < 16),
+  dists AS (
+    SELECT x.vid, x.s, cb.code,
+           CAST(SUM({fr}) AS BIGINT) AS dist
+    FROM sub x JOIN cb ON x.s = cb.s AND x.i = cb.i
+    GROUP BY 1, 2, 3
+  ),
+  best AS (
+    SELECT vid, s, code,
+           ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY dist, code) AS rn
+    FROM dists
+  )""".format(fr=_FR.format(expr="(x.val - cb.cval) * (x.val - cb.cval)"))
+
+
+@query(
+    "q_pq_encode",
+    oracle=f"""
+    WITH {SQL_COMP},
+    {_PQ_SUB}
+    SELECT vid,
+           CAST(MAX(CASE WHEN s = 0 THEN code END) AS INTEGER) AS code_0,
+           CAST(MAX(CASE WHEN s = 1 THEN code END) AS INTEGER) AS code_1,
+           CAST(MAX(CASE WHEN s = 2 THEN code END) AS INTEGER) AS code_2,
+           CAST(MAX(CASE WHEN s = 3 THEN code END) AS INTEGER) AS code_3
+    FROM best WHERE rn = 1 GROUP BY vid
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): every 64-dim
+    vector compressed to 4 subspace codes (nearest of 16 codebook
+    entries per 16-dim slice, fixed-point squared L2, ties to the
+    lowest code). The engine side is a zero-shuffle plan-embedded-
+    codebook projection; the oracle recomputes the whole argmin
+    relationally from the raw table."""
+    from open_energy_data_server_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "vec_id", "embedding", n_codes=16, m=4, dsub=16)
+    return pq_encode(emb, "vec_id", "embedding", cb, dsub=16)
+
+
+@query(
+    "q_pq_adc_topk",
+    oracle=f"""
+    WITH {SQL_COMP},
+    {_PQ_SUB},
+    q AS (
+      SELECT vid AS qid, s, i, val AS qval FROM sub
+      WHERE vid IN (100, 101, 102, 103, 104)
+    ),
+    dtable AS (
+      SELECT q.qid, cb.s, cb.code,
+             CAST(SUM({_FR.format(expr="(q.qval - cb.cval) * (q.qval - cb.cval)")}) AS BIGINT)
+               AS sub_dist
+      FROM q JOIN cb ON q.s = cb.s AND q.i = cb.i
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT b.vid, dt.qid,
+             CAST(SUM(dt.sub_dist) AS BIGINT) AS adc_dist_scaled
+      FROM best b JOIN dtable dt ON b.s = dt.s AND b.code = dt.code
+      WHERE b.rn = 1
+      GROUP BY 1, 2
+    )
+    SELECT qid AS query_id, vid AS neighbor_id, adc_dist_scaled,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY adc_dist_scaled, vid) AS rn
+      FROM scored WHERE vid <> qid
+    ) WHERE rn <= 5
+    """,
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-5 over PQ codes for a 5-query set: the
+    corpus is ranked from its 4-byte codes alone via per-subspace
+    distance tables (compressed-domain ANN — the 100 TB scale path
+    where raw vectors are never re-read at query time). Distances are
+    exact fixed-point bigints, so the DuckDB twin replays encode,
+    distance tables, and ranking end to end."""
+    from open_energy_data_server_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        query_ids=[100, 101, 102, 103, 104],
+        n_codes=16,
+        m=4,
+        dsub=16,
+        k=5,
+    )

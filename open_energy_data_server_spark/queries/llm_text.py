@@ -1049,3 +1049,32 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no transcendentals); ranking behavior for bucketing is the same."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.bigram_lm_scores(docs, "doc_id", "text")
+
+
+@query(
+    "q_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {SQL_HASH60.format(expr="CAST(doc_id AS VARCHAR)")} AS hh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(hh % 8 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY hh % 8 ORDER BY hh, doc_id) AS INTEGER) AS pos
+    FROM h
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shuffle (operators/sampling.py
+    shuffle_shards): every document lands in one of 8 shards by key
+    hash with a stable pseudo-random in-shard position — the
+    shuffle-before-sharding export step of a training pipeline,
+    rerun-stable with no global sort (shards permute independently)."""
+    from open_energy_data_server_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", n_shards=8).select(
+        "doc_id", "lang", "shard", "pos"
+    )

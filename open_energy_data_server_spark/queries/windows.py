@@ -218,3 +218,53 @@ def q_rolling_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("sum_1h"),
     )
+
+
+@query(
+    "q_scd2_history",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    opened AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           {sql_ts_str("ts")} AS valid_from,
+           {sql_ts_str("LEAD(ts) OVER w")} AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version
+    FROM opened
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 (operators/scd.py): the per-user event_type change
+    stream versioned into validity intervals — consecutive repeats
+    collapse, each surviving state carries valid_from / valid_to /
+    is_current / version. One exchange on the key serves the change
+    lag, the interval lead, and the version number (stacked windows,
+    same partitioning). The warehouse-dimension layer above the
+    reference's in-place catalog MERGE (K10)."""
+    from open_energy_data_server_spark.operators.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        ts_str("valid_from").alias("valid_from"),
+        ts_str("valid_to").alias("valid_to"),
+        "is_current",
+        "version",
+    )

@@ -427,3 +427,33 @@ def test_dedup_purge_token_accounting_skips_null_text(spark):
         F.sum(F.size(tokens("text"))).alias("s"),
     ).collect()[0]
     assert (row["n"], row["s"]) == (2, 3)
+
+
+def test_shuffle_shards_shape_and_determinism(spark):
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.operators.sampling import shuffle_shards
+    from tests.conftest import SF_DIR_ORACLE
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id")
+    n = docs.count()
+    out = shuffle_shards(docs, "doc_id", n_shards=8)
+    rows = out.collect()
+    assert len(rows) == n  # total function: every row sharded
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # shards are hash-balanced, not skewed (within 3x of each other)
+    sizes = sorted(len(p) for p in by_shard.values())
+    assert sizes[-1] <= 3 * sizes[0]
+    # rerun-stable (deterministic hash, no rand())
+    again = {(r["doc_id"], r["shard"], r["pos"])
+             for r in shuffle_shards(docs, "doc_id", n_shards=8).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    # exactly one exchange: the per-shard position window (count the
+    # AQE final plan only — toString appends the initial plan too)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
