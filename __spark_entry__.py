@@ -31,6 +31,9 @@ _DRIVER_PRIORITY = [
     "q_pq_adc_topk",
     "q_scd2_history",
     "q_shuffle_shards",
+    "q_cms_heavy_hitters",
+    "q_funnel_steps",
+    "q_retention_cohorts",
     "q_capacity_factor",
     "q_ramp_rate",
     "q_fuzzy_dedup_names",

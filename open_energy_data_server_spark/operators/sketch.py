@@ -48,3 +48,70 @@ def kmv_distinct(
         .otherwise(F.lit(float(k - 1)) * F.lit(TWO_60) / F.col("hk").cast("double"))
         .alias("est_distinct"),
     )
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) counter table:
+    ``d`` hash rows × ``w`` buckets, counting every occurrence of
+    ``key_col``. Like the KMV sketch, the hash family is the engine's
+    md5-based ``hash60`` (row j hashes ``"j:" || key``), so a DuckDB
+    twin builds the IDENTICAL counters — integer arithmetic end to
+    end, no estimate drift between engines.
+
+    Scale shape: the sketch is a d·w-row table regardless of stream
+    size — one map-side-combined (j, bucket) hash-agg over the
+    exploded stream, mergeable across partitions/days by summing
+    counters. The point-query path (``cms_estimate``) broadcasts it."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(
+                    hash60(F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))),
+                    F.lit(int(w)),
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(entries).alias("e"))
+        .select(F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame, counters: DataFrame, key_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Point queries against a CMS counter table: est(x) = min over
+    the d rows of the bucket counter x hashes to — an overestimate
+    never below the true count. ``counters`` is d·w rows, so the join
+    is a broadcast; the min is a d-row per-key fold."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(
+                    hash60(F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))),
+                    F.lit(int(w)),
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    long = keys.select(key_col, F.explode(entries).alias("e")).select(
+        key_col, F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket")
+    )
+    return (
+        long.join(F.broadcast(counters), ["j", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_count"))
+    )

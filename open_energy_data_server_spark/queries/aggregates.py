@@ -540,3 +540,65 @@ def q_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return quantile_cont(li, "l_returnflag", "l_extendedprice", _QCONT_PICKS)
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    truec AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM toks GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, true_count FROM truec
+      ORDER BY true_count DESC, tok LIMIT 20
+    ),
+    js AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS j),
+    counters AS (
+      SELECT j,
+             CAST(CAST('0x' || substr(md5(j || ':' || tok), 1, 15) AS BIGINT)
+                  % 256 AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, js GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT top.tok, top.true_count, js.j,
+             CAST(CAST('0x' || substr(md5(js.j || ':' || top.tok), 1, 15) AS BIGINT)
+                  % 256 AS INTEGER) AS bucket
+      FROM top, js
+    )
+    SELECT p.tok, p.true_count,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_count
+    FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.tok, p.true_count
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch point queries for the corpus's 20 most
+    frequent tokens (operators/sketch.py cms_counters/cms_estimate,
+    d=4 × w=256): true count beside the sketch overestimate. The
+    sketch is a constant-size mergeable counter table built in one
+    map-side-combined agg — the heavy-hitter companion to the KMV
+    distinct sketch, and like it fully deterministic (shared md5 hash
+    family), so the oracle rebuilds identical counters."""
+    from open_energy_data_server_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+    from open_energy_data_server_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    counters = cms_counters(toks, "tok", d=4, w=256)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    est = cms_estimate(top.select("tok"), counters, "tok", d=4, w=256)
+    return top.join(est, "tok").select("tok", "true_count", "cms_count")

@@ -283,3 +283,102 @@ def q_ramp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs("ramp")).alias("max_abs_ramp"),
         F.count("ramp").cast("bigint").alias("n_steps"),
     )
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+    WITH q0 AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'view' THEN ts END AS q0
+      FROM events
+    ),
+    q1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                      AND MIN(q0) OVER w IS NOT NULL THEN ts END AS q1
+      FROM q0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    q2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                      AND MIN(q1) OVER w IS NOT NULL THEN ts END AS q2
+      FROM q1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    per_user AS (
+      SELECT user_id, MIN(q0) AS t0, MIN(q1) AS t1, MIN(q2) AS t2
+      FROM q2 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t0) AS BIGINT) AS step_1_users,
+           CAST(COUNT(t1) AS BIGINT) AS step_2_users,
+           CAST(COUNT(t2) AS BIGINT) AS step_3_users
+    FROM per_user
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase (operators/funnel.py):
+    users completing each prefix of the sequence in strict time order.
+    One exchange for the whole depth — each step's qualifier is a
+    running min of the previous step's over a strictly-before frame,
+    stacked on a single (user, time) sort — vs the classic k−1
+    self-join formulation."""
+    from open_energy_data_server_spark.operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        steps=["view", "click", "purchase"],
+        tiebreak_cols=["event_id"],
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts,
+             MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id,
+             strftime(date_trunc('month', first_ts), '%Y-%m') AS cohort_month,
+             CAST((year(ts) * 12 + month(ts))
+                  - (year(first_ts) * 12 + month(first_ts)) AS INTEGER)
+               AS month_offset
+      FROM firsts
+    )
+    SELECT cohort_month, month_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM marked GROUP BY cohort_month, month_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen month,
+    counted in every later month they return (the dashboard behind
+    every 'retention' panel). Cohorting is a per-user window min (one
+    exchange, reused by the distinct-count agg); month arithmetic is
+    integer year*12+month on both engines — no interval/tz drift."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    first_ts = F.min("ts").over(w)
+    marked = ev.select(
+        "user_id",
+        F.date_format(F.date_trunc("month", first_ts), "yyyy-MM").alias(
+            "cohort_month"
+        ),
+        (
+            (F.year("ts") * 12 + F.month("ts"))
+            - (F.year(first_ts) * 12 + F.month(first_ts))
+        )
+        .cast("int")
+        .alias("month_offset"),
+    )
+    return marked.groupBy("cohort_month", "month_offset").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )

@@ -457,3 +457,33 @@ def test_shuffle_shards_shape_and_determinism(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+    from open_energy_data_server_spark.operators.textops import tokens
+    from tests.conftest import SF_DIR_ORACLE
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    counters = cms_counters(toks, "tok", d=4, w=64)  # small w: collisions
+    assert counters.count() <= 4 * 64
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cms_estimate(truth.select("tok"), counters, "tok", d=4, w=64)
+    joined = truth.join(est, "tok")
+    # CMS invariant: min-of-counters is an OVERestimate for every key
+    assert joined.filter(F.col("cms_count") < F.col("true_count")).count() == 0
+    # mergeability: counters(stream twice) == 2 x counters(stream)
+    doubled = cms_counters(toks.unionAll(toks), "tok", d=4, w=64)
+    diff = (
+        counters.withColumnRenamed("cnt", "c1")
+        .join(doubled, ["j", "bucket"])
+        .filter(F.col("cnt") != 2 * F.col("c1"))
+    )
+    assert diff.count() == 0
