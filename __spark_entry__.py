@@ -34,6 +34,8 @@ _DRIVER_PRIORITY = [
     "q_cms_heavy_hitters",
     "q_funnel_steps",
     "q_retention_cohorts",
+    "q_data_gaps",
+    "q_seasonal_naive_error",
     "q_capacity_factor",
     "q_ramp_rate",
     "q_fuzzy_dedup_names",

@@ -382,3 +382,108 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy("cohort_month", "month_offset").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "q_data_gaps",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           strftime(prev_ts, '%Y-%m-%d %H:%M:%S') AS gap_start,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+    FROM d
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > 86400000000
+    """,
+)
+def q_data_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-outage detection: reporting gaps > 24 h per series — the
+    data-completeness monitor every crawler-fed timeseries DB needs
+    (the reference re-crawls ranges it finds missing; this is the
+    finding step). One lag window per series, pure projection filter;
+    microsecond epoch arithmetic keeps both engines integer-exact."""
+    from open_energy_data_server_spark.queries._util import ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("ts").over(w)
+    d = ev.select(
+        "user_id",
+        ts_str(prev).alias("gap_start"),
+        ts_str("ts").alias("gap_end"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("gap_us"),
+    )
+    return d.filter(F.col("gap_us") > 86_400_000_000)
+
+
+@query(
+    "q_seasonal_naive_error",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hb,
+             (CAST(CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS BIGINT)
+                   AS DOUBLE) / {SCALE}.0) / COUNT(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    wv AS (
+      SELECT user_id, v,
+             MAX(v) OVER (PARTITION BY user_id ORDER BY epoch_us(hb)
+                          RANGE BETWEEN 86400000000 PRECEDING
+                                    AND 86400000000 PRECEDING) AS v_prev
+      FROM hourly
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fc,
+           (CAST(CAST(SUM(CAST(ROUND(ABS(v - v_prev) * {SCALE}, 0) AS BIGINT))
+                      AS BIGINT) AS DOUBLE) / {SCALE}.0)
+             / CAST(COUNT(*) AS DOUBLE) AS mae
+    FROM wv
+    WHERE v_prev IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per series: predict each hour
+    by the same hour yesterday and report the mean absolute error —
+    the standard baseline every energy forecaster must beat. The
+    24h-ago lookup is a RANGE frame pinned at exactly −24 h over the
+    hourly-bucketed series (no self-join — the window reuses the
+    bucketing agg's partitioning; missing hours simply yield no
+    forecast instead of silently comparing the wrong lag row)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hb")
+    ).agg(
+        (
+            (F.sum(_scaled("value")).cast("double") / F.lit(float(SCALE)))
+            / F.count("value")
+        ).alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("hb")))
+        .rangeBetween(-86_400_000_000, -86_400_000_000)
+    )
+    wv = hourly.select("user_id", "v", F.max("v").over(w).alias("v_prev"))
+    return (
+        wv.filter(F.col("v_prev").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fc"),
+            (
+                (
+                    F.sum(_scaled(F.abs(F.col("v") - F.col("v_prev"))))
+                    .cast("double")
+                    / F.lit(float(SCALE))
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mae"),
+        )
+    )
