@@ -663,15 +663,23 @@ def pq_adc_topk(
     dist(q, x) ≈ Σ_s dtable[q, s, code_s(x)] where dtable holds the
     exact fixed-point L2 from q's s-th slice to every codebook entry.
 
-    Relational formulation (everything derives from the raw table, so
-    the DuckDB oracle replays it end to end):
+    Everything derives from the raw table, so the DuckDB oracle
+    replays it end to end:
       1. encode — zero-shuffle projection (``pq_encode``);
       2. dtable — |Q|·m·n_codes skinny rows computed by re-joining the
          query vectors' components against the codebook vectors'
-         components (both tiny filters of the corpus);
-      3. score — broadcast dtable onto the exploded (vid, s, code)
-         stream, one map-side-combined (vid, qid) sum of m bigints,
-         one top-k window shuffle of skinny score rows.
+         components (both tiny filters of the corpus). The table is
+         bounded plan-BUILD metadata, so it is collected and embedded
+         as literal per-subspace lookup arrays — the same prepared-
+         statement pattern as the IVF/k-means centroid tables (its
+         fixed-point bigints are exactly what the oracle recomputes);
+      3. score — dist(q, x) is then a PURE PROJECTION over the code
+         columns (m array lookups per query), and the only exchange
+         in the whole query is the final top-k window over |Q|·N
+         skinny score rows. (A broadcast-join + (vid, qid) hash-agg
+         formulation of step 3 measured 4× slower at ~sf1 — the agg
+         shuffle of m·N·|Q| rows is pure overhead when the dtable
+         fits in the plan.)
     The corpus vector column is read once (encode); scoring touches
     codes only — the compressed-domain property that makes PQ the
     100 TB ANN workhorse.
@@ -680,19 +688,6 @@ def pq_adc_topk(
     stay in SCALE-scaled exact bigints (ascending = nearest)."""
     codebook = pq_codebook(df, id_col, vec_col, n_codes=n_codes, m=m, dsub=dsub)
     encoded = pq_encode(df, id_col, vec_col, codebook, dsub=dsub)
-    enc_long = encoded.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"), F.col(f"code_{s}").alias("code")
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select("vid", F.col("e")["s"].alias("s"), F.col("e")["code"].alias("code"))
 
     # (qid, s, i, qval) / (code, s, i, cval) component streams — tiny
     qcomp = (
@@ -725,11 +720,32 @@ def pq_adc_topk(
             .alias("sub_dist")
         )
     )
+    # bounded |Q|·m·n_codes metadata → plan-embedded lookup arrays
+    lut: dict[int, list[list[int]]] = {
+        int(q): [[0] * n_codes for _ in range(m)] for q in query_ids
+    }
+    for r in dtable.collect():
+        lut[int(r["qid"])][int(r["s"])][int(r["code"])] = int(r["sub_dist"])
 
+    entries = []
+    for qid in sorted(lut):
+        dist = None
+        for s in range(m):
+            arr = F.array(
+                *[F.lit(v).cast("bigint") for v in lut[qid][s]]
+            )
+            term = F.element_at(arr, F.col(f"code_{s}") + 1)
+            dist = term if dist is None else dist + term
+        entries.append(
+            F.struct(
+                F.lit(qid).cast("bigint").alias("qid"),
+                dist.cast("bigint").alias("adc_dist_scaled"),
+            )
+        )
     scored = (
-        enc_long.join(F.broadcast(dtable), ["s", "code"])
-        .groupBy("vid", "qid")
-        .agg(F.sum("sub_dist").cast("bigint").alias("adc_dist_scaled"))
+        encoded.select("vid", F.explode(F.array(*entries)).alias("e"))
+        .select("vid", F.col("e.qid").alias("qid"),
+                F.col("e.adc_dist_scaled").alias("adc_dist_scaled"))
         .filter(F.col("vid") != F.col("qid"))
     )
     from pyspark.sql import Window

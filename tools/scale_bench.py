@@ -64,6 +64,17 @@ DEFAULT_QUERIES = [
     "q_anomaly_outliers",
     "q_pagerank",
     "q_bigram_lm_score",
+    # round-5 batch 2: PQ / SCD2 / export shuffle / sketch / funnel /
+    # forecast-backtest families
+    "q_pq_encode",
+    "q_pq_adc_topk",
+    "q_scd2_history",
+    "q_shuffle_shards",
+    "q_cms_heavy_hitters",
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_data_gaps",
+    "q_seasonal_naive_error",
 ]
 
 SHIFTS = {
