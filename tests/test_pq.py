@@ -112,3 +112,22 @@ def test_adc_topk_shape(spark):
         assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
         dists = [r["adc_dist_scaled"] for r in rs]
         assert dists == sorted(dists)
+
+
+def test_gemm_encode_matches_relational(spark):
+    """The BLAS fast path must assign the same codes as the exact
+    fixed-point path on this corpus (quantization gaps far exceed the
+    1e-6 fixed-point resolution here)."""
+    from open_energy_data_server_spark.operators.similarity import pq_encode_gemm
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    cb = pq_codebook(emb, "vec_id", "embedding", n_codes=16, m=4, dsub=16)
+    exact = {
+        r["vid"]: (r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+        for r in pq_encode(emb, "vec_id", "embedding", cb, dsub=16).collect()
+    }
+    fast = {
+        r["vid"]: (r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+        for r in pq_encode_gemm(emb, "vec_id", "embedding", cb, dsub=16).collect()
+    }
+    assert fast == exact
