@@ -461,3 +461,69 @@ def test_ledger_sink_empty_lake_reads_empty(spark, tmp_path):
     root = tmp_path / "empty-root"
     root.mkdir()
     assert BatchIdLedgerSink(str(root)).read(spark).count() == 0
+
+
+def test_foreachbatch_scd2_maintenance(spark, tmp_path):
+    """Streaming dimension maintenance: a change stream folded into an
+    SCD2 history with scd2_apply per micro-batch must converge to the
+    same table as a one-shot scd2_history over all observations."""
+    from open_energy_data_server_spark.operators.scd import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    ddl = "k long, ts timestamp, attr string"
+    t0 = dt.datetime(2024, 1, 1)
+    all_rows = [
+        (1, t0, "a"),
+        (1, t0 + dt.timedelta(days=1), "b"),
+        (2, t0 + dt.timedelta(hours=3), "x"),
+        (1, t0 + dt.timedelta(days=2), "b"),   # repeat: collapses
+        (1, t0 + dt.timedelta(days=3), "c"),
+        (3, t0 + dt.timedelta(days=3), "n"),   # new key mid-stream
+    ]
+    batches = [all_rows[:3], all_rows[3:]]
+
+    src = str(tmp_path / "src")
+    hist_path = str(tmp_path / "hist")
+
+    def fold(batch_df, batch_id):
+        spark_ = batch_df.sparkSession
+        try:
+            hist = spark_.read.parquet(hist_path)
+            new_hist = scd2_apply(hist, batch_df, ["k"], "ts", ["attr"])
+        except Exception:  # first batch: no history yet
+            new_hist = scd2_history(batch_df, ["k"], "ts", ["attr"])
+        # collect-then-overwrite: the history is dimension-sized (small
+        # relative to the stream); a production lake would version it
+        rows = new_hist.collect()
+        spark_.createDataFrame(rows, new_hist.schema).write.mode(
+            "overwrite"
+        ).parquet(hist_path)
+
+    for batch in batches:
+        spark.createDataFrame(batch, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema(ddl)
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"],
+             r["is_current"], r["version"])
+            for r in df.collect()
+        )
+
+    expected = canon(
+        scd2_history(spark.createDataFrame(all_rows, ddl), ["k"], "ts", ["attr"])
+    )
+    got = canon(spark.read.parquet(hist_path))
+    assert got == expected
