@@ -37,6 +37,9 @@ _DRIVER_PRIORITY = [
     "q_data_gaps",
     "q_seasonal_naive_error",
     "q_nearest_station",
+    "q_event_transitions",
+    "q_referential_audit",
+    "q_share_of_total",
     "q_capacity_factor",
     "q_ramp_rate",
     "q_fuzzy_dedup_names",

@@ -487,3 +487,177 @@ def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mae"),
         )
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    P(next_type | prev_type) per user-ordered sequence — the behavior
+    model behind path dashboards (and the event-stream analog of the
+    bigram LM). One (user, time) lag window, one pair hash-agg, and
+    the row-probability normalizer is a window over the 25-row agg —
+    never a self-join; integer counts make the division exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wn).cast("double")
+        ).alias("p"),
+    )
+
+
+@query(
+    "q_referential_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    """,
+)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the fact/dim chain — orphan
+    counts per FK relationship, the ingestion-QA sweep a warehouse
+    runs after every load (the reference's crawlers fix broken keys by
+    hand; this finds them mechanically). Each relationship is one
+    left-anti count; parent key sets broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def audit(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            F.broadcast(parent.select(parent_key).distinct()),
+            child[child_key] == parent[parent_key],
+            "left_anti",
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                )
+            )
+            .select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+
+    return (
+        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(audit("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionByName(audit("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
+    )
+
+
+@query(
+    "q_share_of_total",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * {SCALE}, 0) AS BIGINT)) AS BIGINT) AS rev_s
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(rev_s AS DOUBLE) / {SCALE}.0 AS revenue,
+           CAST(rev_s AS DOUBLE)
+             / CAST(SUM(rev_s) OVER (PARTITION BY region) AS DOUBLE) AS region_share
+    FROM rev
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution report: each nation's share of
+    its region's revenue — the windowed-normalizer pattern (share =
+    value / window-sum over the AGGREGATE, never a join back to a
+    second aggregation of the same subtree). Fixed-point revenue sums
+    keep the shares bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+        )
+        .agg(
+            F.sum(
+                _scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("bigint")
+            .alias("rev_s")
+        )
+    )
+    wr = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        (F.col("rev_s").cast("double") / F.lit(float(SCALE))).alias("revenue"),
+        (
+            F.col("rev_s").cast("double")
+            / F.sum("rev_s").over(wr).cast("double")
+        ).alias("region_share"),
+    )
