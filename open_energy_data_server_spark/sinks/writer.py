@@ -111,3 +111,66 @@ def append_evolve(
     table on UndefinedColumn; here evolution is free.
     """
     return write_table(df, lake_root, schema, table, mode="append", **write_kwargs)
+
+
+def compact_table(
+    spark: SparkSession,
+    lake_root: str,
+    schema: str,
+    table: str,
+    target_records_per_file: int = 1_000_000,
+    min_files_to_compact: int = 4,
+) -> list[tuple[str, int, int]]:
+    """Small-files maintenance: rewrite fragmented partitions of a
+    lake table into right-sized files — the compaction job every
+    incremental lake needs once append batches (crawl runs, streaming
+    micro-batches) have scattered a partition across many tiny files.
+
+    Per partition directory (``p_date=…``; the table root when
+    unpartitioned): if it holds ≥ ``min_files_to_compact`` data files,
+    rewrite it to ceil(rows / target) files (distributed repartition
+    write to a temp dir, then an atomic directory swap so readers
+    never see a half-compacted partition). Returns
+    (partition, n_files_before, n_files_after) per rewritten
+    partition.
+
+    Scale shape: the driver loop is over PARTITIONS (bounded: recent
+    dates in steady state — pass the table root of a date-partitioned
+    lake and only fragmented partitions rewrite); each rewrite is a
+    distributed scan+shuffle of ONE partition's data. Sort order
+    within files is preserved per ``sortWithinPartitions`` at write
+    time being re-applied downstream; compaction itself only re-bins.
+    """
+    import math
+    import shutil
+
+    path = table_path(lake_root, schema, table)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(path)
+    part_dirs = sorted(
+        d for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and "=" in d
+    )
+    results: list[tuple[str, int, int]] = []
+    for part in part_dirs or [""]:
+        pdir = os.path.join(path, part) if part else path
+        files = [
+            f
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if len(files) < min_files_to_compact:
+            continue
+        df = spark.read.parquet(pdir)
+        n = df.count()
+        n_out = max(1, math.ceil(n / target_records_per_file))
+        if n_out >= len(files):
+            continue
+        tmp = pdir.rstrip("/") + ".__compact_tmp__"
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        old = pdir.rstrip("/") + ".__compact_old__"
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old)
+        results.append((part or ".", len(files), n_out))
+    return results

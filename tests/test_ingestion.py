@@ -263,3 +263,54 @@ def test_optimize_layout_idempotent(spark, tmp_path):
     assert os.path.getmtime(marker) == m1  # skipped
     optimize_layout(spark, src, dst, bytes_per_split=131_072)
     assert os.path.getmtime(marker) > m1  # params changed → rewrote
+
+
+def test_compact_table_preserves_data(spark, tmp_path):
+    """Compaction: fragmented partitions collapse to right-sized files
+    with byte-identical content; healthy partitions are untouched."""
+    from open_energy_data_server_spark.sinks.writer import (
+        compact_table,
+        table_path,
+        write_table,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.to_timestamp(
+            F.lit("2024-03-01 00:00:00").cast("timestamp")
+            + F.make_interval(hours=(F.col("id") % 48).cast("int"))
+        ).alias("ts"),
+        (F.col("id") * 2).alias("v"),
+    )
+    # tiny maxRecordsPerFile fragments each of the 2 date partitions
+    write_table(df, lake, "s", "t", time_col="ts", max_records_per_file=100)
+    tpath = table_path(lake, "s", "t")
+    import os as _os
+
+    def files_in(p):
+        return [
+            f for f in _os.listdir(_os.path.join(tpath, p))
+            if f.endswith(".parquet")
+        ]
+
+    parts = sorted(d for d in _os.listdir(tpath) if d.startswith("p_date="))
+    assert len(parts) == 2 and all(len(files_in(p)) >= 10 for p in parts)
+
+    before = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(tpath).collect()
+    )
+    done = compact_table(
+        spark, lake, "s", "t", target_records_per_file=10_000
+    )
+    assert sorted(p for p, _, _ in done) == parts
+    for p, n_before, n_after in done:
+        assert n_after == 1 and n_before >= 10
+        assert len(files_in(p)) == 1
+    after = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(tpath).collect()
+    )
+    assert after == before
+
+    # second run: nothing left to compact
+    assert compact_table(spark, lake, "s", "t") == []
