@@ -172,6 +172,8 @@ def shuffle_shards(
 
     Output: original columns + (shard, pos) with pos dense 1..|shard|.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     h = hash60(F.col(key_col).cast("string"))
     with_shard = df.withColumn("__h", h).withColumn(
         "shard", F.pmod(F.col("__h"), F.lit(int(n_shards))).cast("int")

@@ -427,6 +427,7 @@ def _lowid_codebook(
         (int(r[0]), [float(x) for x in r[1]])
         for r in df.filter(F.col(id_col) < n_clusters)
         .select(id_col, vec_col)
+        .orderBy(id_col)  # id order regardless of file/partition layout
         .collect()
     ]
     if len(centroids) < n_clusters:
@@ -724,8 +725,17 @@ def pq_adc_topk(
     lut: dict[int, list[list[int]]] = {
         int(q): [[0] * n_codes for _ in range(m)] for q in query_ids
     }
+    seen_qids: set[int] = set()
     for r in dtable.collect():
+        seen_qids.add(int(r["qid"]))
         lut[int(r["qid"])][int(r["s"])][int(r["code"])] = int(r["sub_dist"])
+    missing = sorted(set(int(q) for q in query_ids) - seen_qids)
+    if missing:
+        raise ValueError(
+            f"pq_adc_topk: query ids {missing} not present in the corpus — "
+            "an all-zero distance table would silently rank every vector "
+            "at distance 0"
+        )
 
     entries = []
     for qid in sorted(lut):

@@ -50,6 +50,26 @@ def kmv_distinct(
     )
 
 
+def _cms_buckets(key_col: str, d: int, w: int):
+    """The (j, bucket) probe array shared by build and estimate — ONE
+    definition so the hash family can never drift between the counters
+    a sketch was built with and the buckets an estimate probes."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(
+                    hash60(F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))),
+                    F.lit(int(w)),
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+
+
 def cms_counters(
     df: DataFrame, key_col: str, d: int = 4, w: int = 256
 ) -> DataFrame:
@@ -64,22 +84,8 @@ def cms_counters(
     size — one map-side-combined (j, bucket) hash-agg over the
     exploded stream, mergeable across partitions/days by summing
     counters. The point-query path (``cms_estimate``) broadcasts it."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.pmod(
-                    hash60(F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))),
-                    F.lit(int(w)),
-                )
-                .cast("int")
-                .alias("bucket"),
-            )
-            for j in range(d)
-        ]
-    )
     return (
-        df.select(F.explode(entries).alias("e"))
+        df.select(F.explode(_cms_buckets(key_col, d, w)).alias("e"))
         .select(F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -93,21 +99,7 @@ def cms_estimate(
     the d rows of the bucket counter x hashes to — an overestimate
     never below the true count. ``counters`` is d·w rows, so the join
     is a broadcast; the min is a d-row per-key fold."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.pmod(
-                    hash60(F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))),
-                    F.lit(int(w)),
-                )
-                .cast("int")
-                .alias("bucket"),
-            )
-            for j in range(d)
-        ]
-    )
-    long = keys.select(key_col, F.explode(entries).alias("e")).select(
+    long = keys.select(key_col, F.explode(_cms_buckets(key_col, d, w)).alias("e")).select(
         key_col, F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket")
     )
     return (

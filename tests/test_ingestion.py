@@ -314,3 +314,39 @@ def test_compact_table_preserves_data(spark, tmp_path):
 
     # second run: nothing left to compact
     assert compact_table(spark, lake, "s", "t") == []
+
+
+def test_compact_table_crash_recovery(spark, tmp_path):
+    """A stranded .compact_old.* partition (crash between the two
+    renames) is restored to its canonical name on the next run; stale
+    .compact_tmp.* leftovers are removed; neither is ever treated as a
+    partition."""
+    import os as _os
+    import shutil as _shutil
+
+    from open_energy_data_server_spark.sinks.writer import (
+        compact_table,
+        table_path,
+        write_table,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("ts"),
+        (F.col("id") * 3).alias("v"),
+    )
+    write_table(df, lake, "s", "t", time_col="ts", max_records_per_file=50)
+    tpath = table_path(lake, "s", "t")
+    part = next(d for d in _os.listdir(tpath) if d.startswith("p_date="))
+    # simulate a crash mid-swap: partition renamed away, tmp left over
+    _os.rename(_os.path.join(tpath, part), _os.path.join(tpath, f".compact_old.{part}"))
+    _os.makedirs(_os.path.join(tpath, f".compact_tmp.{part}"))
+    # only hidden / marker entries remain at the table root (all "." or
+    # "_" prefixed -> invisible to Spark's file index)
+    assert all(d.startswith((".", "_")) for d in _os.listdir(tpath))
+
+    done = compact_table(spark, lake, "s", "t", target_records_per_file=10_000)
+    assert [p for p, _, _ in done] == [part]
+    assert spark.read.parquet(tpath).count() == 500
+    assert not any(d.startswith(".compact_") for d in _os.listdir(tpath))

@@ -487,3 +487,15 @@ def test_cms_never_underestimates_and_merges(spark):
         .filter(F.col("cnt") != 2 * F.col("c1"))
     )
     assert diff.count() == 0
+
+
+def test_shuffle_shards_zero_raises(spark):
+    import pytest
+
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.operators.sampling import shuffle_shards
+    from tests.conftest import SF_DIR_ORACLE
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(docs, "doc_id", n_shards=0)

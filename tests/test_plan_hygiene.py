@@ -59,8 +59,6 @@ def test_no_python_in_query_plans(spark):
 #   - watermark filter: 1-row agg(max) scalar broadcast (W4 pattern)
 #   - ranking queries: 1-row corpus-stat broadcasts (N docs, Σdl,
 #     Σcnt) attached keylessly — the scalar-subquery shape
-#   - referential audit: per-relationship crossJoin of two 1-row
-#     count aggregates (n_child × n_orphans) — scalar × scalar
 NLJ_ALLOWED = {
     "q_ann_bruteforce_topk",
     "q_dedup_embedding_cosine",
@@ -68,7 +66,6 @@ NLJ_ALLOWED = {
     "q_tfidf_topk",
     "q_bm25_search",
     "q_familiarity_buckets",
-    "q_referential_audit",
 }
 
 

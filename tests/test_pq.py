@@ -131,3 +131,9 @@ def test_gemm_encode_matches_relational(spark):
         for r in pq_encode_gemm(emb, "vec_id", "embedding", cb, dsub=16).collect()
     }
     assert fast == exact
+
+
+def test_adc_missing_query_id_raises(spark):
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    with pytest.raises(ValueError, match="not present in the corpus"):
+        pq_adc_topk(emb, "vec_id", "embedding", query_ids=[999_999])
