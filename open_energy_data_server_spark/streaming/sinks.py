@@ -119,7 +119,17 @@ class BatchIdLedgerSink:
             for st in fs.listStatus(root)
         )
 
-    def read(self, spark: SparkSession, committed_only: bool = True) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        committed_only: bool = True,
+        as_of_batch: int | None = None,
+    ) -> DataFrame:
+        """Read the lake; ``as_of_batch`` gives TIME TRAVEL — the table
+        exactly as it stood after that batch committed (batches are
+        append-only and id-ordered, so a snapshot is just an id
+        filter; partition pruning on ``batch_id`` makes it a metadata
+        operation, the poor-lake's Iceberg snapshot read)."""
         if not self._batch_dirs(spark):
             # an empty lake is a valid state (stream not started yet) —
             # return an empty, schema-less-but-readable frame instead of
@@ -130,5 +140,9 @@ class BatchIdLedgerSink:
         )
         if committed_only:
             ids = self.committed(spark)
+            if as_of_batch is not None:
+                ids = [i for i in ids if i <= as_of_batch]
             df = df.filter(F.col("batch_id").isin(ids) if ids else F.lit(False))
+        elif as_of_batch is not None:
+            df = df.filter(F.col("batch_id") <= as_of_batch)
         return df

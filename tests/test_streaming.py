@@ -527,3 +527,23 @@ def test_foreachbatch_scd2_maintenance(spark, tmp_path):
     )
     got = canon(spark.read.parquet(hist_path))
     assert got == expected
+
+
+def test_ledger_sink_time_travel(spark, tmp_path):
+    """as_of_batch reads the lake exactly as it stood after that batch
+    committed — the append-only ledger's snapshot-read property."""
+    from open_energy_data_server_spark.streaming.sinks import BatchIdLedgerSink
+
+    sink = BatchIdLedgerSink(str(tmp_path / "lake"))
+    for bid, n in ((0, 2), (1, 3), (2, 1)):
+        sink.apply(
+            spark.createDataFrame(_rows([(0, i) for i in range(n)],
+                                        start_id=bid * 10), EVENTS_DDL),
+            bid,
+        )
+    assert sink.read(spark).count() == 6
+    assert sink.read(spark, as_of_batch=0).count() == 2
+    assert sink.read(spark, as_of_batch=1).count() == 5
+    assert sink.read(spark, as_of_batch=99).count() == 6
+    ids = {r["batch_id"] for r in sink.read(spark, as_of_batch=1).collect()}
+    assert ids == {0, 1}
