@@ -37,6 +37,7 @@ _DRIVER_PRIORITY = [
     "q_data_gaps",
     "q_seasonal_naive_error",
     "q_nearest_station",
+    "q_session_entry_paths",
     "q_event_transitions",
     "q_referential_audit",
     "q_share_of_total",

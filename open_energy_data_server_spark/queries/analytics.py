@@ -659,3 +659,90 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev_s").over(wr).cast("double")
         ).alias("region_share"),
     )
+
+
+@query(
+    "q_session_entry_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT *, SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn
+      FROM g
+    ),
+    p AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS entry_path
+      FROM r WHERE rn <= 3 GROUP BY 1, 2
+    )
+    SELECT entry_path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY entry_path
+    ORDER BY n_sessions DESC, entry_path LIMIT 10
+    """,
+)
+def q_session_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths: sessionize on 30-min inactivity gaps
+    (gaps-and-islands), take each session's first three event types as
+    an ordered '>'-joined path, count sessions per path. ONE user
+    exchange carries the gap lag, the session running sum, AND the
+    in-session row number (rn = user-rank − last session-start rank,
+    avoiding a (user, sess) re-window); the path agg's (user, sess)
+    clustering is satisfied by the user partitioning, so it adds no
+    exchange either. Path strings assemble from an array_sort of
+    (ts, event_id) structs — collect_list order is never trusted."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    g = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        new_sess.alias("new_sess"),
+        F.row_number().over(w).alias("rn_user"),
+    ).select(
+        "*",
+        F.sum("new_sess").over(run).alias("sess"),
+        F.max(F.when(F.col("new_sess") == 1, F.col("rn_user"))).over(run)
+        .alias("sess_start_rn"),
+    )
+    entry = (
+        g.filter(F.col("rn_user") - F.col("sess_start_rn") < 3)
+        .groupBy("user_id", "sess")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("entry_path")
+        )
+    )
+    return (
+        entry.groupBy("entry_path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("entry_path").asc())
+        .limit(10)
+    )
