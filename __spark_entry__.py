@@ -38,6 +38,8 @@ _DRIVER_PRIORITY = [
     "q_seasonal_naive_error",
     "q_nearest_station",
     "q_session_entry_paths",
+    "q_snapshot_diff",
+    "q_table_fingerprint",
     "q_event_transitions",
     "q_referential_audit",
     "q_share_of_total",

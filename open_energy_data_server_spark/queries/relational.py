@@ -74,3 +74,86 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice + CAST(1.0 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                     THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff between two snapshots of a keyed table
+    (operators/snapshot.py snapshot_diff): every key classified
+    added / removed / changed / unchanged via ONE co-partitionable
+    full-outer join + a codegen classification — the "what did this
+    load/compaction/backfill actually change" audit. Snapshots here
+    are deterministic filters/mutations of orders so the oracle
+    reconstructs both sides."""
+    from open_energy_data_server_spark.operators.snapshot import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+@query(
+    "q_table_fingerprint",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(SUM(CAST('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' || o_orderpriority), 1, 15) AS BIGINT)
+               % 1000000007) AS BIGINT) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-partition content fingerprint
+    (operators/snapshot.py table_fingerprint): rows hash to hash60 of
+    a canonical '|'-joined string, reduced by a modular sum per year —
+    two replicas agree iff their contents agree regardless of file
+    layout or row order (the cross-replica integrity check after
+    compaction / migration). One map-side-combined hash-agg; only
+    integer/string columns enter the canonical form (double→string
+    formatting is engine-specific)."""
+    from open_energy_data_server_spark.operators.snapshot import table_fingerprint
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    )
+    return table_fingerprint(
+        orders,
+        ["yr"],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )

@@ -358,3 +358,41 @@ def test_quantile_cont_matches_numpy_type7(spark):
                 assert abs(got[g][name] - expected[g][name]) < 1e-9, (
                     f"{g}/{name} n_buckets={n_buckets}"
                 )
+
+
+def test_snapshot_diff_classes(spark):
+    from open_energy_data_server_spark.io import local_df
+    from open_energy_data_server_spark.operators.snapshot import snapshot_diff
+
+    old = local_df(spark, [(1, "a"), (2, "b"), (3, None)], "k int, v string")
+    new = local_df(spark, [(2, "B"), (3, None), (4, "d")], "k int, v string")
+    out = {r["k"]: r["change"]
+           for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_table_fingerprint_order_and_layout_invariant(spark):
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.operators.snapshot import table_fingerprint
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    cols = ["o_orderkey", "o_orderstatus"]
+    base = {(r["g"], r["fingerprint"], r["n_rows"])
+            for r in table_fingerprint(
+                orders.withColumn("g", F.lit(1)), ["g"], cols).collect()}
+    shuffled = orders.repartition(17).sortWithinPartitions("o_totalprice")
+    again = {(r["g"], r["fingerprint"], r["n_rows"])
+             for r in table_fingerprint(
+                 shuffled.withColumn("g", F.lit(1)), ["g"], cols).collect()}
+    assert again == base
+    # a single-row content change must move the fingerprint
+    mutated = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 7, F.lit("Z")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    changed = {(r["g"], r["fingerprint"])
+               for r in table_fingerprint(
+                   mutated.withColumn("g", F.lit(1)), ["g"], cols).collect()}
+    assert changed != {(g, f) for g, f, _ in base}
