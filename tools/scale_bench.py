@@ -75,6 +75,14 @@ DEFAULT_QUERIES = [
     "q_retention_cohorts",
     "q_data_gaps",
     "q_seasonal_naive_error",
+    # round-5 batch 3: spatial argmin / path / audit / snapshot families
+    "q_nearest_station",
+    "q_event_transitions",
+    "q_session_entry_paths",
+    "q_referential_audit",
+    "q_share_of_total",
+    "q_snapshot_diff",
+    "q_table_fingerprint",
 ]
 
 SHIFTS = {
@@ -138,7 +146,14 @@ def main() -> None:
     from open_energy_data_server_spark.queries import ORACLES, QUERIES
     from open_energy_data_server_spark.session import get_spark
 
-    spark = get_spark(app_name="scale-bench")
+    spark = get_spark(
+        app_name="scale-bench",
+        # full results come back to the driver (symmetric with the
+        # DuckDB fetchall) — the 26.9M-row fuzzy-pairs result is ~1 GiB
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
     t0 = time.perf_counter()
     generate(spark, args.src)
     gen_sec = round(time.perf_counter() - t0, 1)
@@ -147,14 +162,19 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name in names:
         # held plan handle, one untimed codegen pass, min of 2 timed —
-        # the same prepared-statement methodology as bench.py (a fresh
-        # DataFrame per pass would re-run Catalyst planning each time)
+        # the same prepared-statement methodology as bench.py. Results
+        # materialize with Arrow toPandas(), NOT count(): count lets
+        # the optimizer PRUNE projection-only query bodies down to a
+        # bare scan (a nearest-station argmin or window fill would
+        # time as scan-only), while the DuckDB side pays a full
+        # fetchall — toPandas keeps both engines on full-evaluation +
+        # result-delivery terms.
         df = QUERIES[name](spark, OUT_DIR)
-        rows = df.count()
+        rows = len(df.toPandas())
         times = []
         for _ in range(2):
             t = time.perf_counter()
-            rows = df.count()
+            rows = len(df.toPandas())
             times.append(time.perf_counter() - t)
         entry = {"spark_sec": round(min(times), 3), "rows": rows}
         if not args.skip_duckdb and name in ORACLES:
