@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     "q_session_entry_paths",
     "q_snapshot_diff",
     "q_table_fingerprint",
+    "q_train_val_test_split",
     "q_event_transitions",
     "q_referential_audit",
     "q_share_of_total",

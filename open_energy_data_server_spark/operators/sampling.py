@@ -185,3 +185,36 @@ def shuffle_shards(
         with_shard.withColumn("pos", F.row_number().over(w).cast("int"))
         .drop("__h")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test): each row's split
+    label is a pure function of its key hash and the cumulative
+    fraction boundaries — rerun-stable, leakage-free (a key can never
+    change splits between runs or machines), and a pure projection
+    (zero shuffle; the classic alternative, randomSplit, is neither
+    stable across reruns nor key-consistent).
+
+    ``fractions`` maps label → fraction; they must sum to ~1. Labels
+    are assigned in sorted-label order over [0, 2⁶⁰) hash space."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = hash60(F.col(key_col).cast("string"))
+    expr = None
+    acc = 0.0
+    labels = sorted(fractions)
+    for label in labels[:-1]:
+        acc += fractions[label]
+        bound = int(acc * TWO_60)
+        cond = h < F.lit(bound).cast("bigint")
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = (
+        F.lit(labels[-1]) if expr is None else expr.otherwise(labels[-1])
+    )
+    return df.withColumn(out_col, expr)

@@ -1078,3 +1078,43 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(docs, "doc_id", n_shards=8).select(
         "doc_id", "lang", "shard", "pos"
     )
+
+
+@query(
+    "q_train_val_test_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {SQL_HASH60.format(expr="CAST(doc_id AS VARCHAR)")} AS hh
+      FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id, lang,
+             CASE WHEN hh < CAST(0.1 * 1152921504606846976 AS BIGINT)
+                    THEN 'test'
+                  WHEN hh < CAST(0.9 * 1152921504606846976 AS BIGINT)
+                    THEN 'train'
+                  ELSE 'val' END AS split
+      FROM h
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM labeled GROUP BY split, lang
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (operators/
+    sampling.py hash_split): labels are a pure function of the key
+    hash — rerun-stable and leakage-free, vs randomSplit which is
+    neither. Zero-shuffle projection; the query reports per-(split,
+    lang) counts. Label boundaries are cumulative fractions in sorted
+    label order over the 60-bit hash space, replayed exactly by the
+    oracle."""
+    from open_energy_data_server_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

@@ -499,3 +499,32 @@ def test_shuffle_shards_zero_raises(spark):
     docs = load_table(spark, SF_DIR_ORACLE, "documents")
     with pytest.raises(ValueError, match="n_shards"):
         shuffle_shards(docs, "doc_id", n_shards=0)
+
+
+def test_hash_split_stable_and_complete(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.operators.sampling import hash_split
+    from tests.conftest import SF_DIR_ORACLE
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == docs.count()  # total: every row labeled
+    assert set(rows.values()) == {"train", "val", "test"}
+    # roughly proportional (hash-uniform; generous bounds for n=500)
+    n = len(rows)
+    frac_train = sum(1 for v in rows.values() if v == "train") / n
+    assert 0.7 < frac_train < 0.9
+    # rerun-stable
+    again = {r["doc_id"]: r["split"] for r in hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == rows
+    # zero-shuffle projection
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"train": 0.5})
