@@ -746,3 +746,101 @@ def q_session_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("entry_path").asc())
         .limit(10)
     )
+
+
+@query(
+    "q_rolling_correlation",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hb,
+        (CAST(CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT))
+              FILTER (event_type = 'view') AS BIGINT) AS DOUBLE) / {SCALE}.0)
+          AS x,
+        (CAST(CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT))
+              FILTER (event_type = 'click') AS BIGINT) AS DOUBLE) / {SCALE}.0)
+          AS y
+      FROM events GROUP BY 1
+    ),
+    both_present AS (
+      SELECT hb, x, y FROM hourly WHERE x IS NOT NULL AND y IS NOT NULL
+    ),
+    m AS (
+      SELECT hb,
+        CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        CAST(CAST(SUM(CAST(ROUND(x * {SCALE}, 0) AS BIGINT)) OVER w AS BIGINT) AS DOUBLE) / {SCALE}.0 AS sx,
+        CAST(CAST(SUM(CAST(ROUND(y * {SCALE}, 0) AS BIGINT)) OVER w AS BIGINT) AS DOUBLE) / {SCALE}.0 AS sy,
+        CAST(CAST(SUM(CAST(ROUND((x * x) * {SCALE}, 0) AS BIGINT)) OVER w AS BIGINT) AS DOUBLE) / {SCALE}.0 AS sxx,
+        CAST(CAST(SUM(CAST(ROUND((y * y) * {SCALE}, 0) AS BIGINT)) OVER w AS BIGINT) AS DOUBLE) / {SCALE}.0 AS syy,
+        CAST(CAST(SUM(CAST(ROUND((x * y) * {SCALE}, 0) AS BIGINT)) OVER w AS BIGINT) AS DOUBLE) / {SCALE}.0 AS sxy
+      FROM both_present
+      WINDOW w AS (ORDER BY hb ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(hb, '%Y-%m-%d %H:%M:%S') AS hb,
+           CAST(n AS BIGINT) AS n_window,
+           CASE WHEN (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+                THEN (n * sxy - sx * sy)
+                     / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+                END AS corr
+    FROM m WHERE n >= 8
+    """,
+)
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-sample correlation between two hourly series (view
+    vs click mean values) — the windowed co-movement statistic behind
+    wind-vs-load / price-vs-demand panels. Closed form from SIX
+    fixed-point moment sums over ONE ordered frame (n, Σx, Σy, Σx²,
+    Σy², Σxy) — sqrt and division are correctly-rounded IEEE ops, so
+    the oracle replays every value bit-for-bit; degenerate windows
+    (zero variance) yield null. The hourly pivot is one hash-agg; the
+    rolling frame is a single global-ordered window over ~10³ bucket
+    rows per month (bounded domain, not the raw events)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hb")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", _scaled("value")))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(float(SCALE))
+        ).alias("x"),
+        (
+            F.sum(F.when(F.col("event_type") == "click", _scaled("value")))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(float(SCALE))
+        ).alias("y"),
+    )
+    both = hourly.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    w = Window.orderBy("hb").rowsBetween(-23, Window.currentRow)
+
+    def fsum(col):
+        return (
+            F.sum(_scaled(col)).over(w).cast("bigint").cast("double")
+            / F.lit(float(SCALE))
+        )
+
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = fsum(F.col("x")), fsum(F.col("y"))
+    sxx = fsum(F.col("x") * F.col("x"))
+    syy = fsum(F.col("y") * F.col("y"))
+    sxy = fsum(F.col("x") * F.col("y"))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > 0.0) & (vy > 0.0),
+        (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    from open_energy_data_server_spark.queries._util import ts_str
+
+    return (
+        both.select(
+            "hb",
+            n.alias("__n"),
+            corr.alias("corr"),
+        )
+        .filter(F.col("__n") >= 8)
+        .select(
+            ts_str("hb").alias("hb"),
+            F.col("__n").cast("bigint").alias("n_window"),
+            "corr",
+        )
+    )
