@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "q_snapshot_diff",
     "q_table_fingerprint",
     "q_train_val_test_split",
+    "q_rolling_correlation",
     "q_event_transitions",
     "q_referential_audit",
     "q_share_of_total",
