@@ -187,10 +187,34 @@ def shuffle_shards(
     )
 
 
+def hash_split_bounds(
+    fractions: dict[str, float | str]
+) -> list[tuple[str, int]]:
+    """EXACT cumulative split boundaries: (label, upper_bound) per
+    non-final label in sorted-label order, with bounds computed in
+    rational arithmetic (``Fraction(str(f))``, floor at 2⁶⁰) — never
+    float multiplication, whose truncation depends on accumulation
+    order and disagrees in the last few ulps with any engine that
+    computes the same boundary in decimal arithmetic. Exposed so an
+    oracle/twin can embed the IDENTICAL integer literals."""
+    from fractions import Fraction
+
+    total = sum(Fraction(str(f)) for f in fractions.values())
+    if total != 1:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    labels = sorted(fractions)
+    acc = Fraction(0)
+    bounds: list[tuple[str, int]] = []
+    for label in labels[:-1]:
+        acc += Fraction(str(fractions[label]))
+        bounds.append((label, int(acc * TWO_60)))
+    return bounds
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
-    fractions: dict[str, float],
+    fractions: dict[str, float | str],
     out_col: str = "split",
 ) -> DataFrame:
     """Deterministic dataset split (train/val/test): each row's split
@@ -200,18 +224,16 @@ def hash_split(
     (zero shuffle; the classic alternative, randomSplit, is neither
     stable across reruns nor key-consistent).
 
-    ``fractions`` maps label → fraction; they must sum to ~1. Labels
-    are assigned in sorted-label order over [0, 2⁶⁰) hash space."""
-    total = sum(fractions.values())
-    if not 0.999 <= total <= 1.001:
-        raise ValueError(f"fractions must sum to 1, got {total}")
+    ``fractions`` maps label → fraction (floats or decimal strings);
+    they must sum to exactly 1 in rational arithmetic. Labels are
+    assigned in sorted-label order over [0, 2⁶⁰) hash space, with
+    boundaries from ``hash_split_bounds`` (exact integers — embed the
+    same literals in any replaying twin)."""
+    bounds = hash_split_bounds(fractions)
+    labels = sorted(fractions)
     h = hash60(F.col(key_col).cast("string"))
     expr = None
-    acc = 0.0
-    labels = sorted(fractions)
-    for label in labels[:-1]:
-        acc += fractions[label]
-        bound = int(acc * TWO_60)
+    for label, bound in bounds:
         cond = h < F.lit(bound).cast("bigint")
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     expr = (

@@ -73,10 +73,24 @@ def table_fingerprint(
     One map-side-combined hash-agg; the shuffle carries (group,
     partial-sum, partial-count) — never the rows. The per-group
     ``n_rows`` rides along so a collision-improbable mismatch report
-    can say which side is missing rows vs holding different values."""
-    canon = F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in value_cols]
-    )
+    can say which side is missing rows vs holding different values.
+
+    Canonical form: per column, NULL → 'n' and value v → 'v' + v with
+    '\\' and '|' escaped, columns '|'-joined — injective, so rows that
+    differ only in WHICH column is null (or contain the delimiter)
+    fingerprint differently. (A bare concat_ws would silently SKIP
+    nulls — (x, NULL) and (NULL, x) would collide.) The SQL twin is
+    ``COALESCE('v' || replace(replace(c, '\\', '\\\\'), '|', '\\|'),
+    'n')`` joined with '|'."""
+    parts = []
+    for c in value_cols:
+        escaped = F.replace(
+            F.replace(F.col(c).cast("string"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("|"),
+            F.lit("\\|"),
+        )
+        parts.append(F.coalesce(F.concat(F.lit("v"), escaped), F.lit("n")))
+    canon = F.concat_ws("|", *parts)
     h = hash60(canon) % F.lit(FP_MOD)
     return (
         df.select(*group_cols, h.alias("__h"))

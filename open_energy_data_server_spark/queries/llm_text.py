@@ -1090,9 +1090,11 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     labeled AS (
       SELECT doc_id, lang,
-             CASE WHEN hh < CAST(0.1 * 1152921504606846976 AS BIGINT)
+             -- exact hash_split_bounds integers (rational floor at 2^60):
+             -- decimal CAST would ROUND and disagree with the engine
+             CASE WHEN hh < 115292150460684697
                     THEN 'test'
-                  WHEN hh < CAST(0.9 * 1152921504606846976 AS BIGINT)
+                  WHEN hh < 1037629354146162278
                     THEN 'train'
                   ELSE 'val' END AS split
       FROM h

@@ -130,9 +130,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
            CAST(SUM(CAST('0x' || substr(md5(
-                 CAST(o_orderkey AS VARCHAR) || '|' ||
-                 CAST(o_custkey AS VARCHAR) || '|' ||
-                 o_orderstatus || '|' || o_orderpriority), 1, 15) AS BIGINT)
+                 COALESCE('v' || replace(replace(CAST(o_orderkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), 'n') || '|' ||
+                 COALESCE('v' || replace(replace(CAST(o_custkey AS VARCHAR), '\\', '\\\\'), '|', '\\|'), 'n') || '|' ||
+                 COALESCE('v' || replace(replace(o_orderstatus, '\\', '\\\\'), '|', '\\|'), 'n') || '|' ||
+                 COALESCE('v' || replace(replace(o_orderpriority, '\\', '\\\\'), '|', '\\|'), 'n')), 1, 15) AS BIGINT)
                % 1000000007) AS BIGINT) AS fingerprint,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM orders GROUP BY 1

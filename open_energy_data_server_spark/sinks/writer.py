@@ -153,12 +153,16 @@ def compact_table(
     import shutil
 
     path = table_path(lake_root, schema, table)
-    if not os.path.isdir(path):
-        raise FileNotFoundError(path)
+
     # self-repair from a previous crashed run (scan the table root for
     # partition-level leftovers AND its parent for the unpartitioned
-    # case, where tmp/old siblings live beside the table dir)
-    for scan_dir in (path, os.path.dirname(path.rstrip("/"))):
+    # case, where tmp/old siblings live beside the table dir). The
+    # parent scan runs FIRST and before the existence check: a crash
+    # mid-swap on an unpartitioned table leaves ONLY .compact_old.<t>
+    # behind — the restore below is what brings the table back.
+    def _repair(scan_dir: str) -> None:
+        if not os.path.isdir(scan_dir):
+            return
         for d in os.listdir(scan_dir):
             full = os.path.join(scan_dir, d)
             if d.startswith(".compact_tmp.") and os.path.isdir(full):
@@ -169,6 +173,11 @@ def compact_table(
                     shutil.rmtree(full)  # swap completed; old copy stale
                 else:
                     os.rename(full, canonical)  # crash mid-swap: restore
+
+    _repair(os.path.dirname(path.rstrip("/")))
+    if not os.path.isdir(path):
+        raise FileNotFoundError(path)
+    _repair(path)
     part_dirs = sorted(
         d for d in os.listdir(path)
         if os.path.isdir(os.path.join(path, d))

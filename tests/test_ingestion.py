@@ -350,3 +350,29 @@ def test_compact_table_crash_recovery(spark, tmp_path):
     assert [p for p, _, _ in done] == [part]
     assert spark.read.parquet(tpath).count() == 500
     assert not any(d.startswith(".compact_") for d in _os.listdir(tpath))
+
+
+def test_compact_table_unpartitioned_crash_recovery(spark, tmp_path):
+    """Crash mid-swap on an UNPARTITIONED table leaves only
+    .compact_old.<table> beside the table dir — a re-run must restore
+    it instead of raising FileNotFoundError."""
+    import os as _os
+
+    from open_energy_data_server_spark.sinks.writer import (
+        compact_table,
+        table_path,
+        write_table,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 400).select(F.col("id"), (F.col("id") * 7).alias("v"))
+    write_table(df, lake, "s", "u", max_records_per_file=40)
+    tpath = table_path(lake, "s", "u")
+    parent = _os.path.dirname(tpath)
+    _os.rename(tpath, _os.path.join(parent, ".compact_old.u"))
+    assert not _os.path.isdir(tpath)
+
+    done = compact_table(spark, lake, "s", "u", target_records_per_file=10_000)
+    assert _os.path.isdir(tpath)
+    assert spark.read.parquet(tpath).count() == 400
+    assert done and done[0][0] == "."

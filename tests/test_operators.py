@@ -396,3 +396,22 @@ def test_table_fingerprint_order_and_layout_invariant(spark):
                for r in table_fingerprint(
                    mutated.withColumn("g", F.lit(1)), ["g"], cols).collect()}
     assert changed != {(g, f) for g, f, _ in base}
+
+
+def test_table_fingerprint_null_position_sensitive(spark):
+    """(x, NULL) and (NULL, x) must fingerprint differently (the
+    injective canonical form — a bare concat_ws would collide them)."""
+    from open_energy_data_server_spark.io import local_df
+    from open_energy_data_server_spark.operators.snapshot import table_fingerprint
+
+    a = local_df(spark, [(1, "x", None)], "g int, a string, b string")
+    b = local_df(spark, [(1, None, "x")], "g int, a string, b string")
+    fa = table_fingerprint(a, ["g"], ["a", "b"]).collect()[0]["fingerprint"]
+    fb = table_fingerprint(b, ["g"], ["a", "b"]).collect()[0]["fingerprint"]
+    assert fa != fb
+    # delimiter injection: ('a|b', 'c') vs ('a', 'b|c') must differ
+    c = local_df(spark, [(1, "a|b", "c")], "g int, a string, b string")
+    d = local_df(spark, [(1, "a", "b|c")], "g int, a string, b string")
+    fc = table_fingerprint(c, ["g"], ["a", "b"]).collect()[0]["fingerprint"]
+    fd = table_fingerprint(d, ["g"], ["a", "b"]).collect()[0]["fingerprint"]
+    assert fc != fd
