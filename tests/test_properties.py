@@ -399,3 +399,67 @@ def test_mixture_sample_nesting_property(spark, rows, budget):
     hi_ids = {r["doc_id"] for r in hi.collect()}
     assert lo_ids <= hi_ids
     assert all(r["start_offset"] < budget for r in lo.collect())
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),            # key
+            st.integers(min_value=0, max_value=19),           # hour slot
+            st.sampled_from(["a", "b", "c"]),                 # attr
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=19),                   # split hour
+)
+@SETTINGS
+def test_scd2_apply_equals_rebuild_property(spark, rows, split_hour):
+    """For ANY change stream split at a time threshold, folding the
+    suffix into the prefix's history (scd2_apply) must equal the
+    one-shot scd2_history over the whole stream — the incremental-
+    correctness invariant of the SCD2 operator."""
+    import datetime as dt
+
+    from open_energy_data_server_spark.operators.scd import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # dedupe exact (key, ts) duplicates: a change stream has one
+    # observation per key per instant (ties would make BOTH plans
+    # depend on the attr tiebreak identically, but the generator
+    # shouldn't rely on that)
+    seen = {}
+    for k, h, a in rows:
+        seen[(k, h)] = a
+    data = [
+        (k, t0 + dt.timedelta(hours=h), a) for (k, h), a in sorted(seen.items())
+    ]
+    schema = "k int, ts timestamp, attr string"
+    thr = t0 + dt.timedelta(hours=split_hour)
+    prefix = [r for r in data if r[1] < thr]
+    suffix = [r for r in data if r[1] >= thr]
+    if not prefix or not suffix:
+        return
+
+    def canon(df):
+        return sorted(
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"],
+             r["is_current"], r["version"])
+            for r in df.collect()
+        )
+
+    expected = canon(
+        scd2_history(spark.createDataFrame(data, schema), ["k"], "ts", ["attr"])
+    )
+    hist = scd2_history(
+        spark.createDataFrame(prefix, schema), ["k"], "ts", ["attr"]
+    )
+    got = canon(
+        scd2_apply(
+            hist, spark.createDataFrame(suffix, schema), ["k"], "ts", ["attr"]
+        )
+    )
+    assert got == expected
