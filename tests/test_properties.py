@@ -463,3 +463,58 @@ def test_scd2_apply_equals_rebuild_property(spark, rows, split_hour):
         )
     )
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),              # user
+            st.integers(min_value=0, max_value=15),             # minute slot
+            st.sampled_from(["view", "click", "purchase", "x"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_funnel_matches_bruteforce_property(spark, rows):
+    """funnel_user_steps (stacked strictly-before windows) must match
+    a brute-force per-user fold for ANY event stream."""
+    import datetime as dt
+
+    from open_energy_data_server_spark.operators.funnel import funnel_user_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, t0 + dt.timedelta(minutes=m), ty, i)
+        for i, (u, m, ty) in enumerate(rows)
+    ]
+    steps = ["view", "click", "purchase"]
+    got = {
+        r["user_id"]: (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"])
+        for r in funnel_user_steps(
+            spark.createDataFrame(
+                data, "user_id int, ts timestamp, event_type string, event_id int"
+            ),
+            "user_id", "ts", "event_type", steps, tiebreak_cols=["event_id"],
+        ).collect()
+    }
+
+    # brute force: walk each user's (ts, event_id)-ordered events; an
+    # event qualifies for step i when its type matches and some
+    # step-(i-1) qualifier came STRICTLY before in that total order
+    expected = {}
+    for u in {d[0] for d in data}:
+        evs = sorted(
+            (d for d in data if d[0] == u), key=lambda d: (d[1], d[3])
+        )
+        quals = [[] for _ in steps]  # qualifying ts per step
+        for _, ts, ty, _ in evs:
+            for i, s in enumerate(steps):
+                if ty == s and (i == 0 or quals[i - 1]):
+                    # previous-step qualifier strictly before: quals
+                    # lists only hold events seen EARLIER in the walk
+                    quals[i].append(ts)
+                    break
+        expected[u] = tuple(min(q) if q else None for q in quals)
+    assert got == expected
