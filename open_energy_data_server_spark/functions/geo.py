@@ -112,7 +112,13 @@ def convex_hull_wkt(points: list[tuple[float, float]]) -> str:
         return out
 
     lower, upper = half(pts), half(reversed(pts))
-    ring = lower[:-1] + upper[:-1] + [lower[0]]
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        # monotone chain collapsed both halves to one segment: the
+        # points are exactly collinear (any slope, not just axis-
+        # aligned) — a 2-vertex "polygon" would be degenerate WKT
+        raise ValueError("convex hull needs ≥3 non-collinear points")
+    ring = hull + [lower[0]]
     body = ", ".join(f"{x} {y}" for x, y in ring)
     return f"POLYGON (({body}))"
 
