@@ -42,6 +42,7 @@ _DRIVER_PRIORITY = [
     "q_table_fingerprint",
     "q_train_val_test_split",
     "q_rolling_correlation",
+    "q_peak_offpeak",
     "q_event_transitions",
     "q_referential_audit",
     "q_share_of_total",

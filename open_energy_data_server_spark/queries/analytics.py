@@ -844,3 +844,50 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr",
         )
     )
+
+
+@query(
+    "q_peak_offpeak",
+    oracle=f"""
+    WITH marked AS (
+      SELECT event_type, value,
+             CASE WHEN dayofweek(ts) BETWEEN 1 AND 5
+                   AND hour(ts) >= 8 AND hour(ts) < 20
+                  THEN 'peak' ELSE 'offpeak' END AS tariff
+      FROM events
+    )
+    SELECT event_type, tariff,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / {SCALE}.0 AS total_v,
+           (CAST(CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS BIGINT)
+                 AS DOUBLE) / {SCALE}.0) / CAST(COUNT(*) AS DOUBLE) AS mean_v
+    FROM marked GROUP BY 1, 2
+    """,
+)
+def q_peak_offpeak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak/off-peak tariff split (EPEX convention: weekdays 08–20
+    local): per-series totals and means under each tariff window — the
+    price-formation view every energy dashboard carries. Pure
+    projection classifier + one map-side-combined hash agg; DuckDB's
+    dayofweek is 0=Sunday..6=Saturday so Mon–Fri is 1..5, matching
+    Spark's dayofweek()-in-(2..6)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_peak = (
+        F.dayofweek("ts").isin(2, 3, 4, 5, 6)
+        & (F.hour("ts") >= 8)
+        & (F.hour("ts") < 20)
+    )
+    marked = ev.select(
+        "event_type",
+        "value",
+        F.when(is_peak, "peak").otherwise("offpeak").alias("tariff"),
+    )
+    total = F.sum(_scaled("value")).cast("bigint").cast("double") / F.lit(
+        float(SCALE)
+    )
+    return marked.groupBy("event_type", "tariff").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        total.alias("total_v"),
+        (total / F.count(F.lit(1)).cast("double")).alias("mean_v"),
+    )
