@@ -27,6 +27,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # next round.
 _DRIVER_PRIORITY = [
     # round-5 additions (never driver-checked) first
+    "q_market_hhi",
+    "q_abc_classification",
+    "q_benford_audit",
+    "q_calendar_scaffold",
+    "q_weighted_sample",
+    "q_top_ngrams",
     "q_pq_encode",
     "q_pq_adc_topk",
     "q_scd2_history",

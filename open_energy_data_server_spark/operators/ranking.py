@@ -258,6 +258,58 @@ def global_rank(
     return ranked, total
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out_col: str = "__cum",
+    parts: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact inclusive prefix sum of an integral column over a TOTAL
+    order without a single-partition window — the ``global_rank``
+    machinery generalized from counts to values: range-repartition on
+    the order keys, window-sum within each partition, plus
+    driver-collected per-partition subtotals as offsets (bounded
+    metadata — ``parts`` rows). Returns (df + out_col, grand_total).
+
+    ``val_col`` must be integral (scaled fixed-point) so the partial
+    sums are exact and reassociation-free; a double here would make
+    the result depend on where the range boundaries land. The order
+    must be total (include a tiebreak column). Backbone for
+    Pareto/ABC cumulative-share classification at corpus scale."""
+    from pyspark import StorageLevel
+
+    from open_energy_data_server_spark.operators._cache import register_persisted
+
+    spark = df.sparkSession
+    n = parts or spark.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    rp = register_persisted(rp.persist(StorageLevel.MEMORY_AND_DISK))
+    sums = {
+        r["__pid"]: int(r["s"])
+        for r in rp.groupBy("__pid").agg(F.sum(val_col).alias("s")).collect()
+    }
+    total = sum(sums.values())
+    offs, acc = [], 0
+    for pid in sorted(sums):
+        offs.append((pid, acc))
+        acc += sums[pid]
+    off_df = spark.createDataFrame(offs, "__pid int, __off bigint")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        rp.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.sum(val_col).over(w).cast("bigint") + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+    return out, total
+
+
 def ntile_from_rank(rank, total: int, n_buckets: int):
     """SQL-standard NTILE(n) from an exact global rank: the first
     ``total % n`` buckets take ``total // n + 1`` rows, the rest

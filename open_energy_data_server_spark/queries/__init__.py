@@ -41,6 +41,7 @@ def _load_all() -> None:
         aggregates,
         analytics,
         api_surface,
+        audit,
         geo_windows,
         joins,
         llm_similarity,

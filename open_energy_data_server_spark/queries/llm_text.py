@@ -1120,3 +1120,73 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS DOUBLE)
+          < (CAST('0.5' AS DOUBLE)
+             * (CAST(n_chars AS DOUBLE)
+                / CAST((SELECT MAX(n_chars) FROM documents) AS DOUBLE)))
+            * 1152921504606846976.0
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row weight-proportional Bernoulli sampling (training-data
+    mixing by quality/length weight): keep a document iff
+    hash60(doc_id) < w·2⁶⁰ with w = 0.5 · n_chars / max(n_chars) —
+    longer documents survive proportionally more often, rerun-stable,
+    monotone in the weight (operators/sampling.py
+    weighted_hash_sample). The normalizer is collected at plan-build
+    time and embedded as a literal (the IVF/quantile
+    prepared-statement pattern), so the sample itself is a ZERO-
+    shuffle scan projection — at 100 TB the max comes from catalog
+    stats or a prior pass, never a per-row join."""
+    from open_energy_data_server_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    maxv = docs.agg(F.max("n_chars")).first()[0]
+    w = F.lit(0.5) * (F.col("n_chars").cast("double") / F.lit(float(maxv)))
+    out = weighted_hash_sample(docs, "doc_id", w)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_top_ngrams",
+    oracle=f"""
+    WITH {SQL_TOKS},{SQL_SHINGLES},
+    c AS (SELECT s AS trigram, CAST(COUNT(*) AS BIGINT) AS df
+          FROM sh GROUP BY s)
+    SELECT trigram, df FROM c
+    ORDER BY df DESC, trigram LIMIT 25
+    """,
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-25 word trigrams by document frequency — the
+    LM-data diagnostic for boilerplate and over-represented phrasing
+    (the corpus-wide companion to the per-doc top-bigram repetition
+    gate). Shingles are per-doc distinct (textops.shingles, the
+    n-gram-Jaccard primitive), so df counts documents, not
+    occurrences.
+
+    Plan: explode to skinny (trigram) rows → partial+final hash agg →
+    global top-k as TakeOrderedAndProject (sort+limit pushes the k
+    bound into every partition — the BM25 precedent; no
+    single-partition global sort). Total order (df DESC, trigram)
+    makes the LIMIT deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(textops.shingles(textops.tokens("text"), 3)).alias("trigram")
+    )
+    return (
+        grams.groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("trigram").asc())
+        .limit(25)
+    )

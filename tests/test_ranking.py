@@ -151,3 +151,37 @@ def test_ntile_formula_matches_sql_ntile(spark):
             ).collect()
         ]
         assert got == want, (total, n, got, want)
+
+
+def test_global_cumsum_matches_single_partition_prefix_sum(spark):
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.operators.ranking import global_cumsum
+
+    # integral values with duplicates in the order key → the id
+    # tiebreak must make the prefix sum independent of partitioning
+    rows = [(i, int((i * 37) % 13) * 1000) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    cum, total = global_cumsum(
+        df, [F.col("v").desc(), F.col("id")], "v", out_col="c", parts=8
+    )
+    assert total == sum(v for _, v in rows)
+    got = {r["id"]: r["c"] for r in cum.collect()}
+    acc = 0
+    for _id, v in sorted(rows, key=lambda t: (-t[1], t[0])):
+        acc += v
+        assert got[_id] == acc
+
+
+def test_global_cumsum_single_row_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.operators.ranking import global_cumsum
+
+    one = spark.createDataFrame([(1, 7)], "id bigint, v bigint")
+    cum, total = global_cumsum(one, [F.col("v"), F.col("id")], "v", parts=4)
+    assert total == 7 and cum.collect()[0]["__cum"] == 7
+
+    empty = one.filter(F.col("id") < 0)
+    cum0, total0 = global_cumsum(empty, [F.col("v"), F.col("id")], "v", parts=4)
+    assert total0 == 0 and cum0.count() == 0
