@@ -29,6 +29,10 @@ _DRIVER_PRIORITY = [
     # round-5 additions (never driver-checked) first
     "q_market_hhi",
     "q_abc_classification",
+    "q_polygon_area",
+    "q_grouping_sets",
+    "q_percent_rank",
+    "q_accent_fold",
     "q_benford_audit",
     "q_calendar_scaffold",
     "q_weighted_sample",

@@ -220,6 +220,42 @@ def centroids(polygons: DataFrame, poly_id_col: str, wkt_col: str) -> DataFrame:
     )
 
 
+def polygon_areas(polygons: DataFrame, poly_id_col: str, wkt_col: str) -> DataFrame:
+    """(id, area) — shoelace area of each WKT polygon's outer ring.
+
+    Same zero-shuffle JVM parse as :func:`centroids`; the cross-product
+    terms are fixed-pointed (6 decimals) before the per-ring fold so
+    the sum is an exact integer — reassociation-free, hence replayable
+    by an order-free SQL twin (see q_polygon_area). Per-row projection
+    only: areas of a 100 TB polygon table run at scan speed."""
+    from pyspark.sql import functions as F
+
+    ring_txt = F.regexp_extract(F.col(wkt_col), r"\(\(([^)]*)\)", 1)
+    coords_expr = F.transform(
+        F.split(ring_txt, r",\s*"),
+        lambda p: F.transform(
+            F.split(F.trim(p), r"\s+"), lambda t: t.cast("double")
+        ),
+    )
+    parsed = polygons.select(
+        poly_id_col, F.explode(F.array(coords_expr)).alias("__ring")
+    )
+    ring = F.col("__ring")
+    m = F.size(ring)
+    a = F.slice(ring, 1, m - 1)
+    b = F.slice(ring, 2, m - 1)
+    terms = F.zip_with(
+        a,
+        b,
+        lambda u, v: F.round((u[0] * v[1] - v[0] * u[1]) * F.lit(1e6), 0).cast(
+            "bigint"
+        ),
+    )
+    s = F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    area = (F.abs(s).cast("double") / F.lit(1e6)) / F.lit(2.0)
+    return parsed.select(poly_id_col, area.alias("area"))
+
+
 def nearest_point_join(
     points: DataFrame,
     x_col: str,

@@ -107,6 +107,39 @@ def fingerprint_normalized(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " "))
 
 
+# DIN 5007-2 German folding (ä→ae …) plus common Latin accents — the
+# name-normalization step the reference hand-codes per crawler for
+# region/station joins (/root/reference/crawler/nuts_mapper.py name
+# fixes). Ordered list; the SQL twin must nest replace() in the SAME
+# order. Uppercase variants first so nothing accented survives to a
+# (potentially engine-divergent) unicode lower().
+FOLD_MAP: list[tuple[str, str]] = [
+    ("Ä", "Ae"), ("Ö", "Oe"), ("Ü", "Ue"),
+    ("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("ß", "ss"),
+    ("É", "E"), ("È", "E"), ("Ê", "E"),
+    ("é", "e"), ("è", "e"), ("ê", "e"),
+    ("À", "A"), ("Â", "A"), ("à", "a"), ("â", "a"),
+    ("Ç", "C"), ("ç", "c"),
+]
+
+
+def fold_accents(col: Column | str) -> Column:
+    """Accent/umlaut folding as a chain of exact replaces — pure
+    codegen string ops, no locale dependence (DuckDB twin:
+    ``sql_fold_accents``)."""
+    c = _c(col)
+    for a, b in FOLD_MAP:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return c
+
+
+def sql_fold_accents(expr: str) -> str:
+    """DuckDB twin of :func:`fold_accents` (same replace order)."""
+    for a, b in FOLD_MAP:
+        expr = f"replace({expr}, '{a}', '{b}')"
+    return expr
+
+
 def hash60(col: Column | str) -> Column:
     """First 60 bits of md5 as a non-negative bigint — the shared base
     hash for minhash/simhash (DuckDB twin:

@@ -615,3 +615,29 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = cms_estimate(top.select("tok"), counters, "tok", d=4, w=256)
     return top.join(est, "tok").select("tok", "true_count", "cms_count")
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders, {sql_dsum("o_totalprice")} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the two one-dimensional marginals plus the
+    grand total in ONE pass (the dashboard-filter-panel shape: every
+    dropdown's totals from a single scan). Spark expands the sets
+    map-side and aggregates all three levels in one partial+final
+    hash agg — one shuffle, no union of three scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

@@ -363,3 +363,43 @@ def q_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _points_df(spark, sf_dir)
     return nearest_point_join(pts, "lon", "lat", STATIONS)
+
+
+@query(
+    "q_polygon_area",
+    oracle=r"""
+    WITH polys AS (
+      SELECT * FROM (VALUES
+        (1, 'POLYGON ((5.05 -20.25, 15.05 -20.25, 10.05 10.25, 5.05 -20.25))'),
+        (2, 'POLYGON ((-20.05 -30.25, -0.05 -30.25, -0.05 30.25, -20.05 30.25, -20.05 -30.25))'),
+        (3, 'POLYGON ((-0.05 -30.25, 19.85 -30.25, 19.85 30.25, -0.05 30.25, -0.05 -30.25))')
+      ) AS t(pid, wkt)
+    ),
+    pts AS (
+      SELECT pid,
+             list_transform(
+               string_split_regex(regexp_extract(wkt, '\(\(([^)]*)\)', 1), ',\s*'),
+               p -> string_split_regex(trim(p), '\s+')) AS ps
+      FROM polys
+    ),
+    terms AS (
+      SELECT pid,
+             CAST(ROUND((CAST(ps[i+1][1] AS DOUBLE) * CAST(ps[i+2][2] AS DOUBLE)
+                       - CAST(ps[i+2][1] AS DOUBLE) * CAST(ps[i+1][2] AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT) AS t
+      FROM pts, LATERAL (SELECT unnest(range(len(ps) - 1)) AS i)
+    )
+    SELECT pid, (CAST(ABS(CAST(SUM(t) AS BIGINT)) AS DOUBLE) / 1000000.0) / 2.0 AS area
+    FROM terms GROUP BY pid
+    """,
+)
+def q_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace polygon area (the G-family companion to centroids —
+    the reference's heat-density GDB layers carry per-polygon areas).
+    Fixed-point cross-product terms make the per-ring sum an exact
+    integer, so the Spark fold (sequential, zero-shuffle) and the
+    oracle's order-free SUM agree bit-for-bit
+    (operators.spatial.polygon_areas)."""
+    from open_energy_data_server_spark.operators.spatial import polygon_areas
+
+    return polygon_areas(_polygons_df(spark), "pid", "wkt")

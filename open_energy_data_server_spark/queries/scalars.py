@@ -26,6 +26,7 @@ from open_energy_data_server_spark.functions.timeutil import (
     utc_to_zone,
 )
 from open_energy_data_server_spark.io import load_table, local_df
+from open_energy_data_server_spark.operators import textops
 from open_energy_data_server_spark.queries import query
 from open_energy_data_server_spark.queries._util import sql_ts_str, ts_str
 from open_energy_data_server_spark.sanitize import sanitize_columns
@@ -393,4 +394,47 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce("v1", F.lit(0.0)).alias("v1_filled"),
         F.coalesce("v2", "v1", F.lit(-1.0)).alias("v2_cascade"),
+    )
+
+
+# station/operator name fixtures for accent folding (the reference's
+# region-name joins hit exactly these umlaut/accent variants)
+_ACCENT_NAMES = [(1, 'Düsseldorf'), (2, 'Köln'), (3, 'München'), (4, 'Straße des 17. Juni'), (5, 'Überlingen'), (6, 'Saarbrücken'), (7, 'Groß Ärmel'), (8, 'Électricité de France'), (9, 'Château-Thierry'), (10, 'Besançon'), (11, 'Genève'), (12, 'Plain Ascii GmbH')]
+
+_ACCENT_VALUES = """(1, 'Düsseldorf'),
+      (2, 'Köln'),
+      (3, 'München'),
+      (4, 'Straße des 17. Juni'),
+      (5, 'Überlingen'),
+      (6, 'Saarbrücken'),
+      (7, 'Groß Ärmel'),
+      (8, 'Électricité de France'),
+      (9, 'Château-Thierry'),
+      (10, 'Besançon'),
+      (11, 'Genève'),
+      (12, 'Plain Ascii GmbH')"""
+
+
+@query(
+    "q_accent_fold",
+    oracle=f"""
+    SELECT id, name, lower({textops.sql_fold_accents('name')}) AS folded
+    FROM (VALUES
+      {_ACCENT_VALUES}
+    ) AS t(id, name)
+    """,
+)
+def q_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIN 5007-2 umlaut/accent folding for name-join normalization
+    (ä→ae, ß→ss, é→e …) — the reference hand-patches such variants
+    per crawler (/root/reference/crawler/nuts_mapper.py); here it is
+    one reusable codegen replace chain (operators.textops.fold_accents)
+    with a DuckDB twin nested in the same order. Uppercase variants
+    fold before lower() so no accented char reaches a locale-dependent
+    unicode lowercase."""
+    from open_energy_data_server_spark.operators import textops as _t
+
+    df = local_df(spark, _ACCENT_NAMES, "id int, name string")
+    return df.select(
+        "id", "name", F.lower(_t.fold_accents("name")).alias("folded")
     )

@@ -268,3 +268,31 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         "version",
     )
+
+
+@query(
+    "q_percent_rank",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a group: percent_rank + cume_dist of
+    supplier account balance per nation (the scorecard/percentile
+    column every ranking dashboard carries). Tied balances share a
+    value by SQL semantics, so the result is deterministic without a
+    tiebreak. One exchange on the nation key; both functions share
+    the single window sort."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
