@@ -29,6 +29,8 @@ _DRIVER_PRIORITY = [
     # round-5 additions (never driver-checked) first
     "q_market_hhi",
     "q_abc_classification",
+    "q_weighted_moving_average",
+    "q_degree_days",
     "q_polygon_area",
     "q_grouping_sets",
     "q_percent_rank",

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.io import load_table
 from open_energy_data_server_spark.queries import query
-from open_energy_data_server_spark.queries._util import SCALE, _scaled
+from open_energy_data_server_spark.queries._util import SCALE, _scaled, sql_dsum
 
 # oracle twin of operators.similarity.fixed_round (sign·floor term)
 _FR = "CAST(SIGN({z}) * FLOOR(ABS({z}) + 0.5) AS BIGINT)"
@@ -890,4 +890,35 @@ def q_peak_offpeak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         total.alias("total_v"),
         (total / F.count(F.lit(1)).cast("double")).alias("mean_v"),
+    )
+
+
+@query(
+    "q_degree_days",
+    oracle=f"""
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           {{hdd}} AS hdd, {{cdd}} AS cdd
+    FROM events GROUP BY 1, 2
+    """.format(
+        hdd=sql_dsum("GREATEST(18.0 - value, 0.0)"),
+        cdd=sql_dsum("GREATEST(value - 18.0, 0.0)"),
+    ),
+)
+def q_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heating/cooling degree-days per series per day (base 18 °C) —
+    the canonical weather-normalization aggregate for energy demand
+    models (the reference ships weather series exactly for this
+    pairing). GREATEST keeps the gate in exact IEEE arithmetic; the
+    daily sums are fixed-point. One partial+final hash agg on
+    (series, day) — scan-shaped at any corpus size."""
+    from open_energy_data_server_spark.queries._util import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    hdd = F.greatest(F.lit(18.0) - F.col("value"), F.lit(0.0))
+    cdd = F.greatest(F.col("value") - F.lit(18.0), F.lit(0.0))
+    return (
+        ev.groupBy(
+            "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(dsum(hdd).alias("hdd"), dsum(cdd).alias("cdd"))
     )

@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.io import load_table
 from open_energy_data_server_spark.queries import query
-from open_energy_data_server_spark.queries._util import SCALE, sql_ts_str, ts_str
+from open_energy_data_server_spark.queries._util import (
+    SCALE,
+    _scaled,
+    sql_ts_str,
+    ts_str,
+)
 
 
 @query(
@@ -295,4 +300,80 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal",
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "q_weighted_moving_average",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND((value) * {SCALE}, 0) AS BIGINT) AS xs,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, ts, event_id, rn,
+             CAST(SUM(xs) OVER w AS BIGINT) AS s0,
+             CAST(SUM(rn * xs) OVER w AS BIGINT) AS s1,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, {{ts_s}} AS ts_s,
+           (CAST(s1 - (rn - n) * s0 AS DOUBLE)
+            / CAST(CAST(FLOOR((n * (n + 1)) / 2) AS BIGINT) AS DOUBLE))
+           / {SCALE}.0 AS wma24
+    FROM r
+    """.format(ts_s=sql_ts_str("ts"), SCALE=SCALE),
+)
+def q_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-weighted 24-sample moving average per series WITHOUT a
+    lag chain: the prefix-sum identity
+    ``Σ (i-(t-n))·x_i = S1 - (rn-n)·S0`` over rolling sums of ``x``
+    and ``rn·x`` — ONE window spec, three shared rolling aggregates,
+    all BIGINT fixed-point, so the result is bit-exact on any engine
+    and the plan stays a single exchange + single sort per series.
+    (Headroom: exact while rn·|x|·10⁶ < 2⁶³ — beyond ~10⁶-sample
+    series re-base rn per calendar epoch.) The classic energy-TS
+    smoother where recent readings weigh more (weight n for the
+    newest sample down to 1 for the oldest in the window)."""
+    ev = load_table(spark, sf_dir, "events")
+    wspec = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _scaled("value").alias("xs"),
+        F.row_number().over(wspec).cast("bigint").alias("rn"),
+    )
+    # ordered by (ts, event_id) — the SAME sort spec as the rn window
+    # above, so Catalyst runs both window passes off ONE sort (rn is
+    # monotone in this order; ordering by rn itself would force a
+    # second, redundant sort)
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    r = s.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "rn",
+        F.sum("xs").over(w24).cast("bigint").alias("s0"),
+        F.sum(F.col("rn") * F.col("xs")).over(w24).cast("bigint").alias("s1"),
+        F.count(F.lit(1)).over(w24).cast("bigint").alias("n"),
+    )
+    num = F.col("s1") - (F.col("rn") - F.col("n")) * F.col("s0")
+    denom = (
+        F.floor((F.col("n") * (F.col("n") + 1)) / 2).cast("bigint").cast("double")
+    )
+    return r.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts_s"),
+        ((num.cast("double") / denom) / F.lit(float(SCALE))).alias("wma24"),
     )
