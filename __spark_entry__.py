@@ -31,6 +31,8 @@ _DRIVER_PRIORITY = [
     "q_abc_classification",
     "q_weighted_moving_average",
     "q_degree_days",
+    "q_vwap",
+    "q_max_drawdown",
     "q_polygon_area",
     "q_grouping_sets",
     "q_percent_rank",

@@ -922,3 +922,71 @@ def q_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(hdd).alias("hdd"), dsum(cdd).alias("cdd"))
     )
+
+
+@query(
+    "q_vwap",
+    oracle=f"""
+    SELECT l_returnflag, strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS day,
+           ({{num}}) / ({{den}}) AS vwap
+    FROM lineitem
+    GROUP BY 1, 2
+    """.format(
+        num=sql_dsum("l_extendedprice * l_quantity"),
+        den=sql_dsum("l_quantity"),
+    ),
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (flag, day) — THE spot-market
+    summary statistic (EPEX day-ahead reporting is VWAP-based; the
+    reference stores exactly these price+volume series). Two
+    fixed-point sums in one partial+final hash agg; the ratio is a
+    single deterministic double division. Scan-shaped at any size."""
+    from open_energy_data_server_spark.queries._util import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag",
+        F.date_format(F.date_trunc("day", "l_shipdate"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__num"),
+        dsum("l_quantity").alias("__den"),
+    )
+    return g.select(
+        "l_returnflag", "day", (F.col("__num") / F.col("__den")).alias("vwap")
+    )
+
+
+@query(
+    "q_max_drawdown",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_max
+      FROM events
+    )
+    SELECT user_id, MAX(value) AS peak, MAX(run_max - value) AS max_drawdown
+    FROM r GROUP BY user_id
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series: largest drop from a running peak —
+    the storage/portfolio stress metric (for a battery SoC series:
+    deepest discharge from any charge peak). Entirely max/compare
+    arithmetic — order-free and engine-exact with NO fixed-point
+    needed (each candidate is one IEEE subtraction). The running-max
+    window and the final agg share the series-key exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = ev.select(
+        "user_id", "value", F.max("value").over(w).alias("run_max")
+    )
+    return r.groupBy("user_id").agg(
+        F.max("value").alias("peak"),
+        F.max(F.col("run_max") - F.col("value")).alias("max_drawdown"),
+    )
