@@ -33,6 +33,10 @@ _DRIVER_PRIORITY = [
     "q_degree_days",
     "q_vwap",
     "q_max_drawdown",
+    "q_runs_detection",
+    "q_mode_per_group",
+    "q_keyset_pagination",
+    "q_vocab_overlap",
     "q_polygon_area",
     "q_grouping_sets",
     "q_percent_rank",

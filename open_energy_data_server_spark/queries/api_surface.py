@@ -235,3 +235,42 @@ def q_grafana_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         ts_str("time").alias("time"), "metric", "avg_value"
     )
+
+
+@query(
+    "q_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date,
+           o_totalprice
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1996-06-01 00:00:00'
+       OR (o_orderdate = TIMESTAMP '1996-06-01 00:00:00'
+           AND o_orderkey > 1000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination — the scalable successor to
+    OFFSET paging for the PostgREST serving surface: resume strictly
+    after the last (o_orderdate, o_orderkey) cursor with a tuple
+    comparison, ORDER BY the same key, LIMIT the page. The filter
+    pushes to the scan and the page is a TakeOrderedAndProject —
+    page N costs the same as page 1 at any table size (OFFSET paging
+    degrades linearly; serving.py clamps it for exactly this
+    reason)."""
+    o = load_table(spark, sf_dir, "orders")
+    cur_d = F.lit("1996-06-01 00:00:00").cast("timestamp")
+    after = (F.col("o_orderdate") > cur_d) | (
+        (F.col("o_orderdate") == cur_d) & (F.col("o_orderkey") > 1000)
+    )
+    return (
+        o.filter(after)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_date"),
+            "o_totalprice",
+        )
+    )

@@ -1190,3 +1190,70 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("trigram").asc())
         .limit(25)
     )
+
+
+@query(
+    "q_vocab_overlap",
+    oracle=r"""
+    WITH vocab AS (
+      SELECT DISTINCT source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    sz AS (SELECT source, COUNT(*) AS vs FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM vocab a JOIN vocab b USING (tok)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           CAST(n_common AS DOUBLE)
+             / CAST(LEAST(sa.vs, sb.vs) AS DOUBLE) AS overlap_coef,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.vs + sb.vs - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON src_a = sa.source
+    JOIN sz sb ON src_b = sb.source
+    """,
+)
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap (Szymkiewicz–Simpson
+    coefficient + Jaccard per source pair) — the corpus-composition
+    diagnostic for training-data mixing: which sources duplicate each
+    other's lexicon. Pair generation is an inverted token index
+    (|vocab| skinny rows per source through ONE token-key join —
+    never a sources² × vocab cross join; per-token fanout is bounded
+    by |sources|, the same skew argument as the n-gram Jaccard
+    df_cap). Per-source sizes broadcast onto the pair aggregate;
+    ratios are single deterministic divisions of exact counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(F.array_distinct(textops.tokens("text"))).alias("tok")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vs"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("vs").alias("va"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("vs").alias("vb"))
+    out = inter.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / F.least("va", "vb").cast("double")
+        ).alias("overlap_coef"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("va") + F.col("vb") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    )

@@ -377,3 +377,88 @@ def q_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("ts").alias("ts_s"),
         ((num.cast("double") / denom) / F.lit(float(SCALE))).alias("wma24"),
     )
+
+
+@query(
+    "q_runs_detection",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, (value > 100.0)
+                                ORDER BY ts, event_id) AS rf
+      FROM events
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS run_end,
+           COUNT(*) AS n_samples,
+           MAX(value) AS peak
+    FROM flagged
+    WHERE value > 100.0
+    GROUP BY user_id, rn - rf
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_runs_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-threshold episode detection (gaps-and-islands over a
+    predicate): consecutive samples with value > 100 collapse into
+    runs with start/end/length/peak, keeping runs of ≥ 2 — the
+    high-load / heatwave episode finder an energy dashboard derives
+    from any load series. Island id = rn − rn_within_flag, the
+    classic two-row_number trick; both windows share ONE sort and the
+    series-key exchange, and the episode agg reuses the same
+    distribution. All counts/timestamps/max — engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    perflag = Window.partitionBy("user_id", F.col("value") > 100.0).orderBy(
+        "ts", "event_id"
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        (F.row_number().over(base) - F.row_number().over(perflag)).alias("__grp"),
+    ).filter(F.col("value") > 100.0)
+    return (
+        flagged.groupBy("user_id", "__grp")
+        .agg(
+            ts_str(F.min("ts")).alias("run_start"),
+            ts_str(F.max("ts")).alias("run_end"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("value").alias("peak"),
+        )
+        .filter(F.col("n_samples") >= 2)
+        .drop("__grp")
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rk
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_type, n
+    FROM c WHERE rk = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per series (most frequent event type, ties to
+    the alphabetically first) — the categorical summary column next
+    to mean/median in any profile table. Hash agg to (series, type)
+    counts, then a row_number top-1 that Spark prunes below the
+    exchange via WindowGroupLimit — never a full per-series sort of
+    raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
