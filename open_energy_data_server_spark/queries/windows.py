@@ -340,43 +340,20 @@ def q_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     series re-base rn per calendar epoch.) The classic energy-TS
     smoother where recent readings weigh more (weight n for the
     newest sample down to 1 for the oldest in the window)."""
+    from open_energy_data_server_spark.operators.rolling import (
+        weighted_moving_average,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    wspec = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = ev.select(
+    out = weighted_moving_average(
+        ev.select("user_id", "ts", "event_id", "value"),
         "user_id",
-        "ts",
-        "event_id",
-        _scaled("value").alias("xs"),
-        F.row_number().over(wspec).cast("bigint").alias("rn"),
+        ["ts", "event_id"],
+        "value",
+        window=24,
+        out_col="wma24",
     )
-    # ordered by (ts, event_id) — the SAME sort spec as the rn window
-    # above, so Catalyst runs both window passes off ONE sort (rn is
-    # monotone in this order; ordering by rn itself would force a
-    # second, redundant sort)
-    w24 = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-23, Window.currentRow)
-    )
-    r = s.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "rn",
-        F.sum("xs").over(w24).cast("bigint").alias("s0"),
-        F.sum(F.col("rn") * F.col("xs")).over(w24).cast("bigint").alias("s1"),
-        F.count(F.lit(1)).over(w24).cast("bigint").alias("n"),
-    )
-    num = F.col("s1") - (F.col("rn") - F.col("n")) * F.col("s0")
-    denom = (
-        F.floor((F.col("n") * (F.col("n") + 1)) / 2).cast("bigint").cast("double")
-    )
-    return r.select(
-        "user_id",
-        "event_id",
-        ts_str("ts").alias("ts_s"),
-        ((num.cast("double") / denom) / F.lit(float(SCALE))).alias("wma24"),
-    )
+    return out.select("user_id", "event_id", ts_str("ts").alias("ts_s"), "wma24")
 
 
 @query(

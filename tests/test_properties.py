@@ -518,3 +518,46 @@ def test_funnel_matches_bruteforce_property(spark, rows):
                     break
         expected[u] = tuple(min(q) if q else None for q in quals)
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # series
+            st.integers(min_value=0, max_value=40),  # order key
+            st.integers(min_value=-99999, max_value=99999),  # value in cents
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@SETTINGS
+def test_wma_prefix_sum_identity_matches_bruteforce(spark, rows, window):
+    """weighted_moving_average's S1 - (rn-n)·S0 identity == the
+    explicit Σ w_j·x fold for any series/window size (incl. partial
+    head frames)."""
+    from open_energy_data_server_spark.operators.rolling import (
+        weighted_moving_average,
+    )
+
+    df = spark.createDataFrame(
+        [(s, k, v / 100.0) for s, k, v in rows], "s bigint, k bigint, v double"
+    )
+    got = {
+        (r["s"], r["k"]): r["wma"]
+        for r in weighted_moving_average(
+            df, "s", ["k"], "v", window=window
+        ).collect()
+    }
+    series: dict[int, list[tuple[int, float]]] = {}
+    for s, k, v in sorted(rows, key=lambda t: (t[0], t[1])):
+        series.setdefault(s, []).append((k, v / 100.0))
+    for s, seq in series.items():
+        for t in range(len(seq)):
+            frame = seq[max(0, t - window + 1) : t + 1]
+            n = len(frame)
+            num = sum((j + 1) * round(x * 1e6) for j, (_, x) in enumerate(frame))
+            expect = (num / (n * (n + 1) // 2)) / 1e6
+            assert got[(s, seq[t][0])] == expect, (s, seq[t][0])
