@@ -287,8 +287,10 @@ def global_cumsum(
         "__pid", F.spark_partition_id()
     )
     rp = register_persisted(rp.persist(StorageLevel.MEMORY_AND_DISK))
+    # SUM over an all-NULL partition is NULL — treat as 0, matching the
+    # window sum's ignore-NULLs contribution
     sums = {
-        r["__pid"]: int(r["s"])
+        r["__pid"]: int(r["s"]) if r["s"] is not None else 0
         for r in rp.groupBy("__pid").agg(F.sum(val_col).alias("s")).collect()
     }
     total = sum(sums.values())

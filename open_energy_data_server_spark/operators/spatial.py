@@ -239,6 +239,12 @@ def polygon_areas(polygons: DataFrame, poly_id_col: str, wkt_col: str) -> DataFr
     )
     parsed = polygons.select(
         poly_id_col, F.explode(F.array(coords_expr)).alias("__ring")
+    ).filter(
+        # degenerate/unparseable rings (<2 vertices) are DROPPED, not
+        # emitted as area 0 — matching the SQL twin, whose per-term
+        # unnest produces no rows for them and whose GROUP BY then
+        # omits the pid
+        F.size(F.col("__ring")) >= 2
     )
     ring = F.col("__ring")
     m = F.size(ring)

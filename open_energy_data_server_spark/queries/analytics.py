@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.io import load_table
 from open_energy_data_server_spark.queries import query
-from open_energy_data_server_spark.queries._util import SCALE, _scaled, sql_dsum
+from open_energy_data_server_spark.queries._util import (
+    SCALE,
+    _scaled,
+    dsum,
+    sql_dsum,
+)
 
 # oracle twin of operators.similarity.fixed_round (sign·floor term)
 _FR = "CAST(SIGN({z}) * FLOOR(ABS({z}) + 0.5) AS BIGINT)"
@@ -911,7 +916,6 @@ def q_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing). GREATEST keeps the gate in exact IEEE arithmetic; the
     daily sums are fixed-point. One partial+final hash agg on
     (series, day) — scan-shaped at any corpus size."""
-    from open_energy_data_server_spark.queries._util import dsum
 
     ev = load_table(spark, sf_dir, "events")
     hdd = F.greatest(F.lit(18.0) - F.col("value"), F.lit(0.0))
@@ -942,7 +946,6 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference stores exactly these price+volume series). Two
     fixed-point sums in one partial+final hash agg; the ratio is a
     single deterministic double division. Scan-shaped at any size."""
-    from open_energy_data_server_spark.queries._util import dsum
 
     li = load_table(spark, sf_dir, "lineitem")
     g = li.groupBy(

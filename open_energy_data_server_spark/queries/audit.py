@@ -140,13 +140,20 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum, total = global_cumsum(
         rev, [F.col("rs").desc(), F.col("l_partkey").asc()], "rs", out_col="cum"
     )
-    tot = F.lit(int(total))
+    # bucket edges as exact plan-build literals (Python int arithmetic
+    # is unbounded): cum*10 <= tot*7  ⇔  cum <= (tot*7)//10 for
+    # integers, and the literal form can't overflow int64 at corpus
+    # scale the way the in-plan product would (the oracle keeps the
+    # product form — equivalent at any scale DuckDB itself can sum)
+    thr_a, thr_b = (int(total) * 7) // 10, (int(total) * 9) // 10
     return cum.select(
         "l_partkey",
         (F.col("rs").cast("double") / F.lit(float(SCALE))).alias("revenue"),
-        (F.col("cum").cast("double") / tot.cast("double")).alias("cum_share"),
-        F.when(F.col("cum") * 10 <= tot * 7, F.lit("A"))
-        .when(F.col("cum") * 10 <= tot * 9, F.lit("B"))
+        (F.col("cum").cast("double") / F.lit(int(total)).cast("double")).alias(
+            "cum_share"
+        ),
+        F.when(F.col("cum") <= F.lit(thr_a), F.lit("A"))
+        .when(F.col("cum") <= F.lit(thr_b), F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )

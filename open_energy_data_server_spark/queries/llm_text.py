@@ -1152,6 +1152,8 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     maxv = docs.agg(F.max("n_chars")).first()[0]
+    if maxv is None:
+        raise ValueError("weighted_sample: empty corpus (no n_chars to normalize by)")
     w = F.lit(0.5) * (F.col("n_chars").cast("double") / F.lit(float(maxv)))
     out = weighted_hash_sample(docs, "doc_id", w)
     return out.select("doc_id", "lang", "n_chars")

@@ -14,12 +14,7 @@ from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.io import load_table
 from open_energy_data_server_spark.queries import query
-from open_energy_data_server_spark.queries._util import (
-    SCALE,
-    _scaled,
-    sql_ts_str,
-    ts_str,
-)
+from open_energy_data_server_spark.queries._util import SCALE, sql_ts_str, ts_str
 
 
 @query(
@@ -327,7 +322,7 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             / CAST(CAST(FLOOR((n * (n + 1)) / 2) AS BIGINT) AS DOUBLE))
            / {SCALE}.0 AS wma24
     FROM r
-    """.format(ts_s=sql_ts_str("ts"), SCALE=SCALE),
+    """.format(ts_s=sql_ts_str("ts")),
 )
 def q_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-weighted 24-sample moving average per series WITHOUT a
