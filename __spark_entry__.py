@@ -33,6 +33,8 @@ _DRIVER_PRIORITY = [
     "q_degree_days",
     "q_vwap",
     "q_max_drawdown",
+    "q_chunk_documents",
+    "q_char_diversity",
     "q_runs_detection",
     "q_mode_per_group",
     "q_keyset_pagination",

@@ -107,6 +107,40 @@ def fingerprint_normalized(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " "))
 
 
+def chunk_tokens(
+    df,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+    stride: int = 8,
+):
+    """Sliding-window document chunking (the RAG/embedding prep step):
+    whitespace tokens → overlapping windows of ``window`` tokens every
+    ``stride`` — chunk starts are ``0, stride, 2·stride, …`` for every
+    start < n_tokens, so tail tokens always land in a (possibly short)
+    final chunk. Pure per-row array projection (sequence + slice +
+    concat_ws) — ZERO shuffle; chunking a 100 TB corpus runs at scan
+    speed and the output is already partitioned like its input.
+
+    Returns (id, chunk_id, start_tok, n_tokens, chunk_text)."""
+    toks = tokens(text_col)
+    d = df.select(F.col(id_col), toks.alias("__t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(stride)
+    )
+    e = d.select(
+        id_col, "__t", F.posexplode(starts).alias("chunk_id", "__s")
+    )
+    chunk = F.slice("__t", F.col("__s") + 1, window)
+    return e.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("__s").cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 # DIN 5007-2 German folding (ä→ae …) plus common Latin accents — the
 # name-normalization step the reference hand-codes per crawler for
 # region/station joins (/root/reference/crawler/nuts_mapper.py name

@@ -1259,3 +1259,83 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("va") + F.col("vb") - F.col("n_common")).cast("double")
         ).alias("jaccard"),
     )
+
+
+@query(
+    "q_chunk_documents",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // 8 AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(len(list_slice(t, s + 1, s + 16)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(t, s + 1, s + 16), ' ') AS chunk_text
+    FROM toks, LATERAL (SELECT unnest(range(0, len(t), 8)) AS s)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for retrieval/embedding prep: 16-token
+    windows every 8 tokens, tail tokens always covered by a final
+    short chunk (operators.textops.chunk_tokens). Pure per-row array
+    projection — ZERO shuffle, scan-speed on any corpus, output
+    co-partitioned with its input (the chunk→embed→ANN pipeline's
+    first stage feeds q_ann_* and q_semdedup_pairs directly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.chunk_tokens(docs, "doc_id", "text", window=16, stride=8)
+
+
+@query(
+    "q_char_diversity",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+             CAST(SUM(k * (k - 1)) AS BIGINT) AS rep
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars_counted,
+           CAST(1.0 AS DOUBLE)
+             - (CAST(rep AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+             AS simpson_diversity
+    FROM agg WHERE n >= 2
+    """,
+)
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson character-diversity per document — the entropy-style
+    gibberish/repetition signal WITHOUT a logarithm: 1 − Σk(k−1)/n(n−1)
+    (probability two random character draws differ), exact integer
+    moments so the score is engine-bit-identical (the
+    no-transcendentals determinism rule; Shannon entropy would drift
+    in the last ulp). Complements the token-level distinct ratio in
+    q_quality_filters with a sub-token signal. Plan: (doc, char)
+    hash agg then doc hash agg — two map-side-combined exchanges on
+    the doc key. (Integer headroom: exact while n² < 2⁶³ — fine to
+    ~3 GB single documents.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("."), F.lit(0))).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n"),
+        F.sum(F.col("k") * (F.col("k") - 1)).cast("bigint").alias("rep"),
+    )
+    return agg.filter(F.col("n") >= 2).select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        (
+            F.lit(1.0)
+            - (
+                F.col("rep").cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+            )
+        ).alias("simpson_diversity"),
+    )
