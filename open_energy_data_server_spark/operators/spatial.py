@@ -231,20 +231,25 @@ def polygon_areas(polygons: DataFrame, poly_id_col: str, wkt_col: str) -> DataFr
     from pyspark.sql import functions as F
 
     ring_txt = F.regexp_extract(F.col(wkt_col), r"\(\(([^)]*)\)", 1)
-    coords_expr = F.transform(
-        F.split(ring_txt, r",\s*"),
-        lambda p: F.transform(
-            F.split(F.trim(p), r"\s+"), lambda t: t.cast("double")
-        ),
+    # parse to STRING point tuples first; the double cast runs only on
+    # rings that survive the >=2-vertex filter, so degenerate or
+    # non-WKT rows are DROPPED (matching the SQL twin, whose per-term
+    # unnest yields no rows for them) instead of tripping ANSI casts
+    coords_txt = F.transform(
+        F.split(ring_txt, r",\s*"), lambda p: F.split(F.trim(p), r"\s+")
     )
-    parsed = polygons.select(
-        poly_id_col, F.explode(F.array(coords_expr)).alias("__ring")
-    ).filter(
-        # degenerate/unparseable rings (<2 vertices) are DROPPED, not
-        # emitted as area 0 — matching the SQL twin, whose per-term
-        # unnest produces no rows for them and whose GROUP BY then
-        # omits the pid
-        F.size(F.col("__ring")) >= 2
+    parsed = (
+        polygons.select(
+            poly_id_col, F.explode(F.array(coords_txt)).alias("__ringtxt")
+        )
+        .filter(F.size(F.col("__ringtxt")) >= 2)
+        .select(
+            poly_id_col,
+            F.transform(
+                F.col("__ringtxt"),
+                lambda pt: F.transform(pt, lambda t: t.cast("double")),
+            ).alias("__ring"),
+        )
     )
     ring = F.col("__ring")
     m = F.size(ring)

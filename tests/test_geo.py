@@ -129,3 +129,20 @@ def test_nearest_point_join_semantics(spark):
 
     with pytest.raises(ValueError):
         nearest_point_join(pts, "lon", "lat", [])
+
+
+def test_polygon_areas_drops_degenerate_rings(spark):
+    """<2-vertex / unparseable rings are omitted (matching the SQL
+    twin's GROUP BY), valid rings get exact shoelace areas."""
+    from open_energy_data_server_spark.operators.spatial import polygon_areas
+
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),  # area 100
+            (2, "POLYGON ((5 5))"),  # degenerate: 1 vertex
+            (3, "not wkt at all"),  # unparseable
+        ],
+        "pid int, wkt string",
+    )
+    rows = {r["pid"]: r["area"] for r in polygon_areas(df, "pid", "wkt").collect()}
+    assert rows == {1: 100.0}

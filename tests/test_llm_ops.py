@@ -528,3 +528,51 @@ def test_hash_split_stable_and_complete(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(docs, "doc_id", {"train": 0.5})
+
+
+def test_chunk_tokens_tail_coverage_and_edges(spark):
+    """Every token lands in >=1 chunk; starts are exactly
+    0, stride, ... < n; short docs yield a single short chunk."""
+    from open_energy_data_server_spark.operators.textops import chunk_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(20))),  # 20 toks: starts 0,8,16
+            (2, "one two"),  # short doc -> one chunk of 2
+            (3, "solo"),  # single token
+            (4, ""),  # empty text -> split('') == [''] -> one 1-token chunk
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_tokens(df, "doc_id", "text", window=16, stride=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [c["start_tok"] for c in sorted(by_doc[1], key=lambda c: c["chunk_id"])] == [0, 8, 16]
+    # tail chunk is short but covers tokens 16..19
+    tail = max(by_doc[1], key=lambda c: c["start_tok"])
+    assert tail["n_tokens"] == 4 and tail["chunk_text"].endswith("t19")
+    # full coverage: union of [start, start+n) == [0, 20)
+    covered = set()
+    for c in by_doc[1]:
+        covered |= set(range(c["start_tok"], c["start_tok"] + c["n_tokens"]))
+    assert covered == set(range(20))
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 2
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == "solo"
+    assert len(by_doc[4]) == 1  # degenerate doc still emits one chunk
+
+
+def test_fold_accents_folds_everything_in_map_and_is_idempotent(spark):
+    from open_energy_data_server_spark.operators.textops import FOLD_MAP, fold_accents
+
+    src = "".join(a for a, _ in FOLD_MAP) + " Müßige Straße déjà"
+    df = spark.createDataFrame([(src,)], "s string")
+    once = df.select(fold_accents("s").alias("f")).collect()[0]["f"]
+    twice = (
+        spark.createDataFrame([(once,)], "s string")
+        .select(fold_accents("s").alias("f"))
+        .collect()[0]["f"]
+    )
+    assert once == twice  # idempotent: replacements introduce no accents
+    assert not any(a in once for a, _ in FOLD_MAP)
+    assert "Muessige Strasse deja" in once
