@@ -35,6 +35,10 @@ _DRIVER_PRIORITY = [
     "q_max_drawdown",
     "q_chunk_documents",
     "q_char_diversity",
+    "q_ewma",
+    "q_gini_coefficient",
+    "q_heatmap_dow_hour",
+    "q_week_over_week",
     "q_runs_detection",
     "q_mode_per_group",
     "q_keyset_pagination",

@@ -641,3 +641,60 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+@query(
+    "q_heatmap_dow_hour",
+    oracle=f"""
+    SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           COUNT(*) AS n, {{vsum}} AS value_sum
+    FROM events GROUP BY 1, 2
+    """.format(vsum=sql_dsum("value")),
+)
+def q_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day heatmap (the Grafana heatmap panel
+    over any load/price series — weekly seasonality at a glance).
+    Sunday = 0 on both engines (Spark's 1-based dayofweek shifted).
+    One partial+final hash agg to ≤168 cells — map-side combine does
+    all the reduction, scan-shaped at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("value_sum"))
+    )
+
+
+@query(
+    "q_week_over_week",
+    oracle=f"""
+    WITH wk AS (
+      SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+             {{rev}} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT week, revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY week))
+             / LAG(revenue) OVER (ORDER BY week) AS wow_change
+    FROM wk
+    """.format(rev=sql_dsum("o_totalprice")),
+)
+def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change — the dashboard KPI column.
+    Weekly totals are fixed-point sums; the change is two IEEE ops on
+    deterministic values (NULL for the first week on both engines).
+    The ordered LAG runs over the ALREADY-AGGREGATED |weeks| frame
+    (bounded: one row per calendar week — the Benford post-agg
+    single-partition precedent), never over raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("week")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.partitionBy(F.lit(1)).orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return wk.select(
+        "week", "revenue", ((F.col("revenue") - prev) / prev).alias("wow_change")
+    )

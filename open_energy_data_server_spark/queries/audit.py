@@ -283,3 +283,64 @@ def q_calendar_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = ev.select("user_id", F.date_trunc("hour", "ts").alias("hr")).distinct()
     missing = grid.join(obs, ["user_id", "hr"], "left_anti")
     return missing.select("user_id", ts_str("hr").alias("missing_hour"))
+
+
+@query(
+    "q_gini_coefficient",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT))
+               AS BIGINT) AS xs
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT xs,
+             CAST(ROW_NUMBER() OVER (ORDER BY xs, o_custkey) AS BIGINT) AS r,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(xs) OVER () AS BIGINT) AS tot
+      FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           (CAST(CAST(SUM((2 * r - n - 1) * xs) AS BIGINT) AS DOUBLE)
+            / CAST(MAX(tot) AS DOUBLE)) / CAST(MAX(n) AS DOUBLE) AS gini
+    FROM rk
+    """,
+)
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer spend — the inequality summary a
+    market regulator reads next to HHI. Closed form over ranked
+    values: G = Σ(2r − n − 1)·x_r / (n·Σx), every term an exact
+    integer (scaled revenue × exact global rank), so the statistic is
+    engine-bit-identical.
+
+    Plan: hash agg to one scaled-BIGINT row per customer, exact global
+    rank via ``global_rank`` (range repartition + partition offsets —
+    NO single-partition window in the Spark plan; the oracle's OVER ()
+    runs on the already-aggregated |customers| frame), then one skinny
+    agg with n/total embedded as plan-build literals. Headroom: exact
+    while n²·avg_revenue·100 < 2⁶³ (≈10⁵ customers at
+    TPC-H-like spend); beyond, chunk ranks per epoch."""
+    from open_energy_data_server_spark.operators.ranking import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    # cent scaling (prices carry exactly 2 decimals, so 100 is already
+    # the TRUE exact sum) — the 1e6 default would overflow the
+    # rank-weighted sum 10^4x sooner
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("xs")
+    )
+    ranked, n = global_rank(
+        rev, [F.col("xs").asc(), F.col("o_custkey").asc()], out_col="r"
+    )
+    total = ranked.agg(F.sum("xs").cast("bigint")).first()[0]
+    num = F.sum((2 * F.col("r") - F.lit(n + 1)) * F.col("xs")).cast("bigint")
+    return ranked.agg(
+        F.lit(int(n)).cast("bigint").alias("n_customers"),
+        (
+            (num.cast("double") / F.lit(int(total)).cast("double"))
+            / F.lit(int(n)).cast("double")
+        ).alias("gini"),
+    )

@@ -434,3 +434,59 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )
+
+
+# EWMA with alpha=1/2 over an 8-sample memory: integer weights 128>>j
+# (exact powers of two), so numerator and denominator are exact BIGINT
+# sums on both engines — exponential smoothing with NO transcendentals
+_EWMA_MEM = 8
+_EWMA_NUM_SQL = " + ".join(
+    f"(CASE WHEN LAG(value, {j}) OVER w IS NOT NULL THEN "
+    f"{128 >> j} * CAST(ROUND(LAG(value, {j}) OVER w * 1000000, 0) AS BIGINT) "
+    f"ELSE 0 END)"
+    for j in range(_EWMA_MEM)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN LAG(value, {j}) OVER w IS NOT NULL THEN {128 >> j} ELSE 0 END)"
+    for j in range(_EWMA_MEM)
+)
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    SELECT user_id, event_id, {{ts_s}} AS ts_s,
+           (CAST({_EWMA_NUM_SQL} AS DOUBLE)
+            / CAST({_EWMA_DEN_SQL} AS DOUBLE)) / 1000000.0 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """.format(ts_s=sql_ts_str("ts")),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per series, α = 1/2 over
+    an 8-sample memory (≥ 99.6 % of the infinite-tail mass): weights
+    are the exact integers 128 >> j, so numerator/denominator are
+    plain BIGINT folds — exponential smoothing that is engine-bit-
+    identical with no pow/exp anywhere (the no-transcendentals rule;
+    the WMA identity can't express geometric weights, so this is the
+    one place a bounded LAG chain is the right tool). All 8 lags
+    share ONE window spec — one exchange + one sort per series,
+    whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num, den = F.lit(0).cast("bigint"), F.lit(0).cast("bigint")
+    for j in range(_EWMA_MEM):
+        lj = F.lag("value", j).over(w)
+        present = lj.isNotNull()
+        num = num + F.when(
+            present,
+            F.lit(128 >> j)
+            * F.round(F.lag("value", j).over(w) * 1000000, 0).cast("bigint"),
+        ).otherwise(F.lit(0))
+        den = den + F.when(present, F.lit(128 >> j)).otherwise(F.lit(0))
+    return ev.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts_s"),
+        ((num.cast("double") / den.cast("double")) / F.lit(1e6)).alias("ewma"),
+    )
