@@ -104,3 +104,61 @@ def test_persist_registry_caps_and_releases(spark):
     assert n >= 1 and len(_cache._PERSISTED) == 0
     # the returned plan still executes after release (recomputes)
     assert pairs.count() == 1
+
+
+def test_ewma_matches_bruteforce_fold(spark):
+    """q_ewma's 8-term integer-weight chain == an explicit per-series
+    python fold over sf0.001 events."""
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in QUERIES["q_ewma"](spark, sf).collect()
+    }
+    rows = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        series.setdefault(r["user_id"], []).append((r["event_id"], r["value"]))
+    def half_round(z):  # ROUND half away from zero, as both engines
+        import math
+        return int(math.copysign(math.floor(abs(z) + 0.5), z))
+    checked = 0
+    for uid, seq in series.items():
+        for t in range(len(seq)):
+            num = den = 0
+            for j in range(8):
+                if t - j < 0:
+                    break
+                num += (128 >> j) * half_round(seq[t - j][1] * 1_000_000)
+                den += 128 >> j
+            expect = (num / den) / 1e6
+            assert got[(uid, seq[t][0])] == expect
+            checked += 1
+    assert checked == len(rows)
+
+
+def test_gini_matches_bruteforce(spark):
+    """q_gini_coefficient == the closed form computed in python ints
+    over sf0.001 orders; bounds sanity 0 <= G < 1."""
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    row = QUERIES["q_gini_coefficient"](spark, sf).collect()[0]
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice").collect()
+    import math
+    per = {}
+    for r in orders:
+        per[r["o_custkey"]] = per.get(r["o_custkey"], 0) + int(
+            math.copysign(math.floor(abs(r["o_totalprice"] * 100) + 0.5), 1)
+        )
+    xs = sorted(per.items(), key=lambda kv: (kv[1], kv[0]))
+    n, tot = len(xs), sum(v for _, v in xs)
+    num = sum((2 * (i + 1) - n - 1) * v for i, (_, v) in enumerate(xs))
+    assert row["n_customers"] == n
+    assert row["gini"] == (num / tot) / n
+    assert 0.0 <= row["gini"] < 1.0
