@@ -169,6 +169,45 @@ def polygon_grid_index(
     )
 
 
+def _parsed_rings(polygons: DataFrame, poly_id_col: str, wkt_col: str) -> DataFrame:
+    """Shared malformed-input-tolerant WKT outer-ring parse for the
+    shoelace operators: string-tuple split first, a ≥2-vertex filter,
+    try_cast to double, then a drop of any ring containing an
+    unparseable or non-2D vertex. Junk rows are DROPPED, never a
+    query-killing ANSI cast error — at 100 TB one bad row must not
+    fail a 12-hour job (and the SQL twins' per-term unnest likewise
+    yields no rows for the degenerate shapes). The explode(array(...))
+    wrap is the generator barrier so downstream folds don't re-parse
+    the WKT per reference."""
+    from pyspark.sql import functions as F
+
+    ring_txt = F.regexp_extract(F.col(wkt_col), r"\(\(([^)]*)\)", 1)
+    coords_txt = F.transform(
+        F.split(ring_txt, r",\s*"), lambda p: F.split(F.trim(p), r"\s+")
+    )
+    return (
+        polygons.select(
+            poly_id_col, F.explode(F.array(coords_txt)).alias("__ringtxt")
+        )
+        .filter(F.size(F.col("__ringtxt")) >= 2)
+        .select(
+            poly_id_col,
+            F.transform(
+                F.col("__ringtxt"),
+                lambda pt: F.transform(pt, lambda t: t.try_cast("double")),
+            ).alias("__ring"),
+        )
+        .filter(
+            ~F.exists(
+                F.col("__ring"),
+                lambda pt: (F.size(pt) != 2)
+                | pt[0].isNull()
+                | pt[F.least(F.size(pt) - 1, F.lit(1))].isNull(),
+            )
+        )
+    )
+
+
 def centroids(polygons: DataFrame, poly_id_col: str, wkt_col: str) -> DataFrame:
     """(id, centroid_lon, centroid_lat) via shoelace (G3).
 
@@ -177,23 +216,12 @@ def centroids(polygons: DataFrame, poly_id_col: str, wkt_col: str) -> DataFrame:
     aggregate folds over consecutive vertex pairs. Same math,
     term-for-term, as ``functions.geo.polygon_centroid`` (the pandas
     twin used by the driver-side hull helpers); degenerate (zero-area)
-    rings fall back to the vertex mean, also matching. No Python
-    worker in the plan — centroids of a 100 TB polygon table run at
-    scan speed."""
+    rings fall back to the vertex mean, also matching. Malformed /
+    <2-vertex rows drop in ``_parsed_rings``. No Python worker in the
+    plan — centroids of a 100 TB polygon table run at scan speed."""
     from pyspark.sql import functions as F
 
-    ring_txt = F.regexp_extract(F.col(wkt_col), r"\(\(([^)]*)\)", 1)
-    coords_expr = F.transform(
-        F.split(ring_txt, r",\s*"),
-        lambda p: F.transform(
-            F.split(F.trim(p), r"\s+"), lambda t: t.cast("double")
-        ),
-    )
-    # generator barrier: the slices/folds below reference the parsed
-    # ring several times — without it each reference re-parses the WKT
-    parsed = polygons.select(
-        poly_id_col, F.explode(F.array(coords_expr)).alias("__ring")
-    )
+    parsed = _parsed_rings(polygons, poly_id_col, wkt_col)
     ring = F.col("__ring")
     m = F.size(ring)
     a = F.slice(ring, 1, m - 1)  # ring[:-1]
@@ -227,30 +255,11 @@ def polygon_areas(polygons: DataFrame, poly_id_col: str, wkt_col: str) -> DataFr
     terms are fixed-pointed (6 decimals) before the per-ring fold so
     the sum is an exact integer — reassociation-free, hence replayable
     by an order-free SQL twin (see q_polygon_area). Per-row projection
-    only: areas of a 100 TB polygon table run at scan speed."""
+    only: areas of a 100 TB polygon table run at scan speed.
+    Malformed / <2-vertex rows drop in ``_parsed_rings``."""
     from pyspark.sql import functions as F
 
-    ring_txt = F.regexp_extract(F.col(wkt_col), r"\(\(([^)]*)\)", 1)
-    # parse to STRING point tuples first; the double cast runs only on
-    # rings that survive the >=2-vertex filter, so degenerate or
-    # non-WKT rows are DROPPED (matching the SQL twin, whose per-term
-    # unnest yields no rows for them) instead of tripping ANSI casts
-    coords_txt = F.transform(
-        F.split(ring_txt, r",\s*"), lambda p: F.split(F.trim(p), r"\s+")
-    )
-    parsed = (
-        polygons.select(
-            poly_id_col, F.explode(F.array(coords_txt)).alias("__ringtxt")
-        )
-        .filter(F.size(F.col("__ringtxt")) >= 2)
-        .select(
-            poly_id_col,
-            F.transform(
-                F.col("__ringtxt"),
-                lambda pt: F.transform(pt, lambda t: t.cast("double")),
-            ).alias("__ring"),
-        )
-    )
+    parsed = _parsed_rings(polygons, poly_id_col, wkt_col)
     ring = F.col("__ring")
     m = F.size(ring)
     a = F.slice(ring, 1, m - 1)

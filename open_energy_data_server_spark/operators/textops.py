@@ -122,9 +122,15 @@ def chunk_tokens(
     concat_ws) — ZERO shuffle; chunking a 100 TB corpus runs at scan
     speed and the output is already partitioned like its input.
 
-    Returns (id, chunk_id, start_tok, n_tokens, chunk_text)."""
+    Returns (id, chunk_id, start_tok, n_tokens, chunk_text).
+    NULL-text docs yield no chunks (filtered before tokenization —
+    otherwise greatest() would collapse the NULL token array to a
+    single spurious empty chunk, diverging from the SQL twin whose
+    range(len(NULL)) unnests to nothing)."""
     toks = tokens(text_col)
-    d = df.select(F.col(id_col), toks.alias("__t"))
+    d = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__t")
+    )
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(stride)
     )

@@ -335,12 +335,12 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, n = global_rank(
         rev, [F.col("xs").asc(), F.col("o_custkey").asc()], out_col="r"
     )
-    total = ranked.agg(F.sum("xs").cast("bigint")).first()[0]
     num = F.sum((2 * F.col("r") - F.lit(n + 1)) * F.col("xs")).cast("bigint")
+    tot = F.sum("xs").cast("bigint")
     return ranked.agg(
         F.lit(int(n)).cast("bigint").alias("n_customers"),
         (
-            (num.cast("double") / F.lit(int(total)).cast("double"))
+            (num.cast("double") / tot.cast("double"))
             / F.lit(int(n)).cast("double")
         ).alias("gini"),
     )

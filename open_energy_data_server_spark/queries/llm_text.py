@@ -1291,7 +1291,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_char_diversity",
     oracle="""
     WITH ch AS (
-      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]')) AS c
       FROM documents
     ),
     cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
@@ -1321,7 +1321,9 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all("text", F.lit("."), F.lit(0))).alias("c"),
+        # [^\n] on BOTH engines — Java's '.' also excludes \r/ …,
+        # RE2's only \n, so a bare dot diverges on CRLF documents
+        F.explode(F.regexp_extract_all("text", F.lit(r"[^\n]"), F.lit(0))).alias("c"),
     )
     cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
     agg = cnt.groupBy("doc_id").agg(

@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.io import load_table
 from open_energy_data_server_spark.queries import query
-from open_energy_data_server_spark.queries._util import SCALE, sql_ts_str, ts_str
+from open_energy_data_server_spark.queries._util import (
+    SCALE,
+    _scaled,
+    sql_ts_str,
+    ts_str,
+)
 
 
 @query(
@@ -442,7 +447,7 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EWMA_MEM = 8
 _EWMA_NUM_SQL = " + ".join(
     f"(CASE WHEN LAG(value, {j}) OVER w IS NOT NULL THEN "
-    f"{128 >> j} * CAST(ROUND(LAG(value, {j}) OVER w * 1000000, 0) AS BIGINT) "
+    f"{128 >> j} * CAST(ROUND(LAG(value, {j}) OVER w * {SCALE}, 0) AS BIGINT) "
     f"ELSE 0 END)"
     for j in range(_EWMA_MEM)
 )
@@ -457,7 +462,7 @@ _EWMA_DEN_SQL = " + ".join(
     oracle=f"""
     SELECT user_id, event_id, {{ts_s}} AS ts_s,
            (CAST({_EWMA_NUM_SQL} AS DOUBLE)
-            / CAST({_EWMA_DEN_SQL} AS DOUBLE)) / 1000000.0 AS ewma
+            / CAST({_EWMA_DEN_SQL} AS DOUBLE)) / {SCALE}.0 AS ewma
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """.format(ts_s=sql_ts_str("ts")),
@@ -480,13 +485,14 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         present = lj.isNotNull()
         num = num + F.when(
             present,
-            F.lit(128 >> j)
-            * F.round(F.lag("value", j).over(w) * 1000000, 0).cast("bigint"),
+            F.lit(128 >> j) * _scaled(F.lag("value", j).over(w)),
         ).otherwise(F.lit(0))
         den = den + F.when(present, F.lit(128 >> j)).otherwise(F.lit(0))
     return ev.select(
         "user_id",
         "event_id",
         ts_str("ts").alias("ts_s"),
-        ((num.cast("double") / den.cast("double")) / F.lit(1e6)).alias("ewma"),
+        ((num.cast("double") / den.cast("double")) / F.lit(float(SCALE))).alias(
+            "ewma"
+        ),
     )

@@ -146,3 +146,27 @@ def test_polygon_areas_drops_degenerate_rings(spark):
     )
     rows = {r["pid"]: r["area"] for r in polygon_areas(df, "pid", "wkt").collect()}
     assert rows == {1: 100.0}
+
+
+def test_shoelace_parse_survives_malformed_coordinate_text(spark):
+    """Junk WKT with >=2 comma groups (try_cast -> NULL vertices) and
+    non-WKT strings drop from BOTH shoelace operators instead of
+    killing the query with an ANSI cast error."""
+    from open_energy_data_server_spark.operators.spatial import (
+        centroids,
+        polygon_areas,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))"),
+            (2, "POLYGON ((a b, c d))"),  # unparseable coords
+            (3, "not wkt at all"),
+            (4, "POLYGON ((1 2 3, 4 5 6))"),  # 3D vertices -> dropped
+        ],
+        "pid int, wkt string",
+    )
+    areas = {r["pid"]: r["area"] for r in polygon_areas(df, "pid", "wkt").collect()}
+    assert areas == {1: 8.0}
+    cents = {r["pid"]: (r["centroid_lon"], r["centroid_lat"]) for r in centroids(df, "pid", "wkt").collect()}
+    assert set(cents) == {1} and cents[1] == (2.0, 1.0)

@@ -576,3 +576,13 @@ def test_fold_accents_folds_everything_in_map_and_is_idempotent(spark):
     assert once == twice  # idempotent: replacements introduce no accents
     assert not any(a in once for a, _ in FOLD_MAP)
     assert "Muessige Strasse deja" in once
+
+
+def test_chunk_tokens_null_text_yields_no_chunks(spark):
+    from open_energy_data_server_spark.operators.textops import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id bigint, text string"
+    )
+    out = chunk_tokens(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in out} == {1}
