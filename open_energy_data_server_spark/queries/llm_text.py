@@ -6,6 +6,15 @@ identical md5-based arithmetic.
 The shared CTE fragments below mirror
 ``operators.textops`` / ``operators.dedup_text`` expression by
 expression; keep them in sync when editing either side.
+
+Known latent divergence (documented, not reachable in the driver's
+corpora): Java's ``\\s`` matches vertical tab (\\x0B) but DuckDB's
+``string_split_regex`` (RE2) does not, so a document containing \\x0B
+would tokenize differently across engines. The generated corpora are
+\\x0B-free; a production port should normalize exotic whitespace
+(``regexp_replace(text, '[\\x0B\\f]', ' ')``) ahead of tokenization on
+both sides. (The analogous '.'-vs-[^\\n] divergence on \\r was fixed
+in q_char_diversity.)
 """
 
 from __future__ import annotations
