@@ -37,6 +37,9 @@ _DRIVER_PRIORITY = [
     "q_char_diversity",
     "q_ewma",
     "q_gini_coefficient",
+    "q_rfm_segmentation",
+    "q_shipping_lag",
+    "q_basket_pairs",
     "q_heatmap_dow_hour",
     "q_week_over_week",
     "q_runs_detection",

@@ -993,3 +993,136 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("peak"),
         F.max(F.col("run_max") - F.col("value")).alias("max_drawdown"),
     )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             {{rev}} AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(recency_days AS INTEGER) AS recency_days,
+           frequency, monetary,
+           (CASE WHEN recency_days <= 365 THEN 3
+                 WHEN recency_days <= 1095 THEN 2 ELSE 1 END) * 100
+           + (CASE WHEN frequency >= 12 THEN 3
+                   WHEN frequency >= 6 THEN 2 ELSE 1 END) * 10
+           + (CASE WHEN monetary >= 1200000.0 THEN 3
+                   WHEN monetary >= 500000.0 THEN 2 ELSE 1 END) AS rfm
+    FROM base
+    """.format(rev=sql_dsum("o_totalprice")),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order,
+    vs the corpus max date), frequency, monetary, each scored 1-3 and
+    packed as the classic 111-333 segment code. The reference point
+    (global max date) is collected at plan-build time and embedded
+    (prepared-statement pattern); everything else is ONE hash agg per
+    customer plus codegen'd CASEs. Integer day-diffs and fixed-point
+    money keep it engine-exact; threshold compares on exact values."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate")).first()[0]
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(ref), F.max("o_orderdate")).cast("int").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    r = (
+        F.when(F.col("recency_days") <= 365, 3)
+        .when(F.col("recency_days") <= 1095, 2)
+        .otherwise(1)
+    )
+    f_ = F.when(F.col("frequency") >= 12, 3).when(F.col("frequency") >= 6, 2).otherwise(1)
+    m = (
+        F.when(F.col("monetary") >= 1200000.0, 3)
+        .when(F.col("monetary") >= 500000.0, 2)
+        .otherwise(1)
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (r * 100 + f_ * 10 + m).alias("rfm"),
+    )
+
+
+@query(
+    "q_shipping_lag",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_lag_days,
+           CAST(CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS DOUBLE)
+             / COUNT(*) AS avg_lag_days,
+           CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS INTEGER) AS max_lag_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per priority class — the fulfilment
+    SLA panel. Integer day-diffs sum exactly (no fixed point needed);
+    the mean is one deterministic division. Fact⋈fact equi-join on
+    the order key (both sides hash-partition on it — the bucketed
+    layout in sinks/bucketed.py makes this shuffle-free at scale),
+    then a 5-row hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(lag).cast("bigint").alias("total_lag_days"),
+        (F.sum(lag).cast("bigint").cast("double") / F.count(F.lit(1))).alias(
+            "avg_lag_days"
+        ),
+        F.max(lag).cast("int").alias("max_lag_days"),
+    )
+
+
+@query(
+    "q_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 25 part pairs most often
+    ordered together — the affinity-analysis primitive. Pair
+    generation is a self-join on the ORDER key, so fanout per order is
+    C(items,2) with items bounded by basket size (≤7 in TPC-H-shaped
+    data) — never |parts|²; the blocked-pair-generation argument every
+    dedup operator here uses. Top-k is sort+limit
+    (TakeOrderedAndProject), deterministic via the total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(25)
+    )
