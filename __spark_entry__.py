@@ -40,6 +40,8 @@ _DRIVER_PRIORITY = [
     "q_rfm_segmentation",
     "q_shipping_lag",
     "q_basket_pairs",
+    "q_yoy_seasonality",
+    "q_price_volatility",
     "q_heatmap_dow_hour",
     "q_week_over_week",
     "q_runs_detection",

@@ -22,6 +22,7 @@ from open_energy_data_server_spark.queries._util import (
     _scaled,
     dsum,
     sql_dsum,
+    ts_str,
 )
 
 # oracle twin of operators.similarity.fixed_round (sign·floor term)
@@ -1125,4 +1126,92 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(25)
+    )
+
+
+@query(
+    "q_yoy_seasonality",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mon,
+             {{rev}} AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mon, revenue,
+           revenue / LAG(revenue) OVER (PARTITION BY mon ORDER BY yr)
+             AS yoy_ratio
+    FROM m
+    """.format(rev=sql_dsum("o_totalprice")),
+)
+def q_yoy_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year seasonality: monthly revenue vs the SAME month
+    one year earlier (LAG partitioned by month-of-year) — the
+    seasonal-comparison panel that week-over-week can't express.
+    One hash agg to |years|×12 rows; the lag runs over that bounded
+    frame, partitioned by calendar month. Ratio of two deterministic
+    fixed-point sums; NULL for each month's first year on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.partitionBy("mon").orderBy("yr")
+    return m.select(
+        "yr", "mon", "revenue", (F.col("revenue") / F.lag("revenue").over(w)).alias("yoy_ratio")
+    )
+
+
+@query(
+    "q_price_volatility",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, {{ts_s}} AS ts_s,
+             CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) OVER w
+               AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND((value * value) * {SCALE}, 0) AS BIGINT)) OVER w
+               AS BIGINT) AS s2,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts_s,
+           (CAST(s2 AS DOUBLE) / {SCALE}.0) / CAST(n AS DOUBLE)
+             - ((CAST(s1 AS DOUBLE) / {SCALE}.0) / CAST(n AS DOUBLE))
+               * ((CAST(s1 AS DOUBLE) / {SCALE}.0) / CAST(n AS DOUBLE))
+             AS var_24
+    FROM r
+    """.format(ts_s="strftime(ts, '%Y-%m-%d %H:%M:%S')", SCALE=SCALE),
+)
+def q_price_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-sample price volatility per series, stated as the
+    VARIANCE E[x²]−E[x]² (square-free, no sqrt — the
+    no-transcendentals rule; dashboards chart σ² or annualize
+    downstream). Two fixed-point rolling sums + a count in ONE window
+    spec — same single-exchange single-sort shape as the WMA, exact
+    BIGINT accumulators, identical IEEE division/multiply sequence in
+    the twin."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    s1 = F.sum(_scaled("value")).over(w).cast("bigint")
+    s2 = F.sum(_scaled(F.col("value") * F.col("value"))).over(w).cast("bigint")
+    n = F.count(F.lit(1)).over(w).cast("bigint")
+    r = ev.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts_s"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        n.alias("n"),
+    )
+    mean = (F.col("s1").cast("double") / F.lit(float(SCALE))) / F.col("n").cast("double")
+    ex2 = (F.col("s2").cast("double") / F.lit(float(SCALE))) / F.col("n").cast("double")
+    return r.select(
+        "user_id", "event_id", "ts_s", (ex2 - mean * mean).alias("var_24")
     )
