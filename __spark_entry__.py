@@ -19,12 +19,15 @@ FLAGSHIP = "q1_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's per-round correctness harness checks queries in
-# registration order (first 50). Round-5 rotation: the 7 brand-new
-# round-5 queries first (never driver-checked), then the names whose
-# latest driver row is from round 3 or earlier (round 4 sampled the
-# other half; every pre-existing name has been hash-green at least
-# once). The 7 stale names pushed past slot 50 rotate to the front
-# next round.
+# registration order (first 50). Round-5 rotation: ALL 55
+# never-driver-checked names lead (the 26 from the earlier round-5
+# session, then this session's 29, in authoring order); the 50-slot
+# window covers the first 50, so the LAST FIVE of the leading block —
+# q_rfm_segmentation, q_shipping_lag, q_basket_pairs,
+# q_yoy_seasonality, q_price_volatility (the newest, each verified
+# locally against its oracle at sf0.01 AND sf0.1 under a driver-like
+# session) — wait for round 6; rotate them to the front then. Every
+# pre-existing name has a hash-green driver row from rounds 1-4.
 _DRIVER_PRIORITY = [
     # round-5 additions (never driver-checked) first
     "q_market_hhi",
@@ -37,11 +40,6 @@ _DRIVER_PRIORITY = [
     "q_char_diversity",
     "q_ewma",
     "q_gini_coefficient",
-    "q_rfm_segmentation",
-    "q_shipping_lag",
-    "q_basket_pairs",
-    "q_yoy_seasonality",
-    "q_price_volatility",
     "q_heatmap_dow_hour",
     "q_week_over_week",
     "q_runs_detection",
@@ -82,6 +80,12 @@ _DRIVER_PRIORITY = [
     "q_anomaly_outliers",
     "q_pagerank",
     "q_bigram_lm_score",
+    # the five newest land past slot 50 — round-6 rotation fodder
+    "q_rfm_segmentation",
+    "q_shipping_lag",
+    "q_basket_pairs",
+    "q_yoy_seasonality",
+    "q_price_volatility",
     # then the names whose latest driver row predates round 4
     "q_topk_per_group",
     "q_time_bucket_hourly",

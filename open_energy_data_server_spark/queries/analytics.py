@@ -1183,7 +1183,7 @@ def q_yoy_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
                * ((CAST(s1 AS DOUBLE) / {SCALE}.0) / CAST(n AS DOUBLE))
              AS var_24
     FROM r
-    """.format(ts_s="strftime(ts, '%Y-%m-%d %H:%M:%S')", SCALE=SCALE),
+    """.format(ts_s="strftime(ts, '%Y-%m-%d %H:%M:%S')"),
 )
 def q_price_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 24-sample price volatility per series, stated as the
