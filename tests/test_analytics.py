@@ -162,3 +162,71 @@ def test_gini_matches_bruteforce(spark):
     assert row["n_customers"] == n
     assert row["gini"] == (num / tot) / n
     assert 0.0 <= row["gini"] < 1.0
+
+
+def test_runs_detection_matches_bruteforce(spark):
+    """q_runs_detection episodes == a per-series python scan over
+    sf0.001 events (same threshold/min-length)."""
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["run_start"]): (r["run_end"], r["n_samples"], r["peak"])
+        for r in QUERIES["q_runs_detection"](spark, sf).collect()
+    }
+    rows = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        series.setdefault(r["user_id"], []).append(r)
+    expect = {}
+    for uid, seq in series.items():
+        run = []
+        for r in seq + [None]:
+            if r is not None and r["value"] > 100.0:
+                run.append(r)
+                continue
+            if len(run) >= 2:
+                key = (uid, run[0]["ts"].strftime("%Y-%m-%d %H:%M:%S"))
+                expect[key] = (
+                    run[-1]["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                    len(run),
+                    max(x["value"] for x in run),
+                )
+            run = []
+    assert got == expect and len(got) > 0
+
+
+def test_vocab_overlap_matches_bruteforce(spark):
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_common"], r["overlap_coef"], r["jaccard"])
+        for r in QUERIES["q_vocab_overlap"](spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents").select("source", "text").collect()
+    import re
+    vocab = {}
+    for r in docs:
+        vocab.setdefault(r["source"], set()).update(
+            re.split(r"\s+", r["text"].strip().lower())
+        )
+    expect = {}
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                continue
+            expect[(a, b) if a < b else (b, a)] = (
+                inter,
+                inter / min(len(vocab[a]), len(vocab[b])),
+                inter / len(vocab[a] | vocab[b]),
+            )
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == expect[k], k
