@@ -86,6 +86,7 @@ _DRIVER_PRIORITY = [
     "q_basket_pairs",
     "q_yoy_seasonality",
     "q_price_volatility",
+    "q_concurrency_sweep",
     # then the names whose latest driver row predates round 4
     "q_topk_per_group",
     "q_time_bucket_hourly",

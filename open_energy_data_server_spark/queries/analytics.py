@@ -1215,3 +1215,91 @@ def q_price_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "user_id", "event_id", "ts_s", (ex2 - mean * mean).alias("var_24")
     )
+
+
+@query(
+    "q_concurrency_sweep",
+    oracle="""
+    WITH iv AS (
+      SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+    ),
+    d AS (
+      SELECT s, e,
+             unnest(generate_series(date_trunc('day', s), date_trunc('day', e),
+                                    INTERVAL 1 DAY)) AS day
+      FROM iv
+    ),
+    deltas AS (
+      SELECT day, GREATEST(s, day) AS t, 1 AS delta FROM d
+      UNION ALL
+      SELECT day, LEAST(e, day + INTERVAL 1 DAY) AS t, -1 AS delta FROM d
+    ),
+    run AS (
+      SELECT day, t,
+             CAST(SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM deltas
+    ),
+    mx AS (
+      SELECT day, t, c, CAST(MAX(c) OVER (PARTITION BY day) AS BIGINT) AS m
+      FROM run
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, m AS max_concurrency,
+           strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS peak_time
+    FROM mx WHERE c = m GROUP BY day, m
+    """,
+)
+def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval sweep-line: peak simultaneous activity per day (each
+    event held open 30 min) and the first instant it is reached — the
+    'max concurrent sessions' capacity metric no plain aggregate can
+    express. Classic +1/−1 delta stream with a running sum; ends sort
+    before starts at the same instant (ORDER BY t, delta) so touching
+    intervals never double-count.
+
+    Scale shape: intervals are CLIPPED to calendar days (an interval
+    spanning midnight contributes clipped deltas to both days), so
+    the running-sum window partitions on the day key — parallelism
+    grows with the time span and NO global single-partition sweep
+    exists anywhere. 2·|events| skinny delta rows, one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("e"),
+    )
+    d = iv.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "s"),
+                F.date_trunc("day", "e"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    starts = d.select(
+        "day", F.greatest("s", "day").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = d.select(
+        "day",
+        F.least("e", F.col("day") + F.expr("interval 1 day")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionAll(ends)
+    wrun = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.select(
+        "day", "t", F.sum("delta").over(wrun).cast("bigint").alias("c")
+    )
+    mx = run.withColumn(
+        "m", F.max("c").over(Window.partitionBy("day")).cast("bigint")
+    )
+    return (
+        mx.filter(F.col("c") == F.col("m"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"), F.col("m").alias("max_concurrency"))
+        .agg(ts_str(F.min("t")).alias("peak_time"))
+    )
