@@ -87,6 +87,8 @@ _DRIVER_PRIORITY = [
     "q_yoy_seasonality",
     "q_price_volatility",
     "q_concurrency_sweep",
+    "q_missing_value_profile",
+    "q_active_users",
     # then the names whose latest driver row predates round 4
     "q_topk_per_group",
     "q_time_bucket_hourly",

@@ -1303,3 +1303,136 @@ def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"), F.col("m").alias("max_concurrency"))
         .agg(ts_str(F.min("t")).alias("peak_time"))
     )
+
+
+@query(
+    "q_missing_value_profile",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v1,
+             event_type, props
+      FROM events
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(v1) AS nn_v1, COUNT(DISTINCT v1) AS nd_v1,
+             COUNT(event_type) AS nn_et, COUNT(DISTINCT event_type) AS nd_et,
+             COUNT(props) AS nn_pr, COUNT(DISTINCT props) AS nd_pr
+      FROM base
+    )
+    SELECT 'v1' AS column_name, n_rows, n_rows - nn_v1 AS n_null,
+           nd_v1 AS n_distinct,
+           CAST(n_rows - nn_v1 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS null_frac
+    FROM agg
+    UNION ALL
+    SELECT 'event_type', n_rows, n_rows - nn_et, nd_et,
+           CAST(n_rows - nn_et AS DOUBLE) / CAST(n_rows AS DOUBLE) FROM agg
+    UNION ALL
+    SELECT 'props', n_rows, n_rows - nn_pr, nd_pr,
+           CAST(n_rows - nn_pr AS DOUBLE) / CAST(n_rows AS DOUBLE) FROM agg
+    """,
+)
+def q_missing_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality report a crawler-fed lake
+    runs after every load): per-column row/null/distinct counts and
+    null fraction, in ONE pass — Spark plans the multi-distinct agg
+    via Expand, so three columns profile in a single scan + one
+    grouped exchange; the unpivot to per-column rows happens on the
+    1-row aggregate (bounded). Nullable column synthesized
+    deterministically (the q_null_handling convention — testdata has
+    no physical nulls)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v1"),
+        "event_type",
+        "props",
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v1").alias("nn_v1"),
+        F.count_distinct("v1").alias("nd_v1"),
+        F.count("event_type").alias("nn_et"),
+        F.count_distinct("event_type").alias("nd_et"),
+        F.count("props").alias("nn_pr"),
+        F.count_distinct("props").alias("nd_pr"),
+    )
+    rows = []
+    for name, nn, nd in (
+        ("v1", "nn_v1", "nd_v1"),
+        ("event_type", "nn_et", "nd_et"),
+        ("props", "nn_pr", "nd_pr"),
+    ):
+        rows.append(
+            agg.select(
+                F.lit(name).alias("column_name"),
+                F.col("n_rows"),
+                (F.col("n_rows") - F.col(nn)).alias("n_null"),
+                F.col(nd).alias("n_distinct"),
+                (
+                    (F.col("n_rows") - F.col(nn)).cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("null_frac"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@query(
+    "q_active_users",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM pairs GROUP BY day),
+    served AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS day, user_id
+      FROM pairs
+    ),
+    wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM served GROUP BY day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    panel. Distinct-over-a-sliding-window isn't window-expressible,
+    so each (day, user) pair is EXPLODED to the ≤7 future days it
+    serves (bounded fanout — the calendar-scaffold trick in reverse)
+    and WAU becomes a plain distinct-count agg; the dau⋈wau join runs
+    on the bounded |days| frames. Trailing days beyond the corpus drop
+    via the inner join. All integer counts + one deterministic
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    served = pairs.select(
+        F.explode(
+            F.sequence(
+                "day",
+                F.col("day") + F.expr("interval 6 days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = served.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
