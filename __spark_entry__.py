@@ -89,6 +89,8 @@ _DRIVER_PRIORITY = [
     "q_concurrency_sweep",
     "q_missing_value_profile",
     "q_active_users",
+    "q_minmax_scale",
+    "q_top_movers",
     # then the names whose latest driver row predates round 4
     "q_topk_per_group",
     "q_time_bucket_hourly",

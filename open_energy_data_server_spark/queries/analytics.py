@@ -1436,3 +1436,93 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_minmax_scale",
+    oracle="""
+    WITH st AS (
+      SELECT event_id, user_id, value,
+             MIN(value) OVER (PARTITION BY user_id) AS mn,
+             MAX(value) OVER (PARTITION BY user_id) AS mx
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN mx > mn THEN (value - mn) / (mx - mn)
+                ELSE CAST('0.5' AS DOUBLE) END AS scaled
+    FROM st
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series min-max feature scaling to [0, 1] — the training-
+    prep normalization that (unlike z-score) needs NO sqrt, so it is
+    engine-exact as plain IEEE subtract/divide on window extrema
+    (order-free min/max). Constant series pin to 0.5 on both engines
+    instead of dividing by zero. One exchange on the series key; both
+    extrema share a single unbounded window spec."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mn, mx = F.min("value").over(w), F.max("value").over(w)
+    scaled = F.when(
+        mx > mn, (F.col("value") - mn) / (mx - mn)
+    ).otherwise(F.lit(0.5))
+    return ev.select("event_id", "user_id", scaled.alias("scaled"))
+
+
+@query(
+    "q_top_movers",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_partkey,
+             {{cur}} AS rev_cur,
+             {{prev}} AS rev_prev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-08-01 00:00:00'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, rev_cur, rev_prev, rev_cur - rev_prev AS change
+    FROM m
+    ORDER BY ABS(rev_cur - rev_prev) DESC, l_partkey
+    LIMIT 10
+    """.format(
+        cur=sql_dsum(
+            "CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01 00:00:00' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+        ),
+        prev=sql_dsum(
+            "CASE WHEN l_shipdate < TIMESTAMP '1997-07-01 00:00:00' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+        ),
+    ),
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top movers: the 10 parts with the largest month-over-month
+    revenue swing (July vs June 1997) — the 'biggest changes' panel.
+    Both months aggregate in ONE conditional-sum pass over a
+    shipdate-pruned scan (the filter reaches the parquet reader); the
+    global top-10 is sort+limit (TakeOrderedAndProject), total-ordered
+    by (|change| DESC, partkey). Fixed-point sums; the change is one
+    deterministic subtraction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    mid = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-08-01 00:00:00").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cur = F.when(F.col("l_shipdate") >= mid, rev).otherwise(F.lit(0.0))
+    prev = F.when(F.col("l_shipdate") < mid, rev).otherwise(F.lit(0.0))
+    m = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_partkey")
+        .agg(dsum(cur).alias("rev_cur"), dsum(prev).alias("rev_prev"))
+    )
+    return (
+        m.select(
+            "l_partkey",
+            "rev_cur",
+            "rev_prev",
+            (F.col("rev_cur") - F.col("rev_prev")).alias("change"),
+        )
+        .orderBy(F.abs(F.col("rev_cur") - F.col("rev_prev")).desc(), "l_partkey")
+        .limit(10)
+    )
