@@ -19,15 +19,16 @@ FLAGSHIP = "q1_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's per-round correctness harness checks queries in
-# registration order (first 50). Round-5 rotation: ALL 55
-# never-driver-checked names lead (the 26 from the earlier round-5
-# session, then this session's 29, in authoring order); the 50-slot
-# window covers the first 50, so the LAST FIVE of the leading block —
-# q_rfm_segmentation, q_shipping_lag, q_basket_pairs,
-# q_yoy_seasonality, q_price_volatility (the newest, each verified
-# locally against its oracle at sf0.01 AND sf0.1 under a driver-like
-# session) — wait for round 6; rotate them to the front then. Every
-# pre-existing name has a hash-green driver row from rounds 1-4.
+# registration order (first 50). Round-5 rotation: ALL 60
+# never-driver-checked names lead, oldest first; the 50-slot window
+# covers the first 50, so EVERYTHING past slot 50 in the leading
+# block (currently ten: q_rfm_segmentation .. q_top_movers — each
+# verified locally against its oracle at sf0.01 AND sf0.1 under a
+# driver-like session) waits for round 6. Round-6 rotation: derive
+# the still-unchecked set from the union of CORRECTNESS_r*.json and
+# move ALL of it to the front — do not trust this comment's count.
+# Every pre-existing name has a hash-green driver row from rounds
+# 1-4.
 _DRIVER_PRIORITY = [
     # round-5 additions (never driver-checked) first
     "q_market_hhi",
@@ -80,7 +81,7 @@ _DRIVER_PRIORITY = [
     "q_anomaly_outliers",
     "q_pagerank",
     "q_bigram_lm_score",
-    # the five newest land past slot 50 — round-6 rotation fodder
+    # the ten newest land past slot 50 — round-6 rotation fodder
     "q_rfm_segmentation",
     "q_shipping_lag",
     "q_basket_pairs",

@@ -1261,7 +1261,8 @@ def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     spanning midnight contributes clipped deltas to both days), so
     the running-sum window partitions on the day key — parallelism
     grows with the time span and NO global single-partition sweep
-    exists anywhere. 2·|events| skinny delta rows, one exchange."""
+    exists anywhere. 2·|events| skinny delta rows from ONE scan
+    (struct-array explode), day-keyed exchanges only."""
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         F.col("ts").alias("s"),
@@ -1278,15 +1279,26 @@ def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("day"),
     )
-    starts = d.select(
-        "day", F.greatest("s", "day").alias("t"), F.lit(1).alias("delta")
-    )
-    ends = d.select(
+    # BOTH deltas from one pass: explode a 2-element struct array per
+    # clipped interval (a unionAll of two selects would re-run the
+    # scan + day-explode once per branch — the no-CTE-materialization
+    # hazard; measured 2 scans -> 1)
+    deltas = d.select(
         "day",
-        F.least("e", F.col("day") + F.expr("interval 1 day")).alias("t"),
-        F.lit(-1).alias("delta"),
-    )
-    deltas = starts.unionAll(ends)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.greatest("s", "day").alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.least("e", F.col("day") + F.expr("interval 1 day")).alias(
+                        "t"
+                    ),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("sd"),
+    ).select("day", F.col("sd.t").alias("t"), F.col("sd.delta").alias("delta"))
     wrun = (
         Window.partitionBy("day")
         .orderBy("t", "delta")
@@ -1358,28 +1370,20 @@ def q_missing_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("props").alias("nn_pr"),
         F.count_distinct("props").alias("nd_pr"),
     )
-    rows = []
-    for name, nn, nd in (
-        ("v1", "nn_v1", "nd_v1"),
-        ("event_type", "nn_et", "nd_et"),
-        ("props", "nn_pr", "nd_pr"),
-    ):
-        rows.append(
-            agg.select(
-                F.lit(name).alias("column_name"),
-                F.col("n_rows"),
-                (F.col("n_rows") - F.col(nn)).alias("n_null"),
-                F.col(nd).alias("n_distinct"),
-                (
-                    (F.col("n_rows") - F.col(nn)).cast("double")
-                    / F.col("n_rows").cast("double")
-                ).alias("null_frac"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    # unpivot the SINGLE aggregated row with stack() — a per-column
+    # unionAll would re-run the scan and the Expand multi-distinct agg
+    # once per branch (measured 3 scans -> 1)
+    out = agg.selectExpr(
+        """stack(3,
+             'v1',         n_rows, n_rows - nn_v1, nd_v1,
+             'event_type', n_rows, n_rows - nn_et, nd_et,
+             'props',      n_rows, n_rows - nn_pr, nd_pr
+           ) AS (column_name, n_rows, n_null, n_distinct)"""
+    )
+    return out.withColumn(
+        "null_frac",
+        F.col("n_null").cast("double") / F.col("n_rows").cast("double"),
+    )
 
 
 @query(
@@ -1405,36 +1409,42 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel. Distinct-over-a-sliding-window isn't window-expressible,
     so each (day, user) pair is EXPLODED to the ≤7 future days it
     serves (bounded fanout — the calendar-scaffold trick in reverse)
-    and WAU becomes a plain distinct-count agg; the dau⋈wau join runs
-    on the bounded |days| frames. Trailing days beyond the corpus drop
-    via the inner join. All integer counts + one deterministic
-    division."""
+    and ONE distinct-count aggregation yields both metrics (dau is
+    the off=0 slice). Single scan, single (day, user) distinct;
+    trailing days beyond the corpus drop via the dau>0 filter
+    (matching the oracle's inner join). All integer counts + one
+    deterministic division."""
     ev = load_table(spark, sf_dir, "events")
     pairs = ev.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
-    dau = pairs.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    # ONE aggregation: explode each pair to its 7 served offsets and
+    # count dau as the off=0 slice of the same distinct agg — the
+    # dau⋈wau twin-branch form re-ran the scan + distinct exchange
+    # per branch (measured 2 scans -> 1). dau=0 days (beyond the
+    # corpus tail) drop, matching the oracle's inner join.
     served = pairs.select(
-        F.explode(
-            F.sequence(
-                "day",
-                F.col("day") + F.expr("interval 6 days"),
-                F.expr("interval 1 day"),
-            )
-        ).alias("day"),
+        "day",
         "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select(
+        (F.col("day") + F.expr("make_dt_interval(off)")).alias("day"),
+        "user_id",
+        "off",
     )
-    wau = served.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
-    return (
-        dau.join(wau, "day")
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "dau",
-            "wau",
-            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
-                "stickiness"
-            ),
-        )
+    g = served.groupBy("day").agg(
+        F.count_distinct(
+            F.when(F.col("off") == 0, F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct("user_id").alias("wau"),
+    )
+    return g.filter(F.col("dau") > 0).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
     )
 
 
@@ -1471,11 +1481,11 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_top_movers",
-    oracle=f"""
+    oracle="""
     WITH m AS (
       SELECT l_partkey,
-             {{cur}} AS rev_cur,
-             {{prev}} AS rev_prev
+             {cur} AS rev_cur,
+             {prev} AS rev_prev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-08-01 00:00:00'

@@ -171,17 +171,17 @@ def test_runs_detection_matches_bruteforce(spark):
     from open_energy_data_server_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    got = {
-        (r["user_id"], r["run_start"]): (r["run_end"], r["n_samples"], r["peak"])
+    got = sorted(
+        (r["user_id"], r["run_start"], r["run_end"], r["n_samples"], r["peak"])
         for r in QUERIES["q_runs_detection"](spark, sf).collect()
-    }
+    )
     rows = load_table(spark, sf, "events").select(
         "user_id", "ts", "event_id", "value"
     ).collect()
     series = {}
     for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
         series.setdefault(r["user_id"], []).append(r)
-    expect = {}
+    expect = []
     for uid, seq in series.items():
         run = []
         for r in seq + [None]:
@@ -189,14 +189,17 @@ def test_runs_detection_matches_bruteforce(spark):
                 run.append(r)
                 continue
             if len(run) >= 2:
-                key = (uid, run[0]["ts"].strftime("%Y-%m-%d %H:%M:%S"))
-                expect[key] = (
-                    run[-1]["ts"].strftime("%Y-%m-%d %H:%M:%S"),
-                    len(run),
-                    max(x["value"] for x in run),
+                expect.append(
+                    (
+                        uid,
+                        run[0]["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                        run[-1]["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                        len(run),
+                        max(x["value"] for x in run),
+                    )
                 )
             run = []
-    assert got == expect and len(got) > 0
+    assert got == sorted(expect) and len(got) > 0
 
 
 def test_vocab_overlap_matches_bruteforce(spark):
@@ -212,8 +215,10 @@ def test_vocab_overlap_matches_bruteforce(spark):
     import re
     vocab = {}
     for r in docs:
+        # ASCII whitespace only — Java/RE2 \s is not Unicode-aware,
+        # unlike Python's
         vocab.setdefault(r["source"], set()).update(
-            re.split(r"\s+", r["text"].strip().lower())
+            re.split(r"[ \t\n\x0b\f\r]+", r["text"].strip().lower())
         )
     expect = {}
     srcs = sorted(vocab)
@@ -222,7 +227,7 @@ def test_vocab_overlap_matches_bruteforce(spark):
             inter = len(vocab[a] & vocab[b])
             if inter == 0:
                 continue
-            expect[(a, b) if a < b else (b, a)] = (
+            expect[(a, b)] = (  # srcs sorted => a < b always
                 inter,
                 inter / min(len(vocab[a]), len(vocab[b])),
                 inter / len(vocab[a] | vocab[b]),
