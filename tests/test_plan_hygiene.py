@@ -91,3 +91,20 @@ def test_lineitem_scans_prune_columns(spark):
             if ncols >= 16:
                 wide.append((name, ncols))
     assert not wide, f"full-width lineitem scans: {wide}"
+
+
+def test_single_scan_for_rewritten_shared_subtrees(spark):
+    """The three round-5 queries whose first drafts re-ran a shared
+    subtree per unionAll/join branch must stay single-scan (struct-
+    array explode / stack-on-1-row / conditional-agg-slice idioms)."""
+    from open_energy_data_server_spark.queries import QUERIES
+
+    for name in (
+        "q_concurrency_sweep",
+        "q_missing_value_profile",
+        "q_active_users",
+    ):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("Scan parquet")
+        assert n_scans == 1, f"{name}: {n_scans} parquet scans (want 1)"
