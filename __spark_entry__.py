@@ -19,69 +19,17 @@ FLAGSHIP = "q1_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's per-round correctness harness checks queries in
-# registration order (first 50). Round-5 rotation: ALL 60
-# never-driver-checked names lead, oldest first; the 50-slot window
-# covers the first 50, so EVERYTHING past slot 50 in the leading
-# block (currently ten: q_rfm_segmentation .. q_top_movers — each
-# verified locally against its oracle at sf0.01 AND sf0.1 under a
-# driver-like session) waits for round 6. Round-6 rotation: derive
-# the still-unchecked set from the union of CORRECTNESS_r*.json and
-# move ALL of it to the front — do not trust this comment's count.
-# Every pre-existing name has a hash-green driver row from rounds
-# 1-4.
+# registration order (first 50). Round-6 rotation: the ten names
+# that have never received a driver correctness row lead (verified
+# locally at sf0.01 + sf0.1 in rounds 4-5, but the union in
+# CORRECTNESS_r01..r05 lacks them), then the 50 names whose latest
+# driver green is oldest (one r2 row, the rest r3) — the first 40
+# of those fill the remaining window slots; the tail plus the r4
+# block rotates in round 7. Round-7 rotation: recompute the oldest
+# set from the union of CORRECTNESS_r*.json — do not trust this
+# comment's counts.
 _DRIVER_PRIORITY = [
-    # round-5 additions (never driver-checked) first
-    "q_market_hhi",
-    "q_abc_classification",
-    "q_weighted_moving_average",
-    "q_degree_days",
-    "q_vwap",
-    "q_max_drawdown",
-    "q_chunk_documents",
-    "q_char_diversity",
-    "q_ewma",
-    "q_gini_coefficient",
-    "q_heatmap_dow_hour",
-    "q_week_over_week",
-    "q_runs_detection",
-    "q_mode_per_group",
-    "q_keyset_pagination",
-    "q_vocab_overlap",
-    "q_polygon_area",
-    "q_grouping_sets",
-    "q_percent_rank",
-    "q_accent_fold",
-    "q_benford_audit",
-    "q_calendar_scaffold",
-    "q_weighted_sample",
-    "q_top_ngrams",
-    "q_pq_encode",
-    "q_pq_adc_topk",
-    "q_scd2_history",
-    "q_shuffle_shards",
-    "q_cms_heavy_hitters",
-    "q_funnel_steps",
-    "q_retention_cohorts",
-    "q_data_gaps",
-    "q_seasonal_naive_error",
-    "q_nearest_station",
-    "q_session_entry_paths",
-    "q_snapshot_diff",
-    "q_table_fingerprint",
-    "q_train_val_test_split",
-    "q_rolling_correlation",
-    "q_peak_offpeak",
-    "q_event_transitions",
-    "q_referential_audit",
-    "q_share_of_total",
-    "q_capacity_factor",
-    "q_ramp_rate",
-    "q_fuzzy_dedup_names",
-    "q_load_duration_curve",
-    "q_anomaly_outliers",
-    "q_pagerank",
-    "q_bigram_lm_score",
-    # the ten newest land past slot 50 — round-6 rotation fodder
+    # never driver-checked (added round 5, past that round's window)
     "q_rfm_segmentation",
     "q_shipping_lag",
     "q_basket_pairs",
@@ -92,7 +40,7 @@ _DRIVER_PRIORITY = [
     "q_active_users",
     "q_minmax_scale",
     "q_top_movers",
-    # then the names whose latest driver row predates round 4
+    # then the names whose latest driver row is oldest (r2/r3)
     "q_topk_per_group",
     "q_time_bucket_hourly",
     "q_multi_measure_by_type",
