@@ -220,15 +220,20 @@ def global_rank(
 ) -> tuple[DataFrame, int]:
     """Exact 1-based global row_number over a TOTAL order without a
     single-partition window: range-repartition on the order keys,
-    row_number within each partition, plus driver-collected partition
-    offsets (bounded metadata — ``parts`` rows, the polygon/watermark
-    precedent). Returns (df + out_col, total_rows).
+    row_number within each partition, plus an IN-PLAN exclusive prefix
+    sum of per-partition counts as the offset table (``parts`` rows —
+    the single-partition window over it is bounded metadata).
+    Returns (df + out_col, total_rows).
 
     The order must be total (include a tiebreak column) — then the
     result is independent of where the sampled range boundaries land.
-    The repartitioned frame is persisted (capped-FIFO registered)
-    because the offset pass and the rank pass must see the same
-    partitioning."""
+    Offsets are derived from the SAME repartitionByRange subtree as
+    the rank pass, inside ONE returned plan, so Spark's exchange
+    reuse executes the range shuffle once and both passes see the
+    same sampled boundaries — correctness never depends on the
+    persist. The persist (capped-FIFO registered) only prevents the
+    upstream pipeline re-running if the exchange is evicted/re-planned;
+    ``total`` (a boundary-independent scalar) is the one eager action."""
     from pyspark import StorageLevel
 
     from open_energy_data_server_spark.operators._cache import register_persisted
@@ -239,16 +244,14 @@ def global_rank(
         "__pid", F.spark_partition_id()
     )
     rp = register_persisted(rp.persist(StorageLevel.MEMORY_AND_DISK))
-    cnts = {
-        r["__pid"]: r["c"]
-        for r in rp.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    total = int(sum(cnts.values()))
-    offs, acc = [], 0
-    for pid in sorted(cnts):
-        offs.append((pid, acc))
-        acc += int(cnts[pid])
-    off_df = spark.createDataFrame(offs, "__pid int, __off bigint")
+    total = rp.count()
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        rp.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__off", F.coalesce(F.sum("__c").over(wo), F.lit(0)).cast("bigint"))
+        .drop("__c")
+    )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     ranked = (
         rp.join(F.broadcast(off_df), "__pid")
@@ -268,15 +271,20 @@ def global_cumsum(
     """Exact inclusive prefix sum of an integral column over a TOTAL
     order without a single-partition window — the ``global_rank``
     machinery generalized from counts to values: range-repartition on
-    the order keys, window-sum within each partition, plus
-    driver-collected per-partition subtotals as offsets (bounded
-    metadata — ``parts`` rows). Returns (df + out_col, grand_total).
+    the order keys, window-sum within each partition, plus an IN-PLAN
+    exclusive prefix sum of per-partition subtotals as the offset
+    table (``parts`` rows). Returns (df + out_col, grand_total).
 
     ``val_col`` must be integral (scaled fixed-point) so the partial
     sums are exact and reassociation-free; a double here would make
     the result depend on where the range boundaries land. The order
-    must be total (include a tiebreak column). Backbone for
-    Pareto/ABC cumulative-share classification at corpus scale."""
+    must be total (include a tiebreak column). Offsets derive from
+    the SAME range exchange as the value pass inside one plan
+    (exchange reuse → one boundary sample), so eviction of the
+    persisted frame costs only recompute, never correctness; the
+    grand total (boundary-independent) is the one eager action.
+    Backbone for Pareto/ABC cumulative-share classification at
+    corpus scale."""
     from pyspark import StorageLevel
 
     from open_energy_data_server_spark.operators._cache import register_persisted
@@ -289,16 +297,15 @@ def global_cumsum(
     rp = register_persisted(rp.persist(StorageLevel.MEMORY_AND_DISK))
     # SUM over an all-NULL partition is NULL — treat as 0, matching the
     # window sum's ignore-NULLs contribution
-    sums = {
-        r["__pid"]: int(r["s"]) if r["s"] is not None else 0
-        for r in rp.groupBy("__pid").agg(F.sum(val_col).alias("s")).collect()
-    }
-    total = sum(sums.values())
-    offs, acc = [], 0
-    for pid in sorted(sums):
-        offs.append((pid, acc))
-        acc += sums[pid]
-    off_df = spark.createDataFrame(offs, "__pid int, __off bigint")
+    row = rp.agg(F.sum(val_col).alias("s")).collect()[0]
+    total = int(row["s"]) if row["s"] is not None else 0
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        rp.groupBy("__pid")
+        .agg(F.coalesce(F.sum(val_col), F.lit(0)).alias("__c"))
+        .withColumn("__off", F.coalesce(F.sum("__c").over(wo), F.lit(0)).cast("bigint"))
+        .drop("__c")
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)

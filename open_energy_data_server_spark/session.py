@@ -80,7 +80,15 @@ def register_engine_functions(spark: SparkSession) -> None:
     refit.json:111, entsoe.json:147): floor the timestamp to a
     fixed-width bucket. Pure built-in expression — stays inside
     whole-stage codegen, no UDF.
+
+    Idempotent per session: the registration is pinned once and a
+    marker attribute short-circuits repeat calls — the conformance
+    harness calls this per query, and the repeated CREATE OR REPLACE
+    round-trip plus the "function time_bucket replaced" warning were
+    a measurable slice of the ~15-40 ms per-query floor.
     """
+    if getattr(spark, "_oeds_functions_registered", False):
+        return
     # the driver supplies its own SparkSession — pin the runtime-settable
     # confs our queries depend on (oracle comparison assumes UTC; the
     # coalescing floor keeps small window stages parallel, see get_spark)
@@ -100,3 +108,4 @@ def register_engine_functions(spark: SparkSession) -> None:
                                     THEN width_s - 1 ELSE 0 END) div width_s) * width_s)
         """
     )
+    spark._oeds_functions_registered = True

@@ -185,3 +185,41 @@ def test_global_cumsum_single_row_and_empty(spark):
     empty = one.filter(F.col("id") < 0)
     cum0, total0 = global_cumsum(empty, [F.col("v"), F.col("id")], "v", parts=4)
     assert total0 == 0 and cum0.count() == 0
+
+
+def test_global_rank_correct_after_cache_eviction(spark):
+    """Eviction of the persisted range frame between plan construction
+    and execution must not desync ranks from offsets (the offsets are
+    in-plan, sharing the rank pass's exchange — ADVICE round 5)."""
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.operators import _cache
+    from open_energy_data_server_spark.operators.ranking import (
+        global_cumsum,
+        global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(500)], "id bigint, v double"
+    )
+    ranked, total = global_rank(df, [F.col("v").desc(), F.col("id")], out_col="r", parts=8)
+    cumdf = spark.createDataFrame(
+        [(i, int((i * 37) % 13) * 1000) for i in range(500)], "id bigint, v bigint"
+    )
+    cum, _ = global_cumsum(
+        cumdf, [F.col("v").desc(), F.col("id")], "v", out_col="c", parts=8
+    )
+    _cache.release_all()  # evict BEFORE either returned plan executes
+
+    rows = ranked.orderBy("r").collect()
+    assert [r["r"] for r in rows] == list(range(1, total + 1))
+    expected = sorted(((r["v"], r["id"]) for r in rows), key=lambda t: (-t[0], t[1]))
+    assert [(r["v"], r["id"]) for r in rows] == expected
+
+    got = {r["id"]: r["c"] for r in cum.collect()}
+    acc = 0
+    for _id, v in sorted(
+        [(i, int((i * 37) % 13) * 1000) for i in range(500)], key=lambda t: (-t[1], t[0])
+    ):
+        acc += v
+        assert got[_id] == acc
