@@ -182,7 +182,9 @@ def shuffle_shards(
         F.col("__h").asc(), F.col(key_col).asc()
     )
     return (
-        with_shard.withColumn("pos", F.row_number().over(w).cast("int"))
+        # bigint: at the 100 TB export scale a shard can exceed 2^31
+        # rows, and an int cast would silently overflow the position
+        with_shard.withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("__h")
     )
 

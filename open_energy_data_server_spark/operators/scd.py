@@ -90,10 +90,16 @@ def scd2_apply(
     into an existing history (the steady-state load; ``scd2_history``
     is the initial build).
 
-    Contract: an update older than its key's open version is LATE and
-    is dropped (the standard incremental-load assumption — route late
-    rows through operators/incremental.py policies upstream if they
-    must be kept). Untouched keys pass through COLUMN-IDENTICAL with
+    Contract: an update AT or before its key's open version's
+    valid_from is LATE and is dropped (the standard incremental-load
+    assumption — route late rows through operators/incremental.py
+    policies upstream if they must be kept). The equal-timestamp case
+    is deliberate: the open version already asserts the state at that
+    instant, and keeping a conflicting batch row would tie-order by
+    attribute values, letting the batch displace the open version
+    into a zero-width interval and shift the version numbering (a
+    same-state batch row at that instant would collapse as a no-op
+    anyway, so nothing real is lost). Untouched keys pass through COLUMN-IDENTICAL with
     no recompute; for touched keys the closed versions pass through
     and only the open version + the batch re-run the change collapse,
     with version numbers continuing the key's existing sequence.
@@ -122,12 +128,13 @@ def scd2_apply(
 
     base = open_rows.select(*key_cols, F.col(ts_col).alias("__open_from"),
                             F.col("__base_version"))
-    # late-update gate: keep batch rows at/after the key's open version
-    # (keys new to the dimension have no open row -> keep everything)
+    # late-update gate: keep batch rows STRICTLY after the key's open
+    # version's valid_from — equality is late (see contract above);
+    # keys new to the dimension have no open row -> keep everything
     fresh = (
         updates.join(base, key_cols, "left")
         .filter(
-            F.col("__open_from").isNull() | (F.col(ts_col) >= F.col("__open_from"))
+            F.col("__open_from").isNull() | (F.col(ts_col) > F.col("__open_from"))
         )
         .select(*key_cols, *attr_cols, ts_col)
     )

@@ -609,8 +609,22 @@ def pq_codebook(
     production swaps in per-subspace k-means trained with
     ``operators.kmeans``; every consumer below only sees
     ``[(code, subvector)]`` per subspace). Bounded driver metadata:
-    n_codes·m·dsub scalars."""
+    n_codes·m·dsub scalars.
+
+    Validates that the embedding dimension is exactly ``m * dsub``
+    (on the sampled vectors, which are on the driver anyway): a wider
+    vector would emit subspace ids >= m downstream in ``pq_adc_topk``
+    (IndexError after the dtable collect), a narrower one would
+    zero-fill LUT slots and silently deflate distances."""
     full = _lowid_codebook(df, id_col, vec_col, n_codes)
+    want = m * dsub
+    for code, vec in full:
+        if len(vec) != want:
+            raise ValueError(
+                f"pq_codebook: vector id {code} has dimension {len(vec)}, "
+                f"but m*dsub = {m}*{dsub} = {want} — PQ subspace slicing "
+                "requires the embedding dimension to equal m*dsub"
+            )
     return [
         [(code, vec[s * dsub : (s + 1) * dsub]) for code, vec in full]
         for s in range(m)

@@ -1071,7 +1071,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang,
            CAST(hh % 8 AS INTEGER) AS shard,
            CAST(ROW_NUMBER() OVER (
-             PARTITION BY hh % 8 ORDER BY hh, doc_id) AS INTEGER) AS pos
+             PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT) AS pos
     FROM h
     """,
 )

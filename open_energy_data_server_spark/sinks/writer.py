@@ -157,24 +157,34 @@ def compact_table(
     # self-repair from a previous crashed run (scan the table root for
     # partition-level leftovers AND its parent for the unpartitioned
     # case, where tmp/old siblings live beside the table dir). The
-    # parent scan runs FIRST and before the existence check: a crash
-    # mid-swap on an unpartitioned table leaves ONLY .compact_old.<t>
-    # behind — the restore below is what brings the table back.
-    def _repair(scan_dir: str) -> None:
+    # parent scan is scoped to THIS table's exact suffix — a blanket
+    # parent sweep would delete a concurrent sibling-table compaction's
+    # in-flight temp dir mid-write (single-compactor applies PER TABLE,
+    # not per schema). It runs FIRST and before the existence check: a
+    # crash mid-swap on an unpartitioned table leaves ONLY
+    # .compact_old.<t> behind — the restore below brings the table back.
+    def _repair(scan_dir: str, only: str | None = None) -> None:
         if not os.path.isdir(scan_dir):
             return
         for d in os.listdir(scan_dir):
             full = os.path.join(scan_dir, d)
             if d.startswith(".compact_tmp.") and os.path.isdir(full):
+                if only is not None and d != f".compact_tmp.{only}":
+                    continue
                 shutil.rmtree(full)
             elif d.startswith(".compact_old.") and os.path.isdir(full):
+                if only is not None and d != f".compact_old.{only}":
+                    continue
                 canonical = os.path.join(scan_dir, d[len(".compact_old.") :])
                 if os.path.isdir(canonical):
                     shutil.rmtree(full)  # swap completed; old copy stale
                 else:
                     os.rename(full, canonical)  # crash mid-swap: restore
 
-    _repair(os.path.dirname(path.rstrip("/")))
+    _repair(
+        os.path.dirname(path.rstrip("/")),
+        only=os.path.basename(path.rstrip("/")),
+    )
     if not os.path.isdir(path):
         raise FileNotFoundError(path)
     _repair(path)

@@ -376,3 +376,40 @@ def test_compact_table_unpartitioned_crash_recovery(spark, tmp_path):
     assert _os.path.isdir(tpath)
     assert spark.read.parquet(tpath).count() == 400
     assert done and done[0][0] == "."
+
+
+def test_compact_repair_leaves_sibling_tables_alone(spark, tmp_path):
+    """Parent-level crash repair is scoped to THIS table's suffix: a
+    sibling table's in-flight .compact_tmp.* / stranded .compact_old.*
+    in the same schema directory must survive a compact_table run on a
+    different table (ADVICE r5 — concurrent per-table compactors)."""
+    import os as _os
+
+    from open_energy_data_server_spark.sinks.writer import (
+        compact_table,
+        table_path,
+        write_table,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    write_table(df, lake, "s", "t", time_col="ts", max_records_per_file=20)
+    tpath = table_path(lake, "s", "t")
+    schema_dir = _os.path.dirname(tpath.rstrip("/"))
+    # simulate a concurrent compactor mid-write on sibling table "u"
+    sib_tmp = _os.path.join(schema_dir, ".compact_tmp.u")
+    sib_old = _os.path.join(schema_dir, ".compact_old.u")
+    _os.makedirs(sib_tmp)
+    _os.makedirs(sib_old)
+    open(_os.path.join(sib_tmp, "part-0.parquet"), "w").close()
+
+    compact_table(spark, lake, "s", "t", target_records_per_file=1000)
+
+    assert _os.path.isdir(sib_tmp), "sibling tmp dir was deleted"
+    # sibling old dir must not be force-restored/deleted by table t's run
+    assert _os.path.isdir(sib_old) or _os.path.isdir(
+        _os.path.join(schema_dir, "u")
+    )

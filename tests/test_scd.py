@@ -156,3 +156,37 @@ def test_apply_drops_late_updates_and_passes_untouched(spark):
         (1, "c", True, 3),
         (9, "z", True, 1),    # untouched passthrough
     ]
+
+
+def test_apply_equal_ts_conflicting_batch_row_is_late(spark):
+    """A batch row with ts EQUAL to the key's open valid_from but
+    different attributes must be dropped as late — keeping it would
+    tie-order by attribute value and could displace the open version
+    into a zero-width interval, shifting version numbers (ADVICE r5)."""
+    from open_energy_data_server_spark.operators.scd import scd2_apply
+
+    schema = "k int, ts timestamp, attr string"
+    hist = scd2_history(
+        spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), "a"), (1, datetime(2024, 1, 5), "b")],
+            schema,
+        ),
+        ["k"], "ts", ["attr"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 5), "AAA"),  # equal-ts conflict: late
+            (1, datetime(2024, 1, 7), "c"),
+        ],
+        schema,
+    )
+    out = scd2_apply(hist, batch, ["k"], "ts", ["attr"])
+    got = sorted(
+        (r["attr"], r["valid_from"], r["is_current"], r["version"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("a", datetime(2024, 1, 1), False, 1),
+        ("b", datetime(2024, 1, 5), False, 2),  # survives, re-closed by "c"
+        ("c", datetime(2024, 1, 7), True, 3),
+    ]
