@@ -13,11 +13,14 @@ through the driver; the reference parallelized this with one Docker
 container per year (dwd_generate_dc.py) — here it is ordinary task
 parallelism.
 
-The default decoder is the repo's own pure-Python GRIB2 codec
+The default decoder is the repo's own pure-Python GRIB codec
 (``sources.grib2codec`` — grid template 3.0, simple packing 5.0,
-bitmaps; numpy-vectorized bit unpack). The decoder stays injectable:
-packings the minimal codec rejects (JPEG2000, spectral) swap in
-cfgrib with ``read_grib(..., decoder=cfgrib_decoder)``.
+bitmaps; numpy-vectorized bit unpack — with per-message dispatch to
+``sources.grib1codec`` for edition-1 files: IBM-float reference
+values, regular AND rotated lat/lon grids, the DWD COSMO REA6 shape).
+The decoder stays injectable: packings the minimal codec rejects
+(JPEG2000, spectral, second-order) swap in cfgrib with
+``read_grib(..., decoder=cfgrib_decoder)``.
 """
 
 from __future__ import annotations

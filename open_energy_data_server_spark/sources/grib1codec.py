@@ -1,0 +1,232 @@
+"""Pure-Python GRIB edition 1 decoder (WMO FM 92 GRIB Ed.1, public spec).
+
+Completes the weather-ingest path for the reference's largest dataset:
+DWD COSMO REA6 monthly files are GRIB1 read via pygrib
+(/root/reference/crawler/dwd.py:120-147); the repo's GRIB2 codec
+(``sources.grib2codec``) previously raised on edition 1. Scope mirrors
+what that crawler's files contain:
+
+- Indicator section: ``GRIB`` + 3-octet total length + edition 1.
+- PDS (product definition): parameter indicator (code table 2),
+  reference time from year-of-century + century, forecast lead from
+  unit/P1/P2/time-range-indicator, decimal scale factor D.
+- GDS grid types 0 (regular latitude/longitude, millidegrees) and
+  10 (ROTATED latitude/longitude — the COSMO grid: the codec
+  unrotates to true geographic coordinates, matching what pygrib's
+  ``latlons()`` hands the reference).
+- BMS bitmap (table reference 0).
+- BDS simple packing: ``value = (R + X·2^E) / 10^D`` with R an IBM
+  hexadecimal 32-bit float (GRIB1's one real curveball vs GRIB2's
+  IEEE reference value) and X a big-endian ``nbits`` field per point.
+
+The bit unpack is shared with the GRIB2 codec (one ``unpackbits`` +
+matmul — no per-point Python), so a COSMO 824×848 field decodes in
+milliseconds inside an executor Arrow batch.
+
+Deliberately NOT implemented (raise ValueError; callers inject
+cfgrib/pygrib via ``read_grib(..., decoder=...)``): second-order /
+complex packing, spherical harmonics, grids other than (rotated)
+lat/lon, j-consecutive scanning.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+
+from open_energy_data_server_spark.sources.grib2codec import (
+    _TIME_UNIT,
+    _u,
+    _unpack_bits,
+)
+
+# GRIB1 code table 2 (WMO standard) → short names for the variables the
+# COSMO REA6 / DWD downloads carry; unknown indicators fall back to a
+# systematic ``p<indicator>`` code.
+PARAM_NAMES_ED1 = {
+    1: "pres",  # pressure
+    11: "t",  # temperature (K)
+    33: "u",  # u-component of wind
+    34: "v",  # v-component of wind
+    52: "r",  # relative humidity
+    61: "tp",  # total precipitation
+    111: "nswrf",  # net short-wave radiation flux (surface)
+    112: "nlwrf",  # net long-wave radiation flux (surface)
+}
+
+
+def _ibm_float(b: bytes) -> float:
+    """IBM System/360 hexadecimal 32-bit float (GRIB1 reference value):
+    (-1)^s · 16^(A-64) · M/2^24 — sign bit, 7-bit base-16 exponent
+    biased by 64, 24-bit mantissa."""
+    w = int.from_bytes(b, "big")
+    sign = -1.0 if w & 0x8000_0000 else 1.0
+    a = (w >> 24) & 0x7F
+    m = w & 0x00FF_FFFF
+    return sign * m * 16.0 ** (a - 64) / 2**24
+
+
+def _s3(b: bytes, off: int) -> int:
+    """3-octet sign-magnitude signed int (GRIB1 lat/lon encoding)."""
+    raw = _u(b, off, 3)
+    if raw & 0x80_0000:
+        return -(raw & 0x7F_FFFF)
+    return raw
+
+
+def _s2(b: bytes, off: int) -> int:
+    raw = _u(b, off, 2)
+    if raw & 0x8000:
+        return -(raw & 0x7FFF)
+    return raw
+
+
+def unrotate(
+    lat_r: np.ndarray, lon_r: np.ndarray, lat_sp: float, lon_sp: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rotated-pole → true geographic coordinates (degrees), the
+    standard COSMO transformation: the rotated system's NORTH pole
+    sits at (−lat_sp, lon_sp − 180)."""
+    phi_p = np.radians(-lat_sp)
+    lam_p = lon_sp - 180.0
+    phi_r = np.radians(lat_r)
+    lam_r = np.radians(lon_r)
+    sin_phi = np.sin(phi_p) * np.sin(phi_r) + np.cos(phi_p) * np.cos(
+        phi_r
+    ) * np.cos(lam_r)
+    lat = np.degrees(np.arcsin(np.clip(sin_phi, -1.0, 1.0)))
+    lon = lam_p + np.degrees(
+        np.arctan2(
+            -np.cos(phi_r) * np.sin(lam_r),
+            np.cos(phi_p) * np.sin(phi_r)
+            - np.sin(phi_p) * np.cos(phi_r) * np.cos(lam_r),
+        )
+    )
+    return lat, lon % 360.0
+
+
+def _decode_message1(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
+    """Decode one GRIB1 message starting at ``start``; return
+    (long-frame, offset-after-message)."""
+    if buf[start : start + 4] != b"GRIB":
+        raise ValueError(f"not a GRIB message at offset {start}")
+    if buf[start + 7] != 1:
+        raise ValueError(f"GRIB edition {buf[start + 7]} is not 1")
+    total_len = _u(buf, start + 4, 3)
+    end = start + total_len
+    if buf[end - 4 : end] != b"7777":
+        raise ValueError("GRIB1 message missing 7777 trailer")
+
+    # --- PDS ---
+    off = start + 8
+    pds = buf[off : off + _u(buf, off, 3)]
+    has_gds = bool(pds[7] & 0x80)
+    has_bms = bool(pds[7] & 0x40)
+    if not has_gds:
+        raise ValueError(
+            "GRIB1 message without GDS (catalogued grid id only) unsupported"
+        )
+    param = pds[8]
+    yoc, month, day, hour, minute = pds[12], pds[13], pds[14], pds[15], pds[16]
+    century = pds[24]
+    year = (century - 1) * 100 + yoc if yoc < 100 else century * 100
+    ref_time = datetime(year, month, day, hour, minute)
+    unit = _TIME_UNIT.get(pds[17])
+    p1, p2, tri = pds[18], pds[19], pds[20]
+    if unit is None:
+        lead = timedelta(0)
+    elif tri == 10:  # P1P2 as one 16-bit value
+        lead = (p1 * 256 + p2) * unit
+    elif tri in (2, 3, 4, 5):  # period products valid at end of [P1,P2]
+        lead = p2 * unit
+    else:
+        lead = p1 * unit
+    d_scale = _s2(pds, 26)
+    off += len(pds)
+
+    # --- GDS ---
+    gds = buf[off : off + _u(buf, off, 3)]
+    rep_type = gds[5]
+    if rep_type not in (0, 10):
+        raise ValueError(
+            f"GRIB1 grid type {rep_type} unsupported (only 0 latlon / "
+            "10 rotated latlon); inject a pygrib/cfgrib decoder"
+        )
+    ni, nj = _u(gds, 6, 2), _u(gds, 8, 2)
+    la1, lo1 = _s3(gds, 10) / 1e3, _s3(gds, 13) / 1e3
+    la2, lo2 = _s3(gds, 17) / 1e3, _s3(gds, 20) / 1e3
+    scan = gds[27]
+    if scan & 0x20:
+        raise ValueError("GRIB1 j-consecutive scanning unsupported")
+    # first→last point linspace encodes the scan direction for free;
+    # +i with wraparound needs the 360° unwind
+    if not (scan & 0x80) and lo2 < lo1:
+        lo2 += 360.0
+    lats_1d = np.linspace(la1, la2, nj)
+    lons_1d = np.linspace(lo1, lo2, ni)
+    if rep_type == 10:
+        lat_sp, lon_sp = _s3(gds, 32) / 1e3, _s3(gds, 35) / 1e3
+        grid_lat, grid_lon = unrotate(
+            np.repeat(lats_1d, ni), np.tile(lons_1d, nj), lat_sp, lon_sp
+        )
+    else:
+        grid_lat = np.repeat(lats_1d, ni)
+        grid_lon = np.tile(lons_1d, nj) % 360.0
+    off += len(gds)
+
+    # --- BMS ---
+    bitmap: np.ndarray | None = None
+    if has_bms:
+        bms = buf[off : off + _u(buf, off, 3)]
+        if _u(bms, 4, 2) != 0:
+            raise ValueError("GRIB1 catalogued (non-inline) bitmap unsupported")
+        bitmap = np.unpackbits(np.frombuffer(bms[6:], dtype=np.uint8)).astype(
+            bool
+        )
+        off += len(bms)
+
+    # --- BDS ---
+    bds = buf[off : off + _u(buf, off, 3)]
+    flags = bds[3] >> 4
+    if flags & 0x8:
+        raise ValueError("GRIB1 spherical-harmonic data unsupported")
+    if flags & 0x4:
+        raise ValueError(
+            "GRIB1 second-order (complex) packing unsupported; inject a "
+            "pygrib/cfgrib decoder for this file"
+        )
+    unused_bits = bds[3] & 0x0F
+    e_scale = _s2(bds, 4)
+    r_ref = _ibm_float(bds[6:10])
+    nbits = bds[10]
+    n_grid = ni * nj
+    n_values = (
+        int(bitmap[:n_grid].sum()) if bitmap is not None else n_grid
+    )
+    if nbits > 0:
+        avail = (len(bds) - 11) * 8 - unused_bits
+        if avail < n_values * nbits:
+            raise ValueError(
+                f"GRIB1 data section too short: {avail} bits < "
+                f"{n_values * nbits}"
+            )
+    packed = _unpack_bits(bds[11:], n_values, nbits)
+    values = (r_ref + packed * (2.0**e_scale)) / (10.0**d_scale)
+    if bitmap is not None:
+        full = np.full(n_grid, np.nan)
+        full[bitmap[:n_grid]] = values
+        values = full
+
+    var = PARAM_NAMES_ED1.get(param, f"p{param}")
+    frame = pd.DataFrame(
+        {
+            "time": pd.Timestamp(ref_time + lead),
+            "latitude": grid_lat,
+            "longitude": grid_lon,
+            "variable": var,
+            "value": values.astype(np.float64),
+        }
+    )
+    return frame, end

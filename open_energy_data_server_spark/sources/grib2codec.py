@@ -19,10 +19,12 @@ Decoding is numpy-vectorized (the bit unpack is one ``unpackbits`` +
 matmul, no per-point Python), so a 824×848 grid (dwd.py:189) decodes
 in milliseconds inside the executor's Arrow batch.
 
-Deliberately NOT implemented (raise ValueError, callers inject cfgrib
-via the ``decoder=`` seam instead): spectral/complex packings (5.2,
-5.3, 5.40 JPEG2000, 5.42 CCSDS), non-latlon grids (Gaussian, Lambert),
-GRIB edition 1.
+GRIB edition 1 messages (the DWD COSMO REA6 shape, dwd.py:120-147)
+dispatch to the sibling pure codec ``sources.grib1codec`` — mixed-
+edition files decode transparently. Deliberately NOT implemented
+(raise ValueError, callers inject cfgrib via the ``decoder=`` seam
+instead): spectral/complex packings (5.2, 5.3, 5.40 JPEG2000, 5.42
+CCSDS), non-latlon grids (Gaussian, Lambert).
 """
 
 from __future__ import annotations
@@ -211,8 +213,10 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
 
 
 def decode_grib2(raw: bytes) -> pd.DataFrame:
-    """bytes of a (possibly multi-message) GRIB2 file → long frame
-    (time, latitude, longitude, variable, value)."""
+    """bytes of a (possibly multi-message, possibly mixed-edition)
+    GRIB file → long frame (time, latitude, longitude, variable,
+    value). Edition is dispatched per message: 2 decodes here,
+    1 via ``sources.grib1codec`` (the DWD COSMO REA6 path)."""
     frames = []
     off = 0
     # tolerate index/padding bytes between messages (DWD files carry them)
@@ -220,10 +224,17 @@ def decode_grib2(raw: bytes) -> pd.DataFrame:
         pos = raw.find(b"GRIB", off)
         if pos < 0:
             break
-        frame, off = _decode_message(raw, pos)
+        if pos + 8 <= len(raw) and raw[pos + 7] == 1:
+            from open_energy_data_server_spark.sources.grib1codec import (
+                _decode_message1,
+            )
+
+            frame, off = _decode_message1(raw, pos)
+        else:
+            frame, off = _decode_message(raw, pos)
         frames.append(frame)
     if not frames:
-        raise ValueError("no GRIB2 messages found")
+        raise ValueError("no GRIB messages found")
     out = pd.concat(frames, ignore_index=True)
     out["value"] = out["value"].astype(np.float64)
     return out

@@ -1,0 +1,269 @@
+"""Pure-Python GRIB edition-1 codec tests.
+
+Like the GRIB2 suite, the fixture encoder below is test-side and lays
+out octets straight from the WMO FM 92 Ed.1 spec (PDS/GDS/BMS/BDS
+octet tables), so the decoder is verified against the public format,
+not against itself. Expected values are hand-computed from
+``value = (R + X·2^E) / 10^D`` with R an IBM hexadecimal float.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from open_energy_data_server_spark.sources.grib1codec import (
+    _ibm_float,
+    unrotate,
+)
+from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+
+
+def _ibm32(x: float) -> bytes:
+    """Test-side IBM 360 float encoder (independent derivation)."""
+    if x == 0:
+        return b"\x00" * 4
+    sign = 0x8000_0000 if x < 0 else 0
+    x = abs(x)
+    # exponent a with x/16^(a-64) in [1/16, 1)
+    a = 64 + max(-64, min(63, int(math.ceil(math.log(x, 16)))))
+    while x / 16.0 ** (a - 64) >= 1.0:
+        a += 1
+    while x / 16.0 ** (a - 64) < 1.0 / 16.0 and a > 0:
+        a -= 1
+    m = round(x * 2**24 / 16.0 ** (a - 64))
+    return (sign | (a << 24) | m).to_bytes(4, "big")
+
+
+def _sm2(v: int) -> bytes:
+    return ((0x8000 | -v) if v < 0 else v).to_bytes(2, "big")
+
+
+def _sm3(v: int) -> bytes:
+    return ((0x80_0000 | -v) if v < 0 else v).to_bytes(3, "big")
+
+
+def _pack(xs: list[int], nbits: int) -> bytes:
+    bitstr = "".join(format(x, f"0{nbits}b") for x in xs)
+    bitstr += "0" * (-len(bitstr) % 8)
+    return bytes(int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8))
+
+
+def make_grib1(
+    xs: list[int],
+    ni: int,
+    nj: int,
+    la1: float = 54.0,
+    lo1: float = 6.0,
+    la2: float | None = None,
+    lo2: float | None = None,
+    dlat: float = 0.5,
+    dlon: float = 0.25,
+    r_ref: float = 250.0,
+    e_scale: int = 1,
+    d_scale: int = 1,
+    nbits: int = 8,
+    param: int = 11,
+    ref_time=(1999, 1, 2, 3, 0),
+    unit: int = 1,
+    p1: int = 5,
+    p2: int = 0,
+    tri: int = 0,
+    bitmap: list[int] | None = None,
+    grid_type: int = 0,
+    pole: tuple[float, float] = (-40.0, 10.0),
+    bds_flags: int = 0x0,
+    scan: int = 0x00,
+) -> bytes:
+    """Spec-derived GRIB1 message encoder (octet numbers per WMO Ed.1)."""
+    year = ref_time[0]
+    century, yoc = divmod(year - 1, 100)
+    century, yoc = century + 1, yoc + 1
+    pds = (
+        bytes([2, 78, 1, 255, (0x80 | (0x40 if bitmap is not None else 0))])
+        + bytes([param, 1])  # parameter, level type (surface)
+        + (0).to_bytes(2, "big")  # level
+        + bytes([yoc, ref_time[1], ref_time[2], ref_time[3], ref_time[4]])
+        + bytes([unit, p1, p2, tri])
+        + (0).to_bytes(2, "big")  # number in average
+        + bytes([0, century, 0])  # missing, century, subcentre
+        + _sm2(d_scale)
+    )
+    pds = (len(pds) + 3).to_bytes(3, "big") + pds
+
+    if la2 is None:
+        la2 = la1 - dlat * (nj - 1)
+    if lo2 is None:
+        lo2 = lo1 + dlon * (ni - 1)
+    gds_body = (
+        bytes([0, 255, grid_type])
+        + ni.to_bytes(2, "big")
+        + nj.to_bytes(2, "big")
+        + _sm3(round(la1 * 1e3))
+        + _sm3(round(lo1 * 1e3))
+        + bytes([0x80])  # resolution flags: increments given
+        + _sm3(round(la2 * 1e3))
+        + _sm3(round(lo2 * 1e3))
+        + round(abs(dlon) * 1e3).to_bytes(2, "big")
+        + round(abs(dlat) * 1e3).to_bytes(2, "big")
+        + bytes([scan])
+        + b"\x00" * 4  # reserved octets 29-32
+    )
+    if grid_type == 10:
+        gds_body += (
+            _sm3(round(pole[0] * 1e3))
+            + _sm3(round(pole[1] * 1e3))
+            + _ibm32(0.0)  # angle of rotation
+        )
+    gds = (len(gds_body) + 3).to_bytes(3, "big") + gds_body
+
+    bms = b""
+    if bitmap is not None:
+        bits = "".join(str(b) for b in bitmap)
+        unused = -len(bits) % 8
+        bits += "0" * unused
+        bm_bytes = bytes(
+            int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)
+        )
+        body = bytes([unused]) + (0).to_bytes(2, "big") + bm_bytes
+        bms = (len(body) + 3).to_bytes(3, "big") + body
+
+    data = _pack(xs, nbits)
+    unused_bits = (8 * len(data)) - len(xs) * nbits
+    bds_body = (
+        bytes([(bds_flags << 4) | unused_bits])
+        + _sm2(e_scale)
+        + _ibm32(r_ref)
+        + bytes([nbits])
+        + data
+    )
+    if len(bds_body) % 2:  # BDS length must be even per spec
+        bds_body += b"\x00"
+        bds_body = bytes([bds_body[0] + 8]) + bds_body[1:]  # 8 more unused bits
+    bds = (len(bds_body) + 3).to_bytes(3, "big") + bds_body
+
+    total = 8 + len(pds) + len(gds) + len(bms) + len(bds) + 4
+    return (
+        b"GRIB" + total.to_bytes(3, "big") + bytes([1])
+        + pds + gds + bms + bds + b"7777"
+    )
+
+
+def test_ibm_float_roundtrip():
+    # hand-computed: 250.0 = 16384000 · 16^(66-64) / 2^24
+    assert _ibm_float((66 << 24 | 16384000).to_bytes(4, "big")) == 250.0
+    assert _ibm_float(b"\x00" * 4) == 0.0
+    for x in (250.0, -1.5, 0.0625, 101325.0, 273.15):
+        got = _ibm_float(_ibm32(x))
+        assert got == pytest.approx(x, rel=1e-6), x
+
+
+def test_grib1_simple_packing_values_and_grid():
+    # 2x2 grid, X = [0, 10, 20, 35]: value = (250 + X·2^1) / 10^1
+    raw = make_grib1([0, 10, 20, 35], ni=2, nj=2)
+    df = decode_grib2(raw)
+    assert list(df.columns) == [
+        "time", "latitude", "longitude", "variable", "value",
+    ]
+    assert len(df) == 4
+    assert df["variable"].unique().tolist() == ["t"]
+    # ref 1999-01-02 03:00 + P1=5 hours
+    assert str(df["time"].iloc[0]) == "1999-01-02 08:00:00"
+    assert df["value"].tolist() == [25.0, 27.0, 29.0, 32.0]
+    # -j scan: first row lat 54.0, second 53.5; i fastest
+    assert df["latitude"].tolist() == [54.0, 54.0, 53.5, 53.5]
+    assert df["longitude"].tolist() == [6.0, 6.25, 6.0, 6.25]
+
+
+def test_grib1_bitmap_fills_nan():
+    raw = make_grib1([7, 9], ni=2, nj=2, bitmap=[1, 0, 0, 1],
+                     r_ref=0.0, e_scale=0, d_scale=0)
+    df = decode_grib2(raw)
+    vals = df["value"].tolist()
+    assert vals[0] == 7.0 and vals[3] == 9.0
+    assert np.isnan(vals[1]) and np.isnan(vals[2])
+
+
+def test_grib1_rotated_grid_unrotates_to_true_coords():
+    # COSMO-style pole: south pole of rotation at (-40, 10) → rotated
+    # (0, 0) is true (50N, 10E) — the classic anchor point
+    raw = make_grib1(
+        [1], ni=1, nj=1, la1=0.0, lo1=0.0, grid_type=10,
+        pole=(-40.0, 10.0), r_ref=0.0, e_scale=0, d_scale=0,
+    )
+    df = decode_grib2(raw)
+    assert df["latitude"].iloc[0] == pytest.approx(50.0, abs=1e-9)
+    assert df["longitude"].iloc[0] == pytest.approx(10.0, abs=1e-9)
+    # rotated north pole (90 rotated lat) maps to the pole itself
+    lat, lon = unrotate(np.array([90.0]), np.array([0.0]), -40.0, 10.0)
+    assert lat[0] == pytest.approx(40.0) and lon[0] == pytest.approx(190.0)
+    # independent derivation: rotation matrices. v' built in the
+    # rotated frame, rotated back by Ry(-(90-phi_pole)) then Rz(lam_pole)
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        phi_r = rng.uniform(-80, 80)
+        lam_r = rng.uniform(-170, 170)
+        lat_got, lon_got = unrotate(
+            np.array([phi_r]), np.array([lam_r]), -40.0, 10.0
+        )
+        pr, lr = math.radians(phi_r), math.radians(lam_r)
+        v = np.array(
+            [math.cos(pr) * math.cos(lr), math.cos(pr) * math.sin(lr),
+             math.sin(pr)]
+        )
+        # R = Rz(lon_sp) · Ry(−(90+lat_sp)): checked on the anchors —
+        # x'=(1,0,0) → (50N,10E), z'=(0,0,1) → the pole (40N,190E)
+        theta = math.radians(90.0 + (-40.0))
+        ry = np.array(
+            [[math.cos(theta), 0, -math.sin(theta)], [0, 1, 0],
+             [math.sin(theta), 0, math.cos(theta)]]
+        )
+        lam_sp = math.radians(10.0)
+        rz = np.array(
+            [[math.cos(lam_sp), -math.sin(lam_sp), 0],
+             [math.sin(lam_sp), math.cos(lam_sp), 0], [0, 0, 1]]
+        )
+        x, y, z = rz @ (ry @ v)
+        want_lat = math.degrees(math.asin(max(-1.0, min(1.0, z))))
+        want_lon = math.degrees(math.atan2(y, x)) % 360.0
+        assert lat_got[0] == pytest.approx(want_lat, abs=1e-9)
+        assert lon_got[0] == pytest.approx(want_lon, abs=1e-9)
+
+
+def test_grib1_multi_message_and_mixed_edition():
+    from tests.test_grib2codec import make_grib2
+
+    m1 = make_grib1([0, 10, 20, 35], ni=2, nj=2)
+    m2 = make_grib2([0, 10, 20, 35], ni=2, nj=2)
+    df = decode_grib2(m1 + b"pad" + m2)
+    assert len(df) == 8
+    assert sorted(df["variable"].unique()) == ["t"]
+
+
+def test_grib1_period_product_lead_time():
+    # tri=4 (accumulation): valid at end of [P1, P2]
+    raw = make_grib1([1], ni=1, nj=1, p1=0, p2=12, tri=4,
+                     r_ref=0.0, e_scale=0, d_scale=0)
+    df = decode_grib2(raw)
+    assert str(df["time"].iloc[0]) == "1999-01-02 15:00:00"
+
+
+def test_grib1_complex_packing_raises():
+    raw = make_grib1([1, 2], ni=2, nj=1, bds_flags=0x4,
+                     r_ref=0.0, e_scale=0, d_scale=0)
+    with pytest.raises(ValueError, match="complex"):
+        decode_grib2(raw)
+
+
+def test_grib1_distributed_read(spark, tmp_path):
+    from open_energy_data_server_spark.sources.grib import read_grib
+
+    raw = make_grib1([0, 10, 20, 35], ni=2, nj=2)
+    for name in ("a.grb", "b.grb"):
+        (tmp_path / name).write_bytes(raw)
+    df = read_grib(spark, str(tmp_path / "*.grb"))
+    rows = df.collect()
+    assert len(rows) == 8
+    assert {r["value"] for r in rows} == {25.0, 27.0, 29.0, 32.0}
