@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -249,3 +250,182 @@ def concave_hull_wkt(points: list[tuple[float, float]], k: int = 3, max_k: int =
         if bool(np.all(inside | on_ring)):
             return "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in hull) + "))"
     return convex_hull_wkt(points)
+
+
+# --- CRS transform + simplification (G2 completion) -----------------
+#
+# The reference's metadata hull pipeline is
+#   ST_Transform(ST_ConcaveHull(ST_Collect(ST_Points(
+#       ST_Simplify(geometry, 20))), 0.5), 4326)
+# (/root/reference/docs/source/examples/metadata_sql_helpers.sql:86-124,
+# geometries stored in EPSG:3857 web-mercator meters, hull delivered in
+# EPSG:4326 lon/lat). The two missing pieces — ST_Transform between
+# those two CRSes and ST_Simplify — are implemented below, both as
+# numpy ring math (driver-side, bounded metadata work) and as Spark
+# Column / Arrow forms for distributed per-row use.
+
+WEB_MERCATOR_R = 6378137.0  # WGS84 semi-major axis, EPSG:3857 sphere
+
+
+def mercator_xy(lon: Column | str, lat: Column | str) -> tuple[Column, Column]:
+    """EPSG:4326 lon/lat degrees → EPSG:3857 meters as built-in JVM
+    expressions (whole-stage codegen; no UDF): the spherical-Mercator
+    forward map x = R·λ, y = R·ln(tan(π/4 + φ/2))."""
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    la = F.col(lat) if isinstance(lat, str) else lat
+    x = F.radians(lo) * F.lit(WEB_MERCATOR_R)
+    y = F.lit(WEB_MERCATOR_R) * F.log(
+        F.tan(F.radians(la) / F.lit(2.0) + F.lit(float(np.pi / 4)))
+    )
+    return x, y
+
+
+def mercator_lonlat(x: Column | str, y: Column | str) -> tuple[Column, Column]:
+    """EPSG:3857 meters → EPSG:4326 degrees (inverse spherical
+    Mercator), built-in expressions only."""
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    lon = F.degrees(xc / F.lit(WEB_MERCATOR_R))
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(yc / F.lit(WEB_MERCATOR_R)))
+        - F.lit(float(np.pi / 2))
+    )
+    return lon, lat
+
+
+def transform_ring(ring: np.ndarray, src_epsg: int, dst_epsg: int) -> np.ndarray:
+    """(n, 2) coordinate array between EPSG:4326 and EPSG:3857 (the
+    pair the reference's pipeline uses). Identity when src == dst."""
+    if src_epsg == dst_epsg:
+        return ring
+    if (src_epsg, dst_epsg) == (4326, 3857):
+        x = np.radians(ring[:, 0]) * WEB_MERCATOR_R
+        y = WEB_MERCATOR_R * np.log(np.tan(np.radians(ring[:, 1]) / 2 + np.pi / 4))
+        return np.column_stack([x, y])
+    if (src_epsg, dst_epsg) == (3857, 4326):
+        lon = np.degrees(ring[:, 0] / WEB_MERCATOR_R)
+        lat = np.degrees(2 * np.arctan(np.exp(ring[:, 1] / WEB_MERCATOR_R)) - np.pi / 2)
+        return np.column_stack([lon, lat])
+    raise ValueError(
+        f"transform {src_epsg}→{dst_epsg} unsupported (4326↔3857 only; "
+        "full PROJ pipelines need pyproj — inject upstream)"
+    )
+
+
+def st_transform_wkt(wkt: str, src_epsg: int, dst_epsg: int) -> str:
+    """ST_Transform analog for WKT polygons (outer ring + holes)."""
+    rings = [transform_ring(r, src_epsg, dst_epsg) for r in parse_wkt_polygon(wkt)]
+    body = ", ".join(
+        "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in r) + ")" for r in rings
+    )
+    return f"POLYGON ({body})"
+
+
+def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification, iterative (explicit
+    stack — no recursion limit on 100k-vertex cadastral rings). Keeps
+    every point whose perpendicular distance from the local anchor
+    segment exceeds ``tolerance``; endpoints always survive. A closed
+    ring (first == last) keeps its closure."""
+    pts = np.asarray(ring, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 - i0 < 2:
+            continue
+        seg = pts[i1] - pts[i0]
+        mid = pts[i0 + 1 : i1]
+        L2 = float(seg @ seg)
+        if L2 == 0.0:  # degenerate anchor (closed ring): radial distance
+            d = np.hypot(mid[:, 0] - pts[i0, 0], mid[:, 1] - pts[i0, 1])
+        else:
+            # perpendicular distance to the INFINITE line through the
+            # anchors, clamped to the segment (standard DP metric)
+            t = np.clip(((mid - pts[i0]) @ seg) / L2, 0.0, 1.0)
+            proj = pts[i0] + t[:, None] * seg
+            d = np.hypot(mid[:, 0] - proj[:, 0], mid[:, 1] - proj[:, 1])
+        j = int(np.argmax(d))
+        if d[j] > tolerance:
+            keep[i0 + 1 + j] = True
+            stack.append((i0, i0 + 1 + j))
+            stack.append((i0 + 1 + j, i1))
+    return pts[keep]
+
+
+def st_simplify_wkt(wkt: str, tolerance: float) -> str:
+    """ST_Simplify analog for WKT polygons: Douglas-Peucker per ring.
+    A ring simplified below 4 points (closed) collapses to its
+    bounding segment's endpoints and is dropped if degenerate —
+    matching ST_Simplify's collapse behavior for sub-tolerance holes;
+    the outer ring is always emitted."""
+    rings = parse_wkt_polygon(wkt)
+    out: list[np.ndarray] = []
+    for idx, r in enumerate(rings):
+        s = simplify_ring(r, tolerance)
+        if idx > 0 and len(s) < 4:
+            continue  # hole collapsed
+        out.append(s)
+    body = ", ".join(
+        "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in r) + ")" for r in out
+    )
+    return f"POLYGON ({body})"
+
+
+def simplify_wkt_col(wkt: Column | str, tolerance: float) -> Column:
+    """Distributed per-row ST_Simplify over a WKT column (Arrow-batched
+    pandas UDF — geometry parsing is genuinely per-row Python; this is
+    the same documented seam as the shapefile/GRIB decode)."""
+    from pyspark.sql.functions import pandas_udf
+
+    tol = float(tolerance)
+
+    @pandas_udf("string")
+    def _simp(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: None if w is None else st_simplify_wkt(w, tol))
+
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    return _simp(c)
+
+
+def hull_from_geometry_table(
+    df,
+    wkt_col: str,
+    simplify_tolerance: float = 0.0,
+    src_epsg: int = 4326,
+    dst_epsg: int = 4326,
+    max_sample: int = 10_000,
+) -> str:
+    """The reference's full geometry-column metadata hull
+    (metadata_sql_helpers.sql:101-124): per-row ST_Simplify
+    (distributed, Arrow-batched) → ST_Points explode (built-in
+    regexp split — JVM-side) → bounded sample → ST_ConcaveHull →
+    ST_Transform of the hull ring. Only the ≤``max_sample`` sampled
+    vertices and the hull ring ever reach the driver."""
+    simped = (
+        df.select(simplify_wkt_col(wkt_col, simplify_tolerance).alias("w"))
+        if simplify_tolerance > 0
+        else df.select(F.col(wkt_col).alias("w"))
+    )
+    pts = (
+        simped.dropna()
+        .select(
+            F.explode(
+                F.split(F.regexp_replace("w", r"POLYGON|\(|\)", ""), r",\s*")
+            ).alias("p")
+        )
+        .select(F.split(F.trim("p"), r"\s+").alias("xy"))
+        .select(
+            F.element_at("xy", 1).cast("double").alias("x"),
+            F.element_at("xy", 2).cast("double").alias("y"),
+        )
+        .dropna()
+        .limit(max_sample)
+        .collect()
+    )
+    hull = concave_hull_wkt([(r["x"], r["y"]) for r in pts])
+    return st_transform_wkt(hull, src_epsg, dst_epsg) if src_epsg != dst_epsg else hull

@@ -170,3 +170,165 @@ def test_shoelace_parse_survives_malformed_coordinate_text(spark):
     assert areas == {1: 8.0}
     cents = {r["pid"]: (r["centroid_lon"], r["centroid_lat"]) for r in centroids(df, "pid", "wkt").collect()}
     assert set(cents) == {1} and cents[1] == (2.0, 1.0)
+
+
+def test_mercator_transform_known_points():
+    """EPSG:4326 ↔ 3857 against canonical published values."""
+    from open_energy_data_server_spark.functions.geo import transform_ring
+
+    ring = np.array([[10.0, 50.0], [0.0, 0.0], [-73.9857, 40.7484]])
+    out = transform_ring(ring, 4326, 3857)
+    # canonical spherical-mercator values (epsg.io): (10E, 50N)
+    assert out[0, 0] == pytest.approx(1113194.9079327357, rel=1e-12)
+    assert out[0, 1] == pytest.approx(6446275.841017158, rel=1e-12)
+    assert out[1, 0] == 0.0 and out[1, 1] == pytest.approx(0.0, abs=1e-9)
+    # NYC: definitionally x = R·radians(lon); y via the tan half-angle
+    import math
+
+    assert out[2, 0] == pytest.approx(
+        6378137.0 * math.radians(-73.9857), rel=1e-15
+    )
+    assert out[2, 1] == pytest.approx(
+        6378137.0 * math.log(math.tan(math.pi / 4 + math.radians(40.7484) / 2)),
+        rel=1e-15,
+    )
+    back = transform_ring(out, 3857, 4326)
+    assert np.allclose(back, ring, atol=1e-9)
+    with pytest.raises(ValueError, match="unsupported"):
+        transform_ring(ring, 4326, 25832)
+
+
+def test_mercator_columns_match_numpy(spark):
+    from open_energy_data_server_spark.functions.geo import (
+        mercator_lonlat,
+        mercator_xy,
+        transform_ring,
+    )
+
+    df = spark.createDataFrame(
+        [(10.0, 50.0), (-73.9857, 40.7484), (0.0, 0.0)], "lon double, lat double"
+    )
+    x, y = mercator_xy("lon", "lat")
+    got = df.select(x.alias("x"), y.alias("y"))
+    lon2, lat2 = mercator_lonlat("x", "y")
+    rt = got.select(lon2.alias("lon"), lat2.alias("lat")).collect()
+    for r, (lon, lat) in zip(rt, [(10.0, 50.0), (-73.9857, 40.7484), (0.0, 0.0)]):
+        assert r["lon"] == pytest.approx(lon, abs=1e-9)
+        assert r["lat"] == pytest.approx(lat, abs=1e-9)
+    xy = got.collect()
+    want = transform_ring(
+        np.array([[10.0, 50.0], [-73.9857, 40.7484], [0.0, 0.0]]), 4326, 3857
+    )
+    for r, (wx, wy) in zip(xy, want):
+        assert r["x"] == pytest.approx(wx, rel=1e-12)
+        # JVM vs numpy libm tan/log differ in the last ulp (abs floor
+        # covers lat=0, where the exact result is 0)
+        assert r["y"] == pytest.approx(wy, rel=1e-9, abs=1e-6)
+
+
+def test_simplify_ring_hand_computed():
+    """Douglas-Peucker: the notch vertex at perpendicular distance
+    0.01 survives tol=0.001 and dies at tol=0.1; corners always stay."""
+    from open_energy_data_server_spark.functions.geo import (
+        simplify_ring,
+        st_simplify_wkt,
+    )
+
+    ring = np.array(
+        [[0, 0], [5, 0.01], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float
+    )
+    fine = simplify_ring(ring, 0.001)
+    assert fine.shape == (6, 2)
+    coarse = simplify_ring(ring, 0.1)
+    assert coarse.tolist() == [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+
+    wkt = "POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))"
+    assert (
+        st_simplify_wkt(wkt, 0.1)
+        == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    )
+
+
+def test_simplify_drops_collapsed_hole_keeps_outer():
+    from open_energy_data_server_spark.functions.geo import st_simplify_wkt
+
+    wkt = (
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+        "(4 4, 4.01 4, 4.01 4.01, 4 4.01, 4 4))"
+    )
+    out = st_simplify_wkt(wkt, 0.1)
+    assert out == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    # sub-tolerance detail on the outer ring never deletes the ring
+    tiny = "POLYGON ((0 0, 0.001 0.0005, 0.002 0, 0.001 0.001, 0 0))"
+    assert out.startswith("POLYGON ((")
+    assert st_simplify_wkt(tiny, 5.0).startswith("POLYGON ((0 0")
+
+
+def test_simplify_wkt_col_distributed(spark):
+    from open_energy_data_server_spark.functions.geo import simplify_wkt_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))"),
+            (2, None),
+        ],
+        "pid int, wkt string",
+    )
+    got = {
+        r["pid"]: r["s"]
+        for r in df.select("pid", simplify_wkt_col("wkt", 0.1).alias("s")).collect()
+    }
+    assert got[1] == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert got[2] is None
+
+
+def test_hull_from_geometry_table_full_pipeline(spark):
+    """metadata_sql_helpers.sql:101-124 replica: simplify → points →
+    concave hull → transform 3857→4326. Two unit squares (in mercator
+    meters) around (10E,50N) and (11E,50N): every simplified vertex
+    must fall inside/on the returned 4326 hull."""
+    from open_energy_data_server_spark.functions.geo import (
+        hull_from_geometry_table,
+        parse_wkt_polygon,
+        points_in_polygon,
+        transform_ring,
+    )
+
+    def square(cx, cy, r=20000.0, notch=True):
+        pts = [
+            (cx - r, cy - r),
+            ((cx,), (cy - r + 5.0,))[0][0] if notch else (cx),
+            (cx + r, cy - r),
+            (cx + r, cy + r),
+            (cx - r, cy + r),
+            (cx - r, cy - r),
+        ]
+        pts[1] = (cx, cy - r + 5.0)  # 5 m notch: dies at tol 20
+        return "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in pts) + "))"
+
+    base = transform_ring(np.array([[10.0, 50.0], [11.0, 50.0]]), 4326, 3857)
+    df = spark.createDataFrame(
+        [(square(*base[0]),), (square(*base[1]),)], "wkt string"
+    )
+    hull = hull_from_geometry_table(
+        df, "wkt", simplify_tolerance=20.0, src_epsg=3857, dst_epsg=4326
+    )
+    ring = parse_wkt_polygon(hull)[0]
+    # hull is in lon/lat: roughly the 10-11E, ~49.9-50.1N box
+    assert 9.5 < ring[:, 0].min() < 10.0 and 11.0 < ring[:, 0].max() < 11.5
+    # all 8 simplified corners (transformed to 4326) are covered
+    for cx, cy in base:
+        # inset 1% toward the centre: exact corners ARE hull vertices
+        # and ray-cast is ambiguous on the boundary itself
+        corners_3857 = np.array(
+            [
+                [cx - 19800, cy - 19800],
+                [cx + 19800, cy - 19800],
+                [cx + 19800, cy + 19800],
+                [cx - 19800, cy + 19800],
+                [cx, cy],
+            ]
+        )
+        c = transform_ring(corners_3857, 3857, 4326)
+        inside = points_in_polygon([ring], c[:, 0], c[:, 1])
+        assert bool(inside.all())
