@@ -141,21 +141,29 @@ def q_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison itself is the same IEEE ops in both engines — no sqrt,
     per the engine's no-transcendentals determinism rule).
 
-    Plan: two fixed-point window sums over user_id (high-cardinality
-    series key — parallelism grows with the corpus) in ONE window
-    spec, then a codegen'd filter. No join, one exchange."""
+    Plan: per-series stats as a hash AGGREGATE (map-side partial
+    combine → only |users| skinny partial rows shuffle) joined back to
+    the events — NOT a whole-partition window, whose exchange moves
+    and SORTS every event row per series. The stats side is tiny
+    (|users| rows), so AQE broadcasts it at bench scale and the fact
+    side never shuffles at all; at 100 TB cardinalities it degrades to
+    a shuffled join on the same high-cardinality key — still sort-free
+    with AQE's shuffled-hash preference. The sums are exact fixed-point
+    bigints, so agg-then-join is bit-identical to the window form
+    (measured ~2× faster at sf0.1, PLANS.md r6)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    n = F.count(F.lit(1)).over(w).cast("double")
-    mean_v = (F.sum(_scaled("value")).over(w).cast("double") / F.lit(float(SCALE))) / n
-    ex2 = (
-        F.sum(_scaled(F.col("value") * F.col("value"))).over(w).cast("double")
-        / F.lit(float(SCALE))
-    ) / n
+    stats = ev.groupBy("user_id").agg(
+        F.sum(_scaled("value")).alias("__s1"),
+        F.sum(_scaled(F.col("value") * F.col("value"))).alias("__s2"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    mean_v = (F.col("__s1").cast("double") / F.lit(float(SCALE))) / F.col("__n")
+    ex2 = (F.col("__s2").cast("double") / F.lit(float(SCALE))) / F.col("__n")
     var_v = ex2 - mean_v * mean_v
     dev2 = (F.col("value") - mean_v) * (F.col("value") - mean_v)
     return (
-        ev.select(
+        ev.join(stats, "user_id")
+        .select(
             "event_id",
             "user_id",
             "value",
@@ -1469,7 +1477,13 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact as plain IEEE subtract/divide on window extrema
     (order-free min/max). Constant series pin to 0.5 on both engines
     instead of dividing by zero. One exchange on the series key; both
-    extrema share a single unbounded window spec."""
+    extrema share a single unbounded window spec.
+
+    Plan A/B (r6, PLANS.md): an agg+broadcast-join rewrite measured
+    0.24 s vs the window's 0.11 s at sf0.1 and 0.51 s vs 0.11 s at the
+    scale10 replica — one skinny shuffle+sort beats double-scan plus
+    broadcast build here, so the window form STAYS (the opposite call
+    from q_anomaly_outliers, where the stats side is heavier)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     mn, mx = F.min("value").over(w), F.max("value").over(w)
