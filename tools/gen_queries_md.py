@@ -23,6 +23,14 @@ lines = [
     "driver records the weaker rows+schema check and a property test pins",
     "exactness. Grouped by module. Regenerate with",
     "`python tools/gen_queries_md.py > QUERIES.md`.",
+    "",
+    "Oracle-strength policy: `q_interpolate_cubic` is the ONE query whose",
+    "oracle replays a committed fixture (`tools/gen_cubic_fixture.py`)",
+    "instead of recomputing independently — DuckDB has no spline — and it",
+    "carries a property test (`tests/test_properties.py`) proving the",
+    "spline reproduces exact cubics. Any future fixture-backed oracle MUST",
+    "carry the same property-test backing and be listed here; the default",
+    "remains an independently-computed DuckDB SQL twin.",
 ]
 for mod in sorted(by_module):
     lines += ["", f"## {mod}", "", "| query | what it verifies |", "|---|---|"]
