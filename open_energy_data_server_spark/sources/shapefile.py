@@ -221,19 +221,20 @@ def read_gdb(
     spark: SparkSession,
     gdb_dir: str,
     table: str,
-    reader,
-    total_rows: int,
-    schema: str,
+    reader=None,
+    total_rows: int = 0,
+    schema: str = "",
     rows_per_task: int = 200_000,
 ) -> DataFrame:
-    """Distributed ESRI GeoDatabase table scan through an injectable
-    range reader (SURVEY S10 — the reference's largest single scan is a
-    12.7M-row .gdb read in driver-side chunks,
-    /root/reference/crawler/nrw_kwp_waermedichte.py:61-76).
+    """Distributed ESRI GeoDatabase table scan (SURVEY S10 — the
+    reference's largest single scan is a 12.7M-row .gdb read in
+    driver-side chunks, /root/reference/crawler/nrw_kwp_waermedichte.py:61-76).
 
-    The OpenFileGDB container (a00000xx.gdbtable) is a reverse-
-    engineered format normally decoded by GDAL; neither GDAL, fiona nor
-    pyogrio ships in this container, so the per-slice decode is a seam:
+    The default per-slice decoder is the repo's own pure-Python
+    OpenFileGDB codec (``sources.gdbtable`` — .gdbtablx row index,
+    null-bitmapped row blobs, delta-varint geometry → WKT; no
+    GDAL/fiona import). The decode stays an injectable seam for the
+    corners the pure codec rejects (rasters, compressed tables):
     ``reader(gdb_dir, table, start, stop) -> pd.DataFrame`` matching
     ``schema`` (geometry as WKT), e.g. a fiona ``collection[start:stop]``
     slice when available. What IS Spark's job — and is real here — is
@@ -245,12 +246,37 @@ def read_gdb(
     reference's 12.7M rows this yields 64 parallel slices; at 100 TB
     the same plan holds with a bigger range table.
 
-    ``make_fiona_gdb_reader()`` returns a ready reader when fiona is
-    importable; otherwise inject your own."""
+    ``make_fiona_gdb_reader()`` returns a fiona-backed reader when that
+    library is importable. With the default pure reader, ``total_rows``
+    and ``schema`` may be omitted: the row count comes from the
+    .gdbtablx index and the schema is inferred from the field
+    descriptors (driver-side metadata reads, bytes not rows)."""
     from open_energy_data_server_spark.io import local_df
 
+    if reader is None:
+        from open_energy_data_server_spark.sources.gdbtable import (
+            GdbTable,
+            make_pure_gdb_reader,
+            resolve_table_file,
+        )
+
+        reader = make_pure_gdb_reader()
+        if total_rows <= 0 or not schema:
+            t = GdbTable(resolve_table_file(gdb_dir, table))
+            if total_rows <= 0:
+                total_rows = len(t._offsets)
+            if not schema:
+                spark_types = {0: "short", 1: "int", 2: "float", 3: "double",
+                               4: "string", 5: "timestamp", 6: "long",
+                               7: "string", 8: "binary", 10: "string",
+                               11: "string", 12: "string"}
+                schema = ", ".join(
+                    f"`{f.name}` {spark_types[f.ftype]}" for f in t.fields
+                )
     if total_rows <= 0:
         raise ValueError("total_rows must be positive (probe it via the reader library)")
+    if not schema:
+        raise ValueError("schema is required with an injected reader")
     slices = [
         (i, start, min(start + rows_per_task, total_rows))
         for i, start in enumerate(range(0, total_rows, rows_per_task))

@@ -13,9 +13,10 @@ test). Dimension tables (region/nation/part/supplier) stay fixed, as
 they would at any scale.
 
 Usage: PYTHONPATH=. python tools/scale_bench.py [--queries q1,q2,...]
-Writes /tmp/spark_oeds_scale10/ once (manifest-keyed) and prints one
-JSON line; use --update-scale-md to append the summary table to
-SCALE.md.
+(default: ALL registered queries — round-6 verdict item; the curated
+CORE_QUERIES list remains available via --queries core). Writes
+/tmp/spark_oeds_scale10/ once (manifest-keyed) and prints one JSON
+line; use --update-scale-md to append the summary table to SCALE.md.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ OUT_DIR = "/tmp/spark_oeds_scale10"
 
 # the queries whose scale behavior round-1 flagged or praised —
 # the families worth re-measuring an order of magnitude up
-DEFAULT_QUERIES = [
+CORE_QUERIES = [
     "q1_pricing_summary",
     "q_revenue_by_region",
     "q_join_distinct_subquery",
@@ -138,7 +139,7 @@ def generate(spark, src_dir: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--queries", default="all")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--skip-duckdb", action="store_true")
     args = ap.parse_args()
@@ -158,7 +159,12 @@ def main() -> None:
     generate(spark, args.src)
     gen_sec = round(time.perf_counter() - t0, 1)
 
-    names = [q for q in args.queries.split(",") if q]
+    if args.queries == "all":
+        names = list(QUERIES)
+    elif args.queries == "core":
+        names = list(CORE_QUERIES)
+    else:
+        names = [q for q in args.queries.split(",") if q]
     results: dict[str, dict] = {}
     for name in names:
         # held plan handle, one untimed codegen pass, min of 2 timed —
