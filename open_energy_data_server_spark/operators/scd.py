@@ -85,6 +85,7 @@ def scd2_apply(
     key_cols: list[str],
     ts_col: str,
     attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Incremental SCD2 maintenance: fold a batch of new observations
     into an existing history (the steady-state load; ``scd2_history``
@@ -103,9 +104,10 @@ def scd2_apply(
     no recompute; for touched keys the closed versions pass through
     and only the open version + the batch re-run the change collapse,
     with version numbers continuing the key's existing sequence.
-    Same-timestamp ties within the batch order by the attribute
-    values (history keeps no external tiebreak column to thread
-    through the recompute).
+    Same-timestamp ties within the batch order by ``tiebreak_cols``
+    when given (the re-opened history row carries NULL tiebreaks —
+    harmless, since the late-gate guarantees it never ties with a kept
+    batch row), else by the attribute values.
 
     Plan: one semi-join to find touched keys, the scd2_history window
     over (open ∪ batch) — all joins and the window share the key
@@ -118,10 +120,15 @@ def scd2_apply(
     hist_touched = history.join(touched, key_cols, "left_semi")
     hist_untouched = history.join(touched, key_cols, "left_anti")
 
+    tiebreak_cols = tiebreak_cols or []
     open_rows = hist_touched.filter(is_cur).select(
         *key_cols,
         *attr_cols,
         F.col("valid_from").alias(ts_col),
+        *[
+            F.lit(None).cast(updates.schema[c].dataType).alias(c)
+            for c in tiebreak_cols
+        ],
         F.col("version").alias("__base_version"),
     )
     closed_rows = hist_touched.filter(~is_cur)
@@ -136,10 +143,12 @@ def scd2_apply(
         .filter(
             F.col("__open_from").isNull() | (F.col(ts_col) > F.col("__open_from"))
         )
-        .select(*key_cols, *attr_cols, ts_col)
+        .select(*key_cols, *attr_cols, ts_col, *tiebreak_cols)
     )
     combined = open_rows.drop("__base_version").unionByName(fresh)
-    recomputed = scd2_history(combined, key_cols, ts_col, attr_cols)
+    recomputed = scd2_history(
+        combined, key_cols, ts_col, attr_cols, tiebreak_cols=tiebreak_cols
+    )
     # continue each key's version sequence: the first recomputed
     # segment IS the old open version (same valid_from) re-closed
     renumbered = (

@@ -276,6 +276,75 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2_apply",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    opened AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           {sql_ts_str("ts")} AS valid_from,
+           {sql_ts_str("LEAD(ts) OVER w")} AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version
+    FROM opened
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/scd.py scd2_apply —
+    the steady-state dimension load): the history is built from the
+    first half of the month, then the second half arrives as a batch
+    and folds in. The oracle is the FULL-stream SCD2 SQL — the
+    operator's contract is exactly that apply(history(prefix), suffix)
+    equals a from-scratch rebuild (the unit suite pins the late-drop
+    and equal-ts edge cases the clean split can't reach).
+
+    Plan: untouched keys pass through column-identical with no
+    recompute; only keys present in the batch re-run the change
+    collapse over (open version ∪ batch) — at 100 TB the window
+    touches |changed keys| rows, not the dimension."""
+    from open_energy_data_server_spark.operators.scd import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split = "2024-01-16 00:00:00"
+    hist = scd2_history(
+        ev.filter(F.col("ts") < split),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    out = scd2_apply(
+        hist,
+        ev.filter(F.col("ts") >= split).select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        ts_str("valid_from").alias("valid_from"),
+        ts_str("valid_to").alias("valid_to"),
+        "is_current",
+        "version",
+    )
+
+
+@query(
     "q_percent_rank",
     oracle="""
     SELECT s_suppkey, s_nationkey, s_acctbal,
