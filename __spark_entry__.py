@@ -40,6 +40,8 @@ _DRIVER_PRIORITY = [
     "q_active_users",
     "q_minmax_scale",
     "q_top_movers",
+    # round-6 addition (new query, no driver row yet)
+    "q_scd2_apply",
     # then the names whose latest driver row is oldest (r2/r3)
     "q_topk_per_group",
     "q_time_bucket_hourly",
