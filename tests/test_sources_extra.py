@@ -66,7 +66,7 @@ def test_grib_default_codec_rejects_garbage_and_injected_decoder(spark, tmp_path
     p = tmp_path / "g"
     p.mkdir()
     (p / "a.grib").write_bytes(b"\x01\x02\x03")
-    with pytest.raises(Exception, match="no GRIB2 messages"):
+    with pytest.raises(Exception, match="no GRIB messages"):
         read_grib(spark, str(p)).collect()
 
     def fake(raw: bytes) -> pd.DataFrame:
