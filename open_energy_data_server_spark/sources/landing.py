@@ -59,6 +59,25 @@ def land(
     with open(target, "wb") as f:
         f.write(payload)
 
+    # single-file compression first: the reference's DWD COSMO monthly
+    # files arrive as .grb.bz2 (bz2.decompress before pygrib,
+    # /root/reference/crawler/dwd.py:104-115). Spark's text readers
+    # handle .gz transparently but binaryFile (the GRIB/shapefile
+    # codec path) does not — so both decompress here.
+    if unpack and payload[:3] == b"BZh":
+        import bz2
+
+        out = target[:-4] if target.endswith(".bz2") else target + ".x"
+        with open(out, "wb") as f:
+            f.write(bz2.decompress(payload))
+        return out
+    if unpack and payload[:2] == b"\x1f\x8b":
+        import gzip
+
+        out = target[:-3] if target.endswith(".gz") else target + ".x"
+        with open(out, "wb") as f:
+            f.write(gzip.decompress(payload))
+        return out
     if unpack and zipfile.is_zipfile(target):
         extract_dir = target + ".d"
         shutil.rmtree(extract_dir, ignore_errors=True)

@@ -413,3 +413,35 @@ def test_compact_repair_leaves_sibling_tables_alone(spark, tmp_path):
     assert _os.path.isdir(sib_old) or _os.path.isdir(
         _os.path.join(schema_dir, "u")
     )
+
+
+def test_land_bz2_gz_single_file_decompress(spark, tmp_path):
+    """The DWD monthly shape: a .grb.bz2 lands decompressed so the
+    binary GRIB codec path (which Spark does NOT gunzip/bunzip2 for
+    binaryFile) reads raw message bytes; .gz likewise."""
+    import bz2 as _bz2
+    import gzip as _gzip
+
+    from open_energy_data_server_spark.sources.landing import land
+    from tests.test_grib1codec import make_grib1
+
+    raw = make_grib1([0, 10, 20, 35], ni=2, nj=2)
+    src_bz = tmp_path / "weather199501.grb.bz2"
+    src_bz.write_bytes(_bz2.compress(raw))
+    out = land(str(src_bz), str(tmp_path / "landing"), "weather199501.grb.bz2")
+    assert out.endswith("weather199501.grb")
+    from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+
+    assert len(decode_grib2(open(out, "rb").read())) == 4
+
+    src_gz = tmp_path / "data.csv.gz"
+    src_gz.write_bytes(_gzip.compress(b"a;b\n1;2\n"))
+    out2 = land(str(src_gz), str(tmp_path / "landing"), "data.csv.gz")
+    assert out2.endswith("data.csv")
+    assert open(out2, "rb").read() == b"a;b\n1;2\n"
+
+    # unpack=False keeps the raw archive
+    out3 = land(
+        str(src_bz), str(tmp_path / "landing"), "raw.bz2", unpack=False
+    )
+    assert open(out3, "rb").read()[:3] == b"BZh"
