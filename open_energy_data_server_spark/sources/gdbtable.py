@@ -118,7 +118,9 @@ class GdbTable:
         self.fields: list[GdbField] = []
         self.geom: GeomMeta | None = None
         self._parse_header()
-        self._offsets = self._parse_tablx(xbuf)
+        # parallel lists over LIVE rows: file offset + true 1-based
+        # OBJECTID (the .gdbtablx position — deleted rows leave gaps)
+        self._offsets, self._rowids = self._parse_tablx(xbuf)
 
     # --- structure -------------------------------------------------
     def _parse_header(self) -> None:
@@ -225,20 +227,21 @@ class GdbTable:
         return pos
 
     @staticmethod
-    def _parse_tablx(xbuf: bytes) -> list[int]:
+    def _parse_tablx(xbuf: bytes) -> tuple[list[int], list[int]]:
         magic, _blocks, n_rows, osize = struct.unpack_from("<4i", xbuf, 0)
         if magic != 3:
             raise ValueError("not a .gdbtablx (bad magic)")
         if osize not in (4, 5, 6):
             raise ValueError(f"unsupported .gdbtablx offset size {osize}")
-        out = []
+        offs, rowids = [], []
         pos = 16
-        for _ in range(n_rows):
+        for i in range(n_rows):
             off = int.from_bytes(xbuf[pos : pos + osize], "little")
             pos += osize
             if off != 0:  # 0 = deleted/absent row
-                out.append(off)
-        return out
+                offs.append(off)
+                rowids.append(i + 1)
+        return offs, rowids
 
     # --- rows ------------------------------------------------------
     def read_rows(self, start: int, stop: int) -> pd.DataFrame:
@@ -263,7 +266,8 @@ class GdbTable:
                         cols[f.name].append(None)
                         continue
                 if f.ftype == FIELD_OBJECTID:
-                    cols[f.name].append(rid + 1)  # not stored: implicit
+                    # not stored: implicit, = the .gdbtablx position
+                    cols[f.name].append(self._rowids[rid])
                 elif f.ftype == FIELD_INT16:
                     cols[f.name].append(struct.unpack_from("<h", blob, pos)[0])
                     pos += 2
@@ -368,19 +372,39 @@ class GdbTable:
 
 def resolve_table_file(gdb_dir: str, table: str) -> str:
     """Locate ``<table>.gdbtable`` inside a .gdb directory. The table
-    arg is the file stem (``a00000004``-style); full catalog-name
-    resolution (the a00000001 system table) stays out of scope — the
-    injectable reader covers named-layer lookups via fiona."""
+    arg is either the file stem (``a00000004``-style) or a LAYER NAME,
+    resolved through the ``a00000001`` system catalog (GDB_SystemCatalog:
+    one row per table, its Name field + OBJECTID n ↔ file ``a%08x`` of
+    n — how the reference's ``fiona.open(gdb, layer=...)`` finds its
+    12.7M-row table by name)."""
     cand = os.path.join(gdb_dir, f"{table}.gdbtable")
     if os.path.exists(cand):
         return cand
+    catalog = os.path.join(gdb_dir, "a00000001.gdbtable")
+    names: list[str] = []
+    if os.path.exists(catalog):
+        cat = GdbTable(catalog)
+        rows = cat.read_rows(0, len(cat._offsets))
+        name_col = next(
+            (f.name for f in cat.fields if f.name.lower() == "name"), None
+        )
+        if name_col is not None:
+            for oid, nm in zip(rows["OBJECTID"], rows[name_col]):
+                if nm is None:
+                    continue
+                names.append(str(nm))
+                if str(nm).lower() == table.lower():
+                    c = os.path.join(gdb_dir, f"a{int(oid):08x}.gdbtable")
+                    if os.path.exists(c):
+                        return c
     stems = sorted(
         f[: -len(".gdbtable")]
         for f in os.listdir(gdb_dir)
         if f.endswith(".gdbtable")
     )
     raise ValueError(
-        f"table {table!r} not found in {gdb_dir}; available stems: {stems}"
+        f"table {table!r} not found in {gdb_dir}; catalog names: "
+        f"{sorted(names)}; file stems: {stems}"
     )
 
 

@@ -314,3 +314,68 @@ def test_read_gdb_zero_config_infers_schema_and_count(spark, tmp_path):
     assert 5 not in rows
     assert rows[7].heat == 14.0 and rows[7].name == "n7"
     assert rows[7].SHAPE.startswith("POLYGON ((0 0, 0 10")
+
+
+def test_objectid_survives_deleted_gaps(tmp_path):
+    """Implicit OBJECTID is the .gdbtablx POSITION, not the live-row
+    index — deleted rows leave numbering gaps, exactly like ArcGIS."""
+    write_fixture_gdb(
+        tmp_path, [(i, float(i), None, None) for i in range(6)], deleted={1, 3}
+    )
+    df = GdbTable(str(tmp_path / "a00000004.gdbtable")).read_rows(0, 10)
+    assert df["OBJECTID"].tolist() == [1, 3, 5, 6]
+    assert df["kwp"].tolist() == [0, 2, 4, 5]
+
+
+def test_resolve_by_layer_name_via_system_catalog(spark, tmp_path):
+    """The reference opens its table by NAME (fiona layer=...): the
+    a00000001 GDB_SystemCatalog maps Name → OBJECTID n → file a%08x."""
+    import struct as _s
+
+    from open_energy_data_server_spark.sources.gdbtable import (
+        resolve_table_file,
+    )
+    from open_energy_data_server_spark.sources.shapefile import read_gdb
+
+    gdb = tmp_path / "nrw.gdb"
+    gdb.mkdir()
+    # catalog: OBJECTID + Name; row 4 names the data table
+    fields = (
+        _utf16_name("OBJECTID") + _utf16_name("") + bytes([6, 4, 2])
+        + _utf16_name("Name") + _utf16_name("")
+        + bytes([4]) + _s.pack("<i", 160) + bytes([1])
+    )
+    body = _s.pack("<i", 4) + bytes([0, 3, 0, 0]) + _s.pack("<h", 2) + fields
+    sec = _s.pack("<i", len(body)) + body
+    blobs = []
+    for nm in ("GDB_SystemCatalog", "GDB_DBTune", "GDB_SpatialRefs",
+               "waermedichte"):
+        enc = nm.encode("utf-8")
+        blob = bytes([0]) + w_varuint(len(enc)) + enc
+        blobs.append(_s.pack("<i", len(blob)) + blob)
+    row0 = 40 + len(sec)
+    offs, pos = [], row0
+    for b in blobs:
+        offs.append(pos)
+        pos += len(b)
+    (gdb / "a00000001.gdbtable").write_bytes(
+        _s.pack("<6i", 3, 4, 0, 5, 0, 0) + _s.pack("<q", pos)
+        + _s.pack("<q", 40) + sec + b"".join(blobs)
+    )
+    x = _s.pack("<4i", 3, 1, 4, 5) + b"".join(
+        o.to_bytes(5, "little") for o in offs
+    ) + b"\x00" * (5 * 1020)
+    (gdb / "a00000001.gdbtablx").write_bytes(x)
+
+    write_fixture_gdb(gdb, [(i, i * 1.0, None, SQUARE) for i in range(7)])
+
+    assert resolve_table_file(str(gdb), "waermedichte").endswith(
+        "a00000004.gdbtable"
+    )
+    assert resolve_table_file(str(gdb), "WaermeDichte").endswith(
+        "a00000004.gdbtable"
+    )
+    with pytest.raises(ValueError, match="catalog names"):
+        resolve_table_file(str(gdb), "nope")
+    df = read_gdb(spark, str(gdb), "waermedichte", rows_per_task=3)
+    assert df.count() == 7
