@@ -19,17 +19,17 @@ FLAGSHIP = "q1_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's per-round correctness harness checks queries in
-# registration order (first 50). Round-6 rotation: the ten names
-# that have never received a driver correctness row lead (verified
-# locally at sf0.01 + sf0.1 in rounds 4-5, but the union in
-# CORRECTNESS_r01..r05 lacks them), then the 50 names whose latest
-# driver green is oldest (one r2 row, the rest r3) — the first 40
-# of those fill the remaining window slots; the tail plus the r4
-# block rotates in round 7. Round-7 rotation: recompute the oldest
-# set from the union of CORRECTNESS_r*.json — do not trust this
-# comment's counts.
+# registration order (first 50). This list is GENERATED — rerun
+#   PYTHONPATH=. python tools/rotate_driver_priority.py
+# at the start of every round (after the new CORRECTNESS_r*.json
+# lands): never-driver-checked names lead, then every checked name
+# stalest-latest-green first, so the 50-slot window always covers
+# the unchecked set plus the oldest rows and no row ages past ~2
+# rounds. Do not hand-edit the ordering; add brand-new queries by
+# registering them (the tool folds them in on the next rotation) —
+# or rerun the tool immediately if they must be checked this round.
 _DRIVER_PRIORITY = [
-    # never driver-checked (added round 5, past that round's window)
+    # never driver-checked (no CORRECTNESS_r* row)
     "q_rfm_segmentation",
     "q_shipping_lag",
     "q_basket_pairs",
@@ -40,59 +40,158 @@ _DRIVER_PRIORITY = [
     "q_active_users",
     "q_minmax_scale",
     "q_top_movers",
-    # round-6 addition (new query, no driver row yet)
     "q_scd2_apply",
-    # then the names whose latest driver row is oldest (r2/r3)
-    "q_topk_per_group",
-    "q_time_bucket_hourly",
-    "q_multi_measure_by_type",
-    "q_watermark_probe",
-    "q_distinct_dims",
-    "q_dedup_keep_first",
-    "q_value_histogram",
-    "q_catalog_stats",
-    "q_net_generation",
-    "q_union_cte_count",
-    "q_json_extract_agg",
-    "q_approx_distinct_kmv",
-    "q_rollup_revenue",
-    "q_quantiles_disc",
-    "q_corr_regression",
-    "q_skew_salted_agg",
-    "q_postgrest_filter_project",
-    "q_postgrest_aggregate",
-    "q_postgrest_in_like",
-    "q_stored_procedure_view",
-    "q_extract_year_filter",
-    "q_join_distinct_subquery",
-    "q_grafana_panel",
-    "q_point_in_polygon",
-    "q_weather_shape_rollup",
-    "q_polygon_centroids",
-    "q_wkt_to_geojson",
-    "q_tumbling_window_6h",
-    "q_sliding_window_1h30m",
-    "q_session_windows",
-    "q_revenue_by_region",
-    "q_shipping_priority_top10",
-    "q_customers_with_orders",
-    "q_customers_without_orders",
-    "q_incremental_since_watermark",
-    "q_multiway_full_outer",
-    "q_neighbour_pairs",
-    "q_union_distinct",
-    "q_range_join_fiscal_windows",
-    "q_intersect_except",
-    "q_ann_bruteforce_topk",
-    "q_ann_lsh_buckets",
-    "q_multimodal_decode",
-    "q_dedup_embedding_cosine",
-    "q_decontaminate",
-    "q_pii_scrub",
-    "q_domain_stats",
-    "q_timestamp_assembly",
-    "q_interpolate_linear",
-    "q_rolling_1h_window",
+    # checked names, stalest latest-green first (as of r05)
+    "q_topk_per_group",  # r2
+    "q_time_bucket_hourly",  # r3
+    "q_multi_measure_by_type",  # r3
+    "q_watermark_probe",  # r3
+    "q_distinct_dims",  # r3
+    "q_dedup_keep_first",  # r3
+    "q_value_histogram",  # r3
+    "q_catalog_stats",  # r3
+    "q_net_generation",  # r3
+    "q_union_cte_count",  # r3
+    "q_json_extract_agg",  # r3
+    "q_approx_distinct_kmv",  # r3
+    "q_rollup_revenue",  # r3
+    "q_quantiles_disc",  # r3
+    "q_corr_regression",  # r3
+    "q_skew_salted_agg",  # r3
+    "q_postgrest_filter_project",  # r3
+    "q_postgrest_aggregate",  # r3
+    "q_postgrest_in_like",  # r3
+    "q_stored_procedure_view",  # r3
+    "q_extract_year_filter",  # r3
+    "q_join_distinct_subquery",  # r3
+    "q_grafana_panel",  # r3
+    "q_point_in_polygon",  # r3
+    "q_weather_shape_rollup",  # r3
+    "q_polygon_centroids",  # r3
+    "q_wkt_to_geojson",  # r3
+    "q_tumbling_window_6h",  # r3
+    "q_sliding_window_1h30m",  # r3
+    "q_session_windows",  # r3
+    "q_revenue_by_region",  # r3
+    "q_shipping_priority_top10",  # r3
+    "q_customers_with_orders",  # r3
+    "q_customers_without_orders",  # r3
+    "q_incremental_since_watermark",  # r3
+    "q_multiway_full_outer",  # r3
+    "q_neighbour_pairs",  # r3
+    "q_union_distinct",  # r3
+    "q_range_join_fiscal_windows",  # r3
+    "q_intersect_except",  # r3
+    "q_ann_bruteforce_topk",  # r3
+    "q_ann_lsh_buckets",  # r3
+    "q_multimodal_decode",  # r3
+    "q_dedup_embedding_cosine",  # r3
+    "q_decontaminate",  # r3
+    "q_pii_scrub",  # r3
+    "q_domain_stats",  # r3
+    "q_timestamp_assembly",  # r3
+    "q_interpolate_linear",  # r3
+    "q_rolling_1h_window",  # r3
+    "q_quantiles_cont",  # r4
+    "q_stream_stream_join",  # r4
+    "q_ann_ivf_probe",  # r4
+    "q_semdedup_pairs",  # r4
+    "q_image_dhash",  # r4
+    "q_kmeans_refine",  # r4
+    "q_text_stats",  # r4
+    "q_lang_id",  # r4
+    "q_dedup_exact",  # r4
+    "q_dedup_ngram_jaccard",  # r4
+    "q_minhash_signatures",  # r4
+    "q_dedup_minhash_lsh",  # r4
+    "q_simhash",  # r4
+    "q_simhash_pairs",  # r4
+    "q_doc_fingerprint_winnow",  # r4
+    "q_stratified_sample",  # r4
+    "q_token_pack",  # r4
+    "q_quality_filters",  # r4
+    "q_curation_pipeline",  # r4
+    "q_sample_fixed_k",  # r4
+    "q_boilerplate_strip",  # r4
+    "q_duplicate_spans",  # r4
+    "q_dedup_groups",  # r4
+    "q_mixture_sample",  # r4
+    "q_dedup_purge",  # r4
+    "q_remove_duplicate_spans",  # r4
+    "q1_pricing_summary",  # r4
+    "q_melt_part_measures",  # r4
+    "q_melt_wide_chunked",  # r4
+    "q_suffix_melt",  # r4
+    "q_pivot_event_counts",  # r4
+    "q_asof_rate_join",  # r4
+    "q_sanitize_columns",  # r4
+    "q_locale_number_parse",  # r4
+    "q_case_when_classify",  # r4
+    "q_string_kit",  # r4
+    "q_date_arithmetic",  # r4
+    "q_tz_roundtrip",  # r4
+    "q_unit_conversions",  # r4
+    "q_interpolate_cubic",  # r4
+    "q_null_handling",  # r4
+    "q_tfidf_topk",  # r4
+    "q_bm25_search",  # r4
+    "q_familiarity_buckets",  # r4
+    "q_quality_classifier",  # r4
+    "q_lag_diff_decumulate",  # r4
+    "q_latest_per_user",  # r4
+    "q_ffill_bfill",  # r4
+    "q_running_sum",  # r4
+    "q_snapshot_at_latest",  # r4
+    "q_cms_heavy_hitters",  # r5
+    "q_grouping_sets",  # r5
+    "q_heatmap_dow_hour",  # r5
+    "q_week_over_week",  # r5
+    "q_fuzzy_dedup_names",  # r5
+    "q_load_duration_curve",  # r5
+    "q_anomaly_outliers",  # r5
+    "q_pagerank",  # r5
+    "q_capacity_factor",  # r5
+    "q_ramp_rate",  # r5
+    "q_funnel_steps",  # r5
+    "q_retention_cohorts",  # r5
+    "q_data_gaps",  # r5
+    "q_seasonal_naive_error",  # r5
+    "q_event_transitions",  # r5
+    "q_referential_audit",  # r5
+    "q_share_of_total",  # r5
+    "q_session_entry_paths",  # r5
+    "q_rolling_correlation",  # r5
+    "q_peak_offpeak",  # r5
+    "q_degree_days",  # r5
+    "q_vwap",  # r5
+    "q_max_drawdown",  # r5
+    "q_keyset_pagination",  # r5
+    "q_market_hhi",  # r5
+    "q_abc_classification",  # r5
+    "q_benford_audit",  # r5
+    "q_calendar_scaffold",  # r5
+    "q_gini_coefficient",  # r5
+    "q_nearest_station",  # r5
+    "q_polygon_area",  # r5
+    "q_pq_encode",  # r5
+    "q_pq_adc_topk",  # r5
+    "q_bigram_lm_score",  # r5
+    "q_shuffle_shards",  # r5
+    "q_train_val_test_split",  # r5
+    "q_weighted_sample",  # r5
+    "q_top_ngrams",  # r5
+    "q_vocab_overlap",  # r5
+    "q_chunk_documents",  # r5
+    "q_char_diversity",  # r5
+    "q_snapshot_diff",  # r5
+    "q_table_fingerprint",  # r5
+    "q_accent_fold",  # r5
+    "q_scd2_history",  # r5
+    "q_percent_rank",  # r5
+    "q_weighted_moving_average",  # r5
+    "q_runs_detection",  # r5
+    "q_mode_per_group",  # r5
+    "q_ewma",  # r5
 ]
 
 
