@@ -8,9 +8,12 @@ subset those crawlers actually produce/consume:
 
 - Section 3 grid template 3.0 (regular latitude/longitude grid) — the
   ECMWF open-data and DWD ICON-EU regular grids.
-- Section 5 data representation template 5.0 (simple packing):
+- Section 5 data representation templates 5.0 (simple packing:
   ``value = (R + X · 2^E) / 10^D`` with X an unsigned big-endian
-  bit-field of ``nbits`` per point.
+  bit-field of ``nbits`` per point), 5.2 (complex packing: group
+  references + per-group widths/lengths), and 5.3 (complex packing
+  with first/second-order spatial differencing — the NCEP operational
+  encoding).
 - Section 6 bitmap indicator 0 (bitmap present) and 255 (none).
 - Multi-message files (each hour/variable is its own GRIB message,
   concatenated — the DWD download shape).
@@ -23,8 +26,9 @@ GRIB edition 1 messages (the DWD COSMO REA6 shape, dwd.py:120-147)
 dispatch to the sibling pure codec ``sources.grib1codec`` — mixed-
 edition files decode transparently. Deliberately NOT implemented
 (raise ValueError, callers inject cfgrib via the ``decoder=`` seam
-instead): spectral/complex packings (5.2, 5.3, 5.40 JPEG2000, 5.42
-CCSDS), non-latlon grids (Gaussian, Lambert).
+instead): spectral packing, 5.40 JPEG2000, 5.42 CCSDS, embedded
+missing-value management in complex packing, non-latlon grids
+(Gaussian, Lambert).
 """
 
 from __future__ import annotations
@@ -89,6 +93,109 @@ def _unpack_bits(data: bytes, n_values: int, nbits: int) -> np.ndarray:
     return bits[:need].reshape(n_values, nbits).astype(np.float64) @ weights
 
 
+def _parse_complex_drs(body: bytes, template: int) -> dict:
+    """Section-5 fields shared by templates 5.2 (complex packing) and
+    5.3 (complex packing with spatial differencing), per the WMO
+    template tables. Missing-value management (octet 23) beyond
+    'none' stays unsupported — rare outside ocean masks, and those
+    files carry a section-6 bitmap instead."""
+    if body[22] != 0:
+        raise ValueError(
+            "GRIB2 complex packing with embedded missing-value management "
+            f"({body[22]}) unsupported; inject a cfgrib decoder"
+        )
+    meta = {
+        "split_method": body[21],
+        "ng": _u(body, 31, 4),
+        "width_ref": body[35],
+        "width_bits": body[36],
+        "len_ref": _u(body, 37, 4),
+        "len_inc": body[41],
+        "len_last": _u(body, 42, 4),
+        "len_bits": body[46],
+        "order": 0,
+        "extra_octets": 0,
+    }
+    if template == 3:
+        meta["order"] = body[47]
+        meta["extra_octets"] = body[48]
+        if meta["order"] not in (1, 2):
+            raise ValueError(
+                f"spatial differencing order {meta['order']} unsupported (1 or 2)"
+            )
+    return meta
+
+
+def _unpack_fields(bits: np.ndarray, pos: int, n: int, width: int) -> tuple[np.ndarray, int]:
+    """n consecutive big-endian unsigned fields of ``width`` bits from
+    a pre-unpacked bit array; returns (values, new bit position)."""
+    if width == 0:
+        return np.zeros(n, dtype=np.int64), pos
+    need = n * width
+    if pos + need > bits.size:
+        raise ValueError("GRIB2 complex data section too short")
+    weights = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+    vals = bits[pos : pos + need].reshape(n, width).astype(np.int64) @ weights
+    return vals, pos + need
+
+
+def _unpack_complex(data: bytes, n_points: int, nbits: int, meta: dict) -> np.ndarray:
+    """Section-7 payload for templates 7.2/7.3: group reference values,
+    group widths, scaled group lengths (each array padded to a byte
+    boundary), then each group's deltas at its own width. 7.3 prepends
+    the first value(s) and the overall minimum of the differenced
+    stream (sign-magnitude, ``extra_octets`` wide), and the decoded
+    stream is un-differenced at the declared order."""
+    order, extra = meta["order"], meta["extra_octets"]
+    off = 0
+    ivals: list[int] = []
+    gmin = 0
+    if order:
+        if extra == 0:
+            raise ValueError("GRIB2 template 5.3 with zero extra octets")
+        for _ in range(order):
+            ivals.append(_sign_magnitude(_u(data, off, extra), 8 * extra))
+            off += extra
+        gmin = _sign_magnitude(_u(data, off, extra), 8 * extra)
+        off += extra
+    bits = np.unpackbits(np.frombuffer(data[off:], dtype=np.uint8))
+    ng = meta["ng"]
+    pos = 0
+    refs, pos = _unpack_fields(bits, pos, ng, nbits)
+    pos = (pos + 7) & ~7  # arrays pad to byte boundaries
+    widths, pos = _unpack_fields(bits, pos, ng, meta["width_bits"])
+    widths = widths + meta["width_ref"]
+    pos = (pos + 7) & ~7
+    lens, pos = _unpack_fields(bits, pos, ng, meta["len_bits"])
+    lens = lens * meta["len_inc"] + meta["len_ref"]
+    if ng:
+        lens[-1] = meta["len_last"]
+    pos = (pos + 7) & ~7
+    if int(lens.sum()) != n_points:
+        raise ValueError(
+            f"GRIB2 group lengths sum to {int(lens.sum())}, expected {n_points}"
+        )
+    out = np.empty(n_points, dtype=np.int64)
+    at = 0
+    for g in range(ng):
+        n, w = int(lens[g]), int(widths[g])
+        if w == 0:
+            out[at : at + n] = refs[g]
+        else:
+            vals, pos = _unpack_fields(bits, pos, n, w)
+            out[at : at + n] = vals + refs[g]
+        at += n
+    if order:
+        out += gmin
+        out[:order] = ivals
+        if order == 1:
+            out = np.cumsum(out)
+        else:  # order 2: x[i] = d[i] + 2x[i-1] - x[i-2]
+            for i in range(2, n_points):
+                out[i] += 2 * out[i - 1] - out[i - 2]
+    return out.astype(np.float64)
+
+
 def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     """Decode one GRIB2 message starting at ``start``; return
     (long-frame, offset-after-message)."""
@@ -111,6 +218,8 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     lat1 = lon1 = dlat = dlon = None
     scan_neg_j = True
     r_ref = 0.0
+    drs_template = 0
+    complex_meta: dict | None = None
     e_scale = d_scale = 0
     nbits = 0
     n_points = 0
@@ -157,15 +266,19 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
         elif sec_num == 5:
             n_points = _u(body, 5, 4)
             template = _u(body, 9, 2)
-            if template != 0:
+            if template not in (0, 2, 3):
                 raise ValueError(
                     f"data representation template 5.{template} unsupported (only "
-                    "5.0 simple packing); inject a cfgrib decoder for this file"
+                    "5.0 simple / 5.2 complex / 5.3 complex+spatial-diff); "
+                    "inject a cfgrib decoder for this file"
                 )
+            drs_template = template
             r_ref = struct.unpack(">f", body[11:15])[0]
             e_scale = _sign_magnitude(_u(body, 15, 2), 16)
             d_scale = _sign_magnitude(_u(body, 17, 2), 16)
             nbits = body[19]
+            if template in (2, 3):
+                complex_meta = _parse_complex_drs(body, template)
         elif sec_num == 6:
             indicator = body[5]
             if indicator == 0:
@@ -177,7 +290,10 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
         elif sec_num == 7:
             if ni is None or ref_time is None:
                 raise ValueError("GRIB2 data section before grid/identification")
-            packed = _unpack_bits(body[5:], n_points, nbits)
+            if drs_template in (2, 3):
+                packed = _unpack_complex(body[5:], n_points, nbits, complex_meta)
+            else:
+                packed = _unpack_bits(body[5:], n_points, nbits)
             values = (r_ref + packed * (2.0**e_scale)) / (10.0**d_scale)
             n_grid = ni * nj
             if bitmap is not None:
