@@ -6,8 +6,10 @@ codec so the ECMWF/DWD weather path decodes without cfgrib/pygrib
 those C libraries; neither ships in this container). Scope is the
 subset those crawlers actually produce/consume:
 
-- Section 3 grid template 3.0 (regular latitude/longitude grid) — the
-  ECMWF open-data and DWD ICON-EU regular grids.
+- Section 3 grid templates 3.0 (regular latitude/longitude — the
+  ECMWF open-data and DWD ICON-EU regular grids) and 3.40 (REGULAR
+  Gaussian — the native IFS grid; row latitudes from Gauss-Legendre
+  quadrature nodes, subarea rows selected nearest La1).
 - Section 5 data representation templates 5.0 (simple packing:
   ``value = (R + X · 2^E) / 10^D`` with X an unsigned big-endian
   bit-field of ``nbits`` per point), 5.2 (complex packing: group
@@ -27,8 +29,8 @@ dispatch to the sibling pure codec ``sources.grib1codec`` — mixed-
 edition files decode transparently. Deliberately NOT implemented
 (raise ValueError, callers inject cfgrib via the ``decoder=`` seam
 instead): spectral packing, 5.40 JPEG2000, 5.42 CCSDS, embedded
-missing-value management in complex packing, non-latlon grids
-(Gaussian, Lambert).
+missing-value management in complex packing, REDUCED Gaussian grids
+(per-row point counts), Lambert/polar projections.
 """
 
 from __future__ import annotations
@@ -91,6 +93,26 @@ def _unpack_bits(data: bytes, n_values: int, nbits: int) -> np.ndarray:
         raise ValueError(f"GRIB2 data section too short: {bits.size} bits < {need}")
     weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.float64)
     return bits[:need].reshape(n_values, nbits).astype(np.float64) @ weights
+
+
+def _gaussian_latitudes(
+    n: int, lat1: float, nj: int, north_to_south: bool
+) -> np.ndarray:
+    """Row latitudes of a regular Gaussian grid of number N: the 2N
+    Gauss-Legendre quadrature nodes mapped through arcsin (the grid
+    ECMWF's IFS runs on). A subarea takes the ``nj`` consecutive
+    Gaussian rows starting at the one nearest La1, in scan order."""
+    nodes, _ = np.polynomial.legendre.leggauss(2 * n)
+    glats = np.degrees(np.arcsin(np.sort(nodes)))  # ascending
+    if north_to_south:
+        glats = glats[::-1]
+    start = int(np.argmin(np.abs(glats - lat1)))
+    if start + nj > glats.size:
+        raise ValueError(
+            f"Gaussian grid N={n}: {nj} rows from La1={lat1} overrun the "
+            f"{glats.size} quadrature latitudes"
+        )
+    return glats[start : start + nj]
 
 
 def _parse_complex_drs(body: bytes, template: int) -> dict:
@@ -220,6 +242,7 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     r_ref = 0.0
     drs_template = 0
     complex_meta: dict | None = None
+    gauss_n = 0
     e_scale = d_scale = 0
     nbits = 0
     n_points = 0
@@ -242,14 +265,26 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
             )
         elif sec_num == 3:
             template = _u(body, 12, 2)
-            if template != 0:
-                raise ValueError(f"grid template 3.{template} unsupported (only 3.0)")
+            if template not in (0, 40):
+                raise ValueError(
+                    f"grid template 3.{template} unsupported (3.0 latlon / "
+                    "3.40 regular Gaussian)"
+                )
+            if template == 40 and body[10] != 0:
+                raise ValueError(
+                    "reduced Gaussian grid (per-row point counts) unsupported; "
+                    "inject a cfgrib decoder"
+                )
             ni = _u(body, 30, 4)
             nj = _u(body, 34, 4)
             lat1 = _s(body, 46, 4) / 1e6
             lon1 = _u(body, 50, 4) / 1e6
             dlon = _u(body, 63, 4) / 1e6
-            dlat = _u(body, 67, 4) / 1e6
+            # 3.40 reinterprets octets 68-71 as N (parallels between a
+            # pole and the equator); the row latitudes become the 2N
+            # Gaussian quadrature latitudes instead of a fixed step
+            gauss_n = _u(body, 67, 4) if template == 40 else 0
+            dlat = 0.0 if template == 40 else _u(body, 67, 4) / 1e6
             scan = body[71]
             # scanning-mode flags (table 3.4): bit 1 → −i, bit 2 → +j
             if scan & 0x80:
@@ -302,7 +337,10 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
                 values = full
             elif values.size != n_grid:
                 raise ValueError(f"{values.size} values for {n_grid} grid points")
-            lats = lat1 + (-dlat if scan_neg_j else dlat) * np.arange(nj)
+            if gauss_n:
+                lats = _gaussian_latitudes(gauss_n, lat1, nj, scan_neg_j)
+            else:
+                lats = lat1 + (-dlat if scan_neg_j else dlat) * np.arange(nj)
             lons = (lon1 + dlon * np.arange(ni)) % 360.0
             var = PARAM_NAMES.get(
                 (discipline, category, number),

@@ -210,3 +210,73 @@ def test_complex_packing_length_mismatch_rejected():
         off += ln
     with pytest.raises(ValueError, match="group lengths sum"):
         decode_grib2(bytes(raw))
+
+
+def _patch_to_gaussian(raw: bytes, n: int) -> bytes:
+    """Rewrite a make_grib2 message's section 3 from template 3.0 to
+    3.40: template number 40, octets 68-71 = N (replacing Dj)."""
+    out = bytearray(raw)
+    off = 16
+    while True:
+        ln = int.from_bytes(out[off : off + 4], "big")
+        if out[off + 4] == 3:
+            out[off + 12 : off + 14] = (40).to_bytes(2, "big")
+            out[off + 67 : off + 71] = n.to_bytes(4, "big")
+            break
+        off += ln
+    return bytes(out)
+
+
+def test_gaussian_grid_latitudes_closed_form():
+    """N=2 → 4 rows at the P4 Legendre roots: lat = ±asin(sqrt(
+    (30 ± sqrt(480))/70)) — closed-form quartic roots, independent of
+    numpy's quadrature routine."""
+    import math
+
+    lat_outer = math.degrees(math.asin(math.sqrt((30 + math.sqrt(480)) / 70)))
+    lat_inner = math.degrees(math.asin(math.sqrt((30 - math.sqrt(480)) / 70)))
+    want = [lat_outer, lat_inner, -lat_inner, -lat_outer]  # north → south
+
+    base = make_grib2(
+        list(range(8)), ni=2, nj=4,
+        lat1=lat_outer, lon1=0.0, dlon=180.0,
+        r_ref=0.0, e_scale=0, d_scale=0,
+    )
+    df = decode_grib2(_patch_to_gaussian(base, 2))
+    got = sorted(set(df["latitude"]), reverse=True)
+    assert len(got) == 4
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-9)
+    # values land row-major north→south
+    row0 = df[df["latitude"] == got[0]].sort_values("longitude")
+    assert row0["value"].tolist() == [0.0, 1.0]
+
+
+def test_gaussian_subarea_rows():
+    """nj < 2N: rows start at the Gaussian latitude nearest La1."""
+    import math
+
+    lat_inner = math.degrees(math.asin(math.sqrt((30 - math.sqrt(480)) / 70)))
+    base = make_grib2(
+        [1, 2, 3, 4], ni=2, nj=2,
+        lat1=lat_inner, lon1=0.0, dlon=90.0,
+        r_ref=0.0, e_scale=0, d_scale=0,
+    )
+    df = decode_grib2(_patch_to_gaussian(base, 2))
+    got = sorted(set(df["latitude"]), reverse=True)
+    assert got[0] == pytest.approx(lat_inner, abs=1e-9)
+    assert got[1] == pytest.approx(-lat_inner, abs=1e-9)
+
+
+def test_reduced_gaussian_rejected():
+    base = make_grib2([1], ni=1, nj=1)
+    out = bytearray(_patch_to_gaussian(base, 2))
+    off = 16
+    while True:
+        ln = int.from_bytes(out[off : off + 4], "big")
+        if out[off + 4] == 3:
+            out[off + 10] = 4  # optional per-row list present
+            break
+        off += ln
+    with pytest.raises(ValueError, match="reduced Gaussian"):
+        decode_grib2(bytes(out))
