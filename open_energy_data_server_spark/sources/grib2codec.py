@@ -7,9 +7,11 @@ those C libraries; neither ships in this container). Scope is the
 subset those crawlers actually produce/consume:
 
 - Section 3 grid templates 3.0 (regular latitude/longitude — the
-  ECMWF open-data and DWD ICON-EU regular grids) and 3.40 (REGULAR
-  Gaussian — the native IFS grid; row latitudes from Gauss-Legendre
-  quadrature nodes, subarea rows selected nearest La1).
+  ECMWF open-data and DWD ICON-EU regular grids) and 3.40 Gaussian —
+  the native IFS grid, REGULAR and REDUCED (per-row point counts via
+  the optional grid-definition list; ragged rows melt naturally into
+  the long output); row latitudes from Gauss-Legendre quadrature
+  nodes, subarea rows selected nearest La1.
 - Section 5 data representation templates 5.0 (simple packing:
   ``value = (R + X · 2^E) / 10^D`` with X an unsigned big-endian
   bit-field of ``nbits`` per point), 5.2 (complex packing: group
@@ -29,8 +31,8 @@ dispatch to the sibling pure codec ``sources.grib1codec`` — mixed-
 edition files decode transparently. Deliberately NOT implemented
 (raise ValueError, callers inject cfgrib via the ``decoder=`` seam
 instead): spectral packing, 5.40 JPEG2000, 5.42 CCSDS, embedded
-missing-value management in complex packing, REDUCED Gaussian grids
-(per-row point counts), Lambert/polar projections.
+missing-value management in complex packing, Lambert/polar
+projections.
 """
 
 from __future__ import annotations
@@ -243,6 +245,7 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     drs_template = 0
     complex_meta: dict | None = None
     gauss_n = 0
+    row_ni: np.ndarray | None = None
     e_scale = d_scale = 0
     nbits = 0
     n_points = 0
@@ -270,13 +273,23 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
                     f"grid template 3.{template} unsupported (3.0 latlon / "
                     "3.40 regular Gaussian)"
                 )
-            if template == 40 and body[10] != 0:
-                raise ValueError(
-                    "reduced Gaussian grid (per-row point counts) unsupported; "
-                    "inject a cfgrib decoder"
-                )
             ni = _u(body, 30, 4)
             nj = _u(body, 34, 4)
+            # REDUCED Gaussian (ECMWF's native O-grid): an optional
+            # list (octet 11 = entry width, octet 12 = interpretation 1
+            # "points per row") follows the template body at octet 73;
+            # Ni itself is coded missing. Rows are ragged — which the
+            # melted (lat, lon, value) output absorbs naturally.
+            if body[10] != 0:
+                if template != 40 or body[11] != 1:
+                    raise ValueError(
+                        "optional grid-definition list only supported as "
+                        "points-per-row on Gaussian grids; inject cfgrib"
+                    )
+                w = body[10]
+                row_ni = np.array(
+                    [_u(body, 72 + k * w, w) for k in range(nj)], dtype=np.int64
+                )
             lat1 = _s(body, 46, 4) / 1e6
             lon1 = _u(body, 50, 4) / 1e6
             dlon = _u(body, 63, 4) / 1e6
@@ -330,18 +343,31 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
             else:
                 packed = _unpack_bits(body[5:], n_points, nbits)
             values = (r_ref + packed * (2.0**e_scale)) / (10.0**d_scale)
-            n_grid = ni * nj
+            if gauss_n:
+                row_lats = _gaussian_latitudes(gauss_n, lat1, nj, scan_neg_j)
+            else:
+                row_lats = lat1 + (-dlat if scan_neg_j else dlat) * np.arange(nj)
+            if row_ni is not None:
+                # ragged rows: each circle holds Ni(j) evenly spaced
+                # points starting at Lo1 (the global O-grid layout)
+                grid_lat = np.repeat(row_lats, row_ni)
+                grid_lon = np.concatenate(
+                    [
+                        (lon1 + np.arange(k) * (360.0 / k)) % 360.0
+                        for k in row_ni
+                    ]
+                )
+                n_grid = int(row_ni.sum())
+            else:
+                grid_lat = np.repeat(row_lats, ni)
+                grid_lon = np.tile((lon1 + dlon * np.arange(ni)) % 360.0, nj)
+                n_grid = ni * nj
             if bitmap is not None:
                 full = np.full(n_grid, np.nan)
                 full[bitmap[:n_grid]] = values
                 values = full
             elif values.size != n_grid:
                 raise ValueError(f"{values.size} values for {n_grid} grid points")
-            if gauss_n:
-                lats = _gaussian_latitudes(gauss_n, lat1, nj, scan_neg_j)
-            else:
-                lats = lat1 + (-dlat if scan_neg_j else dlat) * np.arange(nj)
-            lons = (lon1 + dlon * np.arange(ni)) % 360.0
             var = PARAM_NAMES.get(
                 (discipline, category, number),
                 f"d{discipline}c{category}n{number}",
@@ -351,8 +377,8 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
                     {
                         "time": pd.Timestamp(ref_time + lead),
                         # i varies fastest (scan-mode row-major)
-                        "latitude": np.repeat(lats, ni),
-                        "longitude": np.tile(lons, nj),
+                        "latitude": grid_lat,
+                        "longitude": grid_lon,
                         "variable": var,
                         "value": values,
                     }

@@ -268,15 +268,46 @@ def test_gaussian_subarea_rows():
     assert got[1] == pytest.approx(-lat_inner, abs=1e-9)
 
 
-def test_reduced_gaussian_rejected():
-    base = make_grib2([1], ni=1, nj=1)
-    out = bytearray(_patch_to_gaussian(base, 2))
-    off = 16
-    while True:
-        ln = int.from_bytes(out[off : off + 4], "big")
-        if out[off + 4] == 3:
-            out[off + 10] = 4  # optional per-row list present
-            break
+def test_reduced_gaussian_decodes_ragged_rows():
+    """The ECMWF O-grid shape: per-row point counts in the optional
+    list (octet 11 = entry width, octet 12 = interpretation 1), rows
+    ragged, each circle evenly spaced from Lo1."""
+    import math
+
+    row_ni = [2, 4, 4, 2]
+    xs = list(range(sum(row_ni)))
+    base = make_grib2(xs, ni=1, nj=4, lat1=59.4444, lon1=0.0,
+                      r_ref=0.0, e_scale=0, d_scale=0)
+    out, off = [base[:16]], 16
+    while off < len(base) - 4:
+        ln = int.from_bytes(base[off : off + 4], "big")
+        sec = bytearray(base[off : off + ln])
+        if sec[4] == 3:
+            sec[12:14] = (40).to_bytes(2, "big")  # template 3.40
+            sec[67:71] = (2).to_bytes(4, "big")  # N = 2
+            sec[30:34] = b"\xff\xff\xff\xff"  # Ni missing
+            sec[10] = 2  # 2 octets per list entry
+            sec[11] = 1  # interpretation: points per row
+            sec = sec[:72] + b"".join(
+                k.to_bytes(2, "big") for k in row_ni
+            ) + sec[72:]
+            sec[0:4] = len(sec).to_bytes(4, "big")
+        out.append(bytes(sec))
         off += ln
-    with pytest.raises(ValueError, match="reduced Gaussian"):
-        decode_grib2(bytes(out))
+    total = sum(len(p) for p in out) + 4
+    out[0] = b"GRIB" + b"\x00\x00" + bytes([base[6], 2]) + total.to_bytes(8, "big")
+    df = decode_grib2(b"".join(out) + b"7777")
+    assert len(df) == 12
+    lat_outer = math.degrees(math.asin(math.sqrt((30 + math.sqrt(480)) / 70)))
+    lat_inner = math.degrees(math.asin(math.sqrt((30 - math.sqrt(480)) / 70)))
+    counts = df.groupby("latitude").size().sort_index(ascending=False)
+    assert counts.tolist() == row_ni
+    assert counts.index[0] == pytest.approx(lat_outer, abs=1e-9)
+    assert counts.index[1] == pytest.approx(lat_inner, abs=1e-9)
+    # first (northern, 2-point) row: lons 0 and 180; values row-major
+    row0 = df[df["latitude"] == counts.index[0]].sort_values("longitude")
+    assert row0["longitude"].tolist() == [0.0, 180.0]
+    assert row0["value"].tolist() == [0.0, 1.0]
+    # a 4-point row: lons every 90 degrees
+    row1 = df[df["latitude"] == counts.index[1]].sort_values("longitude")
+    assert row1["longitude"].tolist() == [0.0, 90.0, 180.0, 270.0]
