@@ -10,7 +10,8 @@ The reference exposes every table via PostgREST
 Grammar covered (the subset the reference's docs/examples use, plus
 ``in``/``is``/``like``/``not`` from the same spec family):
 - filters: ``col=eq.v | neq | gt | gte | lt | lte | like.pat |
-  in.(a,b,c) | is.null | not.<op>.v``
+  in.(a,b,c) | is.null | not.<op>.v``; logic trees ``or=(...)`` /
+  ``and=(...)`` with one nesting level (``or=(and(...),c.eq.v)``)
 - ``select``: columns, ``col:alias``, aggregates ``col.sum()/avg()/
   min()/max()/count()`` (aggregates flip the query into a groupBy on
   the plain selected columns — PostgREST's aggregate mode,
@@ -41,7 +42,7 @@ _COMPARATORS = {
 
 _AGGS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count}
 
-RESERVED = {"select", "order", "limit", "offset"}
+RESERVED = {"select", "order", "limit", "offset", "or", "and"}
 
 
 def _parse_filter(col: str, spec: str) -> Column:
@@ -61,6 +62,49 @@ def _parse_filter(col: str, spec: str) -> Column:
     else:
         raise ValueError(f"unsupported PostgREST operator {op!r} for column {col!r}")
     return ~cond if negate else cond
+
+
+def _split_top_level(spec: str) -> list[str]:
+    """Split on commas outside parentheses (``in.(a,b)`` values keep
+    their commas)."""
+    out, depth, cur = [], 0, []
+    for ch in spec:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _parse_logic(spec: str, disjunct: bool) -> Column:
+    """PostgREST logic trees: ``or=(a.gte.1,b.is.null)`` /
+    ``and=(...)``, with one level of nesting (``or=(and(...),c.eq.v)``)."""
+    body = spec.strip()
+    if not (body.startswith("(") and body.endswith(")")):
+        raise ValueError(f"logic filter must be parenthesized: {spec!r}")
+    cond: Column | None = None
+    for item in _split_top_level(body[1:-1]):
+        item = item.strip()
+        if item.startswith(("and(", "or(")):
+            op, _, rest = item.partition("(")
+            sub = _parse_logic("(" + rest, disjunct=(op == "or"))
+        else:
+            col, _, f = item.partition(".")
+            sub = _parse_filter(col, f)
+        if cond is None:
+            cond = sub
+        else:
+            cond = (cond | sub) if disjunct else (cond & sub)
+    if cond is None:
+        raise ValueError(f"empty logic filter: {spec!r}")
+    return cond
 
 
 def _parse_select(spec: str) -> tuple[list[tuple[str, str]], list[tuple[str, str, str]]]:
@@ -85,9 +129,12 @@ def _parse_select(spec: str) -> tuple[list[tuple[str, str]], list[tuple[str, str
 def translate(df: DataFrame, params: dict[str, str]) -> DataFrame:
     """Apply a PostgREST param dict to a DataFrame."""
     for col, spec in params.items():
-        if col in RESERVED:
+        if col in ("or", "and"):
+            df = df.filter(_parse_logic(spec, disjunct=(col == "or")))
+        elif col in RESERVED:
             continue
-        df = df.filter(_parse_filter(col, spec))
+        else:
+            df = df.filter(_parse_filter(col, spec))
 
     select_spec = params.get("select")
     if select_spec:

@@ -73,7 +73,17 @@ class PostgrestFacade:
         name = unquote(path).strip("/")
         if not name:
             return 200, "application/json", json.dumps(sorted(self.tables))
-        if name not in self.tables:
+        is_rpc = name.startswith("rpc/")
+        if is_rpc:
+            from open_energy_data_server_spark.plans.procedures import (
+                list_procedures,
+            )
+
+            if name[4:] not in list_procedures():
+                return 404, "application/json", json.dumps(
+                    {"message": f"unknown procedure {name[4:]!r}"}
+                )
+        elif name not in self.tables:
             return 404, "application/json", json.dumps(
                 {"message": f"unknown table {name!r}"}
             )
@@ -108,7 +118,17 @@ class PostgrestFacade:
         return 200, "application/json", body
 
     def _plan(self, name: str, params: dict[str, str]) -> DataFrame:
-        df = load_table(self.spark, self.sf_dir, name)
+        if name.startswith("rpc/"):
+            # PostgREST RPC (the reference's minimal-walkthrough shape,
+            # python_postgrest_visualise.py: /rpc/<proc>): the procedure
+            # result is a relation, so the same param grammar applies
+            from open_energy_data_server_spark.plans.procedures import (
+                call_procedure,
+            )
+
+            df = call_procedure(self.spark, name[4:])
+        else:
+            df = load_table(self.spark, self.sf_dir, name)
         clean: dict[str, str] = {}
         filters: list[tuple[str, str]] = []
         for k, v in params.items():

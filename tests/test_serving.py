@@ -111,3 +111,59 @@ def test_bad_limit_returns_400(facade):
     with pytest.raises(urllib.error.HTTPError) as err:
         urllib.request.urlopen(req)
     assert err.value.code == 400
+
+
+def test_rpc_endpoint_and_param_grammar(spark):
+    """The reference's minimal-walkthrough shape
+    (python_postgrest_visualise.py: GET /rpc/<proc>): a registered
+    stored procedure serves through the facade, and the result
+    relation accepts the same filter/select grammar."""
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.plans.procedures import (
+        register_procedure,
+    )
+
+    load_table(spark, SF_DIR_SMOKE, "region").createOrReplaceTempView(
+        "region_v"
+    )
+    register_procedure(
+        "region_counts",
+        "SELECT r_regionkey, upper(r_name) AS region FROM region_v",
+    )
+    f = PostgrestFacade(spark, SF_DIR_SMOKE, max_rows=10)
+    status, _, body = f.handle("/rpc/region_counts", "order=r_regionkey.asc")
+    assert status == 200
+    rows = json.loads(body)
+    assert rows[0]["region"] == "AFRICA" and len(rows) == 5
+    status, _, body = f.handle("/rpc/region_counts", "region=eq.EUROPE")
+    assert [r["r_regionkey"] for r in json.loads(body)] == [3]
+    status, _, _ = f.handle("/rpc/no_such_proc", "")
+    assert status == 404
+
+
+def test_or_and_logic_filters(spark):
+    f = PostgrestFacade(spark, SF_DIR_SMOKE, max_rows=100)
+    status, _, body = f.handle(
+        "/region", "or=(r_name.eq.EUROPE,r_name.eq.ASIA)&select=r_name&order=r_name.asc"
+    )
+    assert status == 200
+    assert [r["r_name"] for r in json.loads(body)] == ["ASIA", "EUROPE"]
+    # nested: and() inside or= (synthetic nations are NATION_<i>)
+    status, _, body = f.handle(
+        "/nation",
+        "or=(and(n_regionkey.eq.1,n_name.like.NATION*),n_name.eq.NATION_3)"
+        "&select=n_name,n_regionkey&order=n_name.asc",
+    )
+    rows = json.loads(body)
+    names = [r["n_name"] for r in rows]
+    assert status == 200 and "NATION_3" in names
+    assert all(n == "NATION_3" or r["n_regionkey"] == 1
+               for n, r in zip(names, rows))
+    # in-list commas survive inside the logic tree
+    status, _, body = f.handle(
+        "/region", "or=(r_name.in.(ASIA,AFRICA),r_regionkey.eq.3)&select=r_name"
+    )
+    assert status == 200 and len(json.loads(body)) == 3
+    # malformed tree -> 400
+    status, _, _ = f.handle("/region", "or=r_name.eq.EUROPE")
+    assert status == 400
