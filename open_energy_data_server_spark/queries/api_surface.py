@@ -98,6 +98,39 @@ def q_postgrest_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_postgrest_or_logic",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE (
+        (CAST(event_type AS VARCHAR) = 'purchase' AND value >= 900)
+        OR CAST(event_type AS VARCHAR) = 'signup'
+    )
+    AND NOT (user_id = 7)
+    ORDER BY event_id
+    LIMIT 60
+    """,
+)
+def q_postgrest_or_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3: PostgREST logic trees — ``or=(and(...),...)`` with one
+    nesting level plus a negated comparator, the disjunctive-filter
+    URLs PostgREST clients build (plans/postgrest.py _parse_logic).
+    Compiles to one pushed-down conjunction over a single scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return translate(
+        ev,
+        {
+            "or": "(and(event_type.eq.purchase,value.gte.900),"
+            "event_type.eq.signup)",
+            "user_id": "not.eq.7",
+            "select": "event_id,user_id,event_type,value",
+            "order": "event_id.asc",
+            "limit": "60",
+        },
+    )
+
+
 register_procedure(
     "proc_revenue_year_region",
     f"""
