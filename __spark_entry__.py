@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "q_minmax_scale",
     "q_top_movers",
     "q_postgrest_or_logic",
+    "q_repetition_signals",
     "q_scd2_apply",
     # checked names, stalest latest-green first (as of r05)
     "q_topk_per_group",  # r2

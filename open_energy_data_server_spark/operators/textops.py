@@ -399,3 +399,80 @@ def bigram_lm_scores(df, id_col: str, text_col: str):
             / F.count(F.lit(1)).cast("double")
         ).alias("lm_score"),
     )
+
+
+def max_equal_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the count of the most frequent element — as one ``aggregate`` fold
+    (a pure projection: no explode, no shuffle). Empty array → 0."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_signals(df, id_col: str, text_col: str):
+    """Gopher-style WITHIN-document repetition gates (Rae et al. 2021
+    §A1.1, public): excessive repetition predicts low-quality text.
+    Word-level variants (the corpus is single-line):
+
+    - ``dup_word_frac``      1 − |distinct words| / |words|
+    - ``top_bigram_share``   count of the most frequent bigram / |bigrams|
+    - ``dup_trigram_frac``   1 − |distinct trigrams| / |trigrams|
+
+    Plan: ENTIRELY projection — words via split, n-grams via indexed
+    ``transform``, distinct counts via ``array_distinct``, the bigram
+    mode via ``max_equal_run`` over ``sort_array`` — so the operator is
+    map-only and scales with scan bandwidth (no shuffle at any corpus
+    size; the same shape chunk_documents uses). Fractions are single
+    IEEE divisions of exact integer counts (oracle-hash-safe)."""
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    # greatest(..., 0): slice() raises on negative lengths for 1-2 word docs
+    bigrams = F.expr(
+        f"transform(slice(split({text_col}, ' '), 1,"
+        f" greatest(size(split({text_col}, ' ')) - 1, 0)),"
+        f" (x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2)))"
+    )
+    trigrams = F.expr(
+        f"transform(slice(split({text_col}, ' '), 1,"
+        f" greatest(size(split({text_col}, ' ')) - 2, 0)),"
+        f" (x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2),"
+        f" ' ', element_at(split({text_col}, ' '), i + 3)))"
+    )
+    n_big = F.size(bigrams)
+    n_tri = F.size(trigrams)
+    dup_word = F.when(
+        n > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(ws)).cast("double") / n.cast("double"),
+    )
+    top_big = F.when(
+        n_big > 0,
+        max_equal_run(F.sort_array(bigrams)).cast("double")
+        / n_big.cast("double"),
+    )
+    dup_tri = F.when(
+        n_tri > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(trigrams)).cast("double")
+        / n_tri.cast("double"),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        dup_word.alias("dup_word_frac"),
+        top_big.alias("top_bigram_share"),
+        dup_tri.alias("dup_trigram_frac"),
+    )

@@ -1350,3 +1350,54 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simpson_diversity"),
     )
+
+
+@query(
+    "q_repetition_signals",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    lists AS (
+      SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd,
+             list_transform(ws[1:len(ws) - 1],
+                            (x, i) -> x || ' ' || ws[i + 1]) AS bgs,
+             list_transform(ws[1:len(ws) - 2],
+                            (x, i) -> x || ' ' || ws[i + 1]
+                                        || ' ' || ws[i + 2]) AS tgs
+      FROM w
+    ),
+    big AS (SELECT doc_id, unnest(bgs) AS bg FROM lists),
+    bigc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    bigt AS (
+      SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot
+      FROM bigc GROUP BY 1
+    )
+    SELECT l.doc_id,
+           CAST(l.n AS BIGINT) AS n_words,
+           CASE WHEN l.n > 0 THEN
+             CAST(1 AS DOUBLE)
+               - CAST(l.nd AS DOUBLE) / CAST(l.n AS DOUBLE)
+           END AS dup_word_frac,
+           CASE WHEN bigt.tot > 0 THEN
+             CAST(bigt.mx AS DOUBLE) / CAST(bigt.tot AS DOUBLE)
+           END AS top_bigram_share,
+           CASE WHEN len(l.tgs) > 0 THEN
+             CAST(1 AS DOUBLE)
+               - CAST(len(list_distinct(l.tgs)) AS DOUBLE)
+                 / CAST(len(l.tgs) AS DOUBLE)
+           END AS dup_trigram_frac
+    FROM lists l
+    LEFT JOIN bigt ON l.doc_id = bigt.doc_id
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher within-document repetition gates (operators/textops.py
+    repetition_signals): duplicate-word fraction, most-frequent-bigram
+    share, duplicate-trigram fraction — the filters every LLM curation
+    pipeline applies before quality scoring. Spark side is a pure
+    map-only projection (array n-grams + a sorted-array fold for the
+    bigram mode — no explode, no shuffle); the oracle recomputes via
+    explode + group, proving the fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_signals(docs, "doc_id", "text")

@@ -586,3 +586,42 @@ def test_chunk_tokens_null_text_yields_no_chunks(spark):
     )
     out = chunk_tokens(df, "doc_id", "text").collect()
     assert {r["doc_id"] for r in out} == {1}
+
+
+def test_repetition_signals_hand_computed(spark):
+    import pytest
+
+    from open_energy_data_server_spark.operators.textops import (
+        max_equal_run,
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 6 words, 2 distinct; "a b" x3 of 5 bigrams
+            (2, "x y z"),            # all distinct
+            (3, "w"),                # single word: no bigrams/trigrams
+            (4, "q q q q"),          # total repetition
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1.n_words == 6
+    assert r1.dup_word_frac == pytest.approx(1 - 2 / 6)
+    assert r1.top_bigram_share == pytest.approx(3 / 5)  # "a b" thrice
+    assert r1.dup_trigram_frac == pytest.approx(1 - 2 / 4)  # aba/bab alternate
+    assert out[2].dup_word_frac == 0.0 and out[2].top_bigram_share == pytest.approx(1 / 2)
+    assert out[3].top_bigram_share is None and out[3].dup_trigram_frac is None
+    assert out[4].dup_word_frac == pytest.approx(0.75)
+    assert out[4].top_bigram_share == 1.0
+
+    # the fold primitive on its own
+    got = spark.range(1).select(
+        max_equal_run(F.array(*[F.lit(v) for v in ["a", "a", "b", "c", "c", "c"]])).alias("m")
+    ).collect()[0]["m"]
+    assert got == 3
+    empty = spark.range(1).select(
+        max_equal_run(F.array_remove(F.array(F.lit("x")), "x")).alias("m")
+    ).collect()[0]["m"]
+    assert empty == 0
