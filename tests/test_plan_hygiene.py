@@ -108,3 +108,17 @@ def test_single_scan_for_rewritten_shared_subtrees(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_scans = plan.count("Scan parquet")
         assert n_scans == 1, f"{name}: {n_scans} parquet scans (want 1)"
+
+
+def test_map_only_queries_have_no_exchange(spark):
+    """Queries whose whole point is the zero-shuffle shape (array
+    n-grams + fold instead of explode+group) must stay exchange-free:
+    a regression to explode would silently reintroduce a corpus-wide
+    shuffle."""
+    from open_energy_data_server_spark.queries import QUERIES
+
+    for name in ("q_repetition_signals", "q_chunk_documents"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} plan gained a shuffle"
+        assert plan.count("Scan parquet") == 1, f"{name}: not single-scan"
