@@ -431,45 +431,64 @@ def repetition_signals(df, id_col: str, text_col: str):
     - ``top_bigram_share``   count of the most frequent bigram / |bigrams|
     - ``dup_trigram_frac``   1 − |distinct trigrams| / |trigrams|
 
-    Plan: ENTIRELY projection — words via split, n-grams via indexed
-    ``transform``, distinct counts via ``array_distinct``, the bigram
-    mode via ``max_equal_run`` over ``sort_array`` — so the operator is
-    map-only and scales with scan bandwidth (no shuffle at any corpus
-    size; the same shape chunk_documents uses). Fractions are single
-    IEEE divisions of exact integer counts (oracle-hash-safe)."""
-    ws = F.split(F.col(text_col), " ")
+    Plan: ENTIRELY projection — the word array is materialized ONCE
+    per row, n-grams come from LINEAR ``zip_with`` over shifted slices
+    (an indexed-transform + element_at formulation re-evaluates the
+    split per element — measured quadratic, 6.4 s vs 0.2 s at sf0.1),
+    distinct counts via ``array_distinct``, the bigram mode via
+    ``max_equal_run`` over ``sort_array`` — map-only, scales with scan
+    bandwidth (no shuffle at any corpus size; the same shape
+    chunk_documents uses). Fractions are single IEEE divisions of
+    exact integer counts (oracle-hash-safe)."""
+    stage = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__ws")
+    )
+    ws = F.col("__ws")
     n = F.size(ws)
     # greatest(..., 0): slice() raises on negative lengths for 1-2 word docs
-    bigrams = F.expr(
-        f"transform(slice(split({text_col}, ' '), 1,"
-        f" greatest(size(split({text_col}, ' ')) - 1, 0)),"
-        f" (x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2)))"
+    pair_len = F.greatest(n - 1, F.lit(0))
+    tri_len = F.greatest(n - 2, F.lit(0))
+    sep = F.lit(" ")
+    bigrams = F.zip_with(
+        F.slice(ws, F.lit(1), pair_len),
+        F.slice(ws, F.lit(2), pair_len),
+        lambda a, b: F.concat(a, sep, b),
     )
-    trigrams = F.expr(
-        f"transform(slice(split({text_col}, ' '), 1,"
-        f" greatest(size(split({text_col}, ' ')) - 2, 0)),"
-        f" (x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2),"
-        f" ' ', element_at(split({text_col}, ' '), i + 3)))"
+    trigrams = F.zip_with(
+        F.zip_with(
+            F.slice(ws, F.lit(1), tri_len),
+            F.slice(ws, F.lit(2), tri_len),
+            lambda a, b: F.concat(a, sep, b),
+        ),
+        F.slice(ws, F.lit(3), tri_len),
+        lambda ab, c: F.concat(ab, sep, c),
     )
-    n_big = F.size(bigrams)
-    n_tri = F.size(trigrams)
+    stage = stage.select(
+        id_col,
+        n.alias("__n"),
+        F.size(F.array_distinct(ws)).alias("__nd"),
+        bigrams.alias("__bg"),
+        trigrams.alias("__tg"),
+    )
+    n = F.col("__n")
+    n_big = F.size(F.col("__bg"))
+    n_tri = F.size(F.col("__tg"))
     dup_word = F.when(
         n > 0,
-        F.lit(1.0)
-        - F.size(F.array_distinct(ws)).cast("double") / n.cast("double"),
+        F.lit(1.0) - F.col("__nd").cast("double") / n.cast("double"),
     )
     top_big = F.when(
         n_big > 0,
-        max_equal_run(F.sort_array(bigrams)).cast("double")
+        max_equal_run(F.sort_array(F.col("__bg"))).cast("double")
         / n_big.cast("double"),
     )
     dup_tri = F.when(
         n_tri > 0,
         F.lit(1.0)
-        - F.size(F.array_distinct(trigrams)).cast("double")
+        - F.size(F.array_distinct(F.col("__tg"))).cast("double")
         / n_tri.cast("double"),
     )
-    return df.select(
+    return stage.select(
         F.col(id_col),
         n.cast("bigint").alias("n_words"),
         dup_word.alias("dup_word_frac"),
