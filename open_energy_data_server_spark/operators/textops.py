@@ -188,7 +188,12 @@ def hash60(col: Column | str) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (empty array when < n tokens)."""
+    """Distinct word n-gram shingles (empty array when < n tokens).
+
+    ``toks`` must be a BOUND array column (a named column or a
+    just-projected alias), not an inline expression: ``element_at``
+    inside the transform lambda re-evaluates an unbound expression per
+    element — quadratic per document."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])

@@ -1192,8 +1192,11 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition global sort). Total order (df DESC, trigram)
     makes the LIMIT deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(textops.shingles(textops.tokens("text"), 3)).alias("trigram")
+    # bind the token array BEFORE shingling: element_at inside the
+    # shingle transform re-evaluates an unbound tokenize per element
+    # (the round-6 quadratic lesson from repetition_signals)
+    grams = docs.select(textops.tokens("text").alias("__t")).select(
+        F.explode(textops.shingles(F.col("__t"), 3)).alias("trigram")
     )
     return (
         grams.groupBy("trigram")
