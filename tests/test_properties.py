@@ -561,3 +561,108 @@ def test_wma_prefix_sum_identity_matches_bruteforce(spark, rows, window):
             num = sum((j + 1) * round(x * 1e6) for j, (_, x) in enumerate(frame))
             expect = (num / (n * (n + 1) // 2)) / 1e6
             assert got[(s, seq[t][0])] == expect, (s, seq[t][0])
+
+
+@given(st.integers(min_value=0, max_value=2**45))
+@settings(max_examples=300, deadline=None)
+def test_gdb_varuint_roundtrip(v):
+    from open_energy_data_server_spark.sources.gdbtable import read_varuint
+    from tests.test_gdbtable import w_varuint
+
+    got, pos = read_varuint(w_varuint(v), 0)
+    assert got == v and pos == len(w_varuint(v))
+
+
+@given(st.integers(min_value=-(2**45), max_value=2**45))
+@settings(max_examples=300, deadline=None)
+def test_gdb_varint_roundtrip(v):
+    from open_energy_data_server_spark.sources.gdbtable import read_varint
+    from tests.test_gdbtable import w_varint
+
+    got, pos = read_varint(w_varint(v), 0)
+    assert got == v and pos == len(w_varint(v))
+
+
+@given(
+    st.floats(
+        min_value=1e-30, max_value=1e30, allow_nan=False, allow_infinity=False
+    ),
+    st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_ibm_float_roundtrip_property(x, neg):
+    """IBM hex floats carry 24 mantissa bits (worst-case ~3 bits lost
+    to hexadecimal normalization): round-trip within 2^-20 relative."""
+    from open_energy_data_server_spark.sources.grib1codec import _ibm_float
+    from tests.test_grib1codec import _ibm32
+
+    v = -x if neg else x
+    got = _ibm_float(_ibm32(v))
+    assert abs(got - v) <= abs(v) * 2**-20
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+    st.floats(min_value=0.001, max_value=50.0, allow_nan=False),
+)
+@settings(max_examples=150, deadline=None)
+def test_simplify_ring_invariants(pts, tol):
+    """Douglas-Peucker invariants: output is an ordered subset of the
+    input, endpoints survive, and every dropped point lies within
+    ``tol`` of the simplified polyline."""
+    import numpy as np
+
+    from open_energy_data_server_spark.functions.geo import simplify_ring
+
+    ring = np.array(pts, dtype=np.float64)
+    out = simplify_ring(ring, tol)
+    # ordered subset with endpoints kept
+    assert (out[0] == ring[0]).all() and (out[-1] == ring[-1]).all()
+    j = 0
+    for p in out:
+        while j < len(ring) and not (ring[j] == p).all():
+            j += 1
+        assert j < len(ring), "output point not an ordered-subset member"
+        j += 1
+    # dropped points stay within tol of the kept polyline
+    def seg_dist(p, a, b):
+        seg = b - a
+        L2 = float(seg @ seg)
+        if L2 == 0.0:
+            return float(np.hypot(*(p - a)))
+        t = float(np.clip((p - a) @ seg / L2, 0.0, 1.0))
+        return float(np.hypot(*(p - (a + t * seg))))
+
+    kept = out
+    for p in ring:
+        d = min(
+            seg_dist(p, kept[i], kept[i + 1]) for i in range(len(kept) - 1)
+        ) if len(kept) > 1 else seg_dist(p, kept[0], kept[0])
+        assert d <= tol + 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=16),
+    st.sampled_from([0, 1, 2]),
+)
+@settings(max_examples=100, deadline=None)
+def test_grib2_complex_packing_roundtrip_property(xs, group_size, order):
+    """Any integer field survives complex packing / spatial
+    differencing bit-exactly (R=0, E=0, D=0)."""
+    if order >= len(xs):
+        order = 0
+    from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+    from tests.test_grib2_complex import make_grib2_complex
+
+    raw = make_grib2_complex(xs, ni=len(xs), nj=1, group_size=group_size,
+                             order=order)
+    df = decode_grib2(raw).sort_values("longitude").reset_index(drop=True)
+    assert df["value"].tolist() == [float(v) for v in xs]
