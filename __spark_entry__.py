@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     "q_active_users",
     "q_minmax_scale",
     "q_top_movers",
+    "q_growth_accounting",
     "q_postgrest_or_logic",
     "q_repetition_signals",
     "q_scd2_apply",

@@ -1550,3 +1550,65 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("rev_cur") - F.col("rev_prev")).desc(), "l_partkey")
         .limit(10)
     )
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH actives AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS f_day FROM actives GROUP BY user_id
+    ),
+    daily AS (
+      SELECT a.day,
+             CAST(SUM(CASE WHEN a.day = f.f_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+             CAST(SUM(CASE WHEN a.day = f.f_day THEN 0 ELSE 1 END) AS BIGINT)
+               AS returning_users
+      FROM actives a JOIN first_seen f ON a.user_id = f.user_id
+      GROUP BY a.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users, returning_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, how many active users are NEW
+    (first-ever activity) vs RETURNING, plus the cumulative user base —
+    the onboarding dashboard every serving deployment wants next to
+    DAU (q_active_users).
+
+    Plan: dedupe to (day, user) actives (one hash agg), per-user
+    first-seen as a second agg on the SAME user-keyed shuffle, join
+    back user-keyed (no extra exchange shape), then the daily rollup is
+    |days| rows — the cumulative window runs over that bounded domain,
+    never the fact table. Exact integer counts end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    actives = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    first_seen = actives.groupBy("user_id").agg(F.min("day").alias("f_day"))
+    daily = (
+        actives.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("f_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") == F.col("f_day"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
