@@ -29,58 +29,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registering them (the tool folds them in on the next rotation) —
 # or rerun the tool immediately if they must be checked this round.
 _DRIVER_PRIORITY = [
-    # never driver-checked (no CORRECTNESS_r* row)
-    "q_rfm_segmentation",
-    "q_shipping_lag",
-    "q_basket_pairs",
-    "q_yoy_seasonality",
-    "q_price_volatility",
-    "q_concurrency_sweep",
-    "q_missing_value_profile",
-    "q_active_users",
-    "q_minmax_scale",
-    "q_top_movers",
-    "q_growth_accounting",
-    "q_postgrest_or_logic",
-    "q_repetition_signals",
-    "q_scd2_apply",
-    # checked names, stalest latest-green first (as of r05)
-    "q_topk_per_group",  # r2
-    "q_time_bucket_hourly",  # r3
-    "q_multi_measure_by_type",  # r3
-    "q_watermark_probe",  # r3
-    "q_distinct_dims",  # r3
-    "q_dedup_keep_first",  # r3
-    "q_value_histogram",  # r3
-    "q_catalog_stats",  # r3
-    "q_net_generation",  # r3
-    "q_union_cte_count",  # r3
-    "q_json_extract_agg",  # r3
-    "q_approx_distinct_kmv",  # r3
-    "q_rollup_revenue",  # r3
-    "q_quantiles_disc",  # r3
-    "q_corr_regression",  # r3
-    "q_skew_salted_agg",  # r3
-    "q_postgrest_filter_project",  # r3
-    "q_postgrest_aggregate",  # r3
-    "q_postgrest_in_like",  # r3
-    "q_stored_procedure_view",  # r3
-    "q_extract_year_filter",  # r3
-    "q_join_distinct_subquery",  # r3
-    "q_grafana_panel",  # r3
-    "q_point_in_polygon",  # r3
-    "q_weather_shape_rollup",  # r3
-    "q_polygon_centroids",  # r3
-    "q_wkt_to_geojson",  # r3
-    "q_tumbling_window_6h",  # r3
-    "q_sliding_window_1h30m",  # r3
-    "q_session_windows",  # r3
-    "q_revenue_by_region",  # r3
-    "q_shipping_priority_top10",  # r3
-    "q_customers_with_orders",  # r3
-    "q_customers_without_orders",  # r3
-    "q_incremental_since_watermark",  # r3
-    "q_multiway_full_outer",  # r3
+    # checked names, stalest latest-green first (as of r06)
     "q_neighbour_pairs",  # r3
     "q_union_distinct",  # r3
     "q_range_join_fiscal_windows",  # r3
@@ -195,6 +144,56 @@ _DRIVER_PRIORITY = [
     "q_runs_detection",  # r5
     "q_mode_per_group",  # r5
     "q_ewma",  # r5
+    "q_time_bucket_hourly",  # r6
+    "q_multi_measure_by_type",  # r6
+    "q_watermark_probe",  # r6
+    "q_distinct_dims",  # r6
+    "q_dedup_keep_first",  # r6
+    "q_value_histogram",  # r6
+    "q_catalog_stats",  # r6
+    "q_net_generation",  # r6
+    "q_union_cte_count",  # r6
+    "q_json_extract_agg",  # r6
+    "q_approx_distinct_kmv",  # r6
+    "q_rollup_revenue",  # r6
+    "q_quantiles_disc",  # r6
+    "q_corr_regression",  # r6
+    "q_skew_salted_agg",  # r6
+    "q_rfm_segmentation",  # r6
+    "q_shipping_lag",  # r6
+    "q_basket_pairs",  # r6
+    "q_yoy_seasonality",  # r6
+    "q_price_volatility",  # r6
+    "q_concurrency_sweep",  # r6
+    "q_missing_value_profile",  # r6
+    "q_active_users",  # r6
+    "q_minmax_scale",  # r6
+    "q_top_movers",  # r6
+    "q_growth_accounting",  # r6
+    "q_postgrest_filter_project",  # r6
+    "q_postgrest_aggregate",  # r6
+    "q_postgrest_in_like",  # r6
+    "q_postgrest_or_logic",  # r6
+    "q_stored_procedure_view",  # r6
+    "q_extract_year_filter",  # r6
+    "q_join_distinct_subquery",  # r6
+    "q_grafana_panel",  # r6
+    "q_point_in_polygon",  # r6
+    "q_weather_shape_rollup",  # r6
+    "q_polygon_centroids",  # r6
+    "q_wkt_to_geojson",  # r6
+    "q_tumbling_window_6h",  # r6
+    "q_sliding_window_1h30m",  # r6
+    "q_session_windows",  # r6
+    "q_revenue_by_region",  # r6
+    "q_shipping_priority_top10",  # r6
+    "q_customers_with_orders",  # r6
+    "q_customers_without_orders",  # r6
+    "q_incremental_since_watermark",  # r6
+    "q_multiway_full_outer",  # r6
+    "q_repetition_signals",  # r6
+    "q_topk_per_group",  # r6
+    "q_scd2_apply",  # r6
 ]
 
 

@@ -361,14 +361,26 @@ def st_simplify_wkt(wkt: str, tolerance: float) -> str:
     """ST_Simplify analog for WKT polygons: Douglas-Peucker per ring.
     A ring simplified below 4 points (closed) collapses to its
     bounding segment's endpoints and is dropped if degenerate —
-    matching ST_Simplify's collapse behavior for sub-tolerance holes;
-    the outer ring is always emitted."""
+    matching ST_Simplify's collapse behavior for sub-tolerance holes.
+    The outer ring is always emitted, but never as invalid WKT: if it
+    collapses below the 4-point closed-ring minimum it is padded by
+    repeating surviving vertices (PostGIS's preserveCollapsed shape),
+    so downstream parsers always get a syntactically valid ring."""
     rings = parse_wkt_polygon(wkt)
     out: list[np.ndarray] = []
     for idx, r in enumerate(rings):
         s = simplify_ring(r, tolerance)
-        if idx > 0 and len(s) < 4:
-            continue  # hole collapsed
+        if len(s) < 4:
+            if idx > 0:
+                continue  # hole collapsed
+            # outer ring collapsed: pad to a degenerate-but-valid
+            # closed 4-point ring instead of emitting e.g.
+            # POLYGON ((x y, x y))
+            pts = [p for p in s]
+            while len(pts) < 4:
+                pts.insert(1, pts[0])
+            pts[-1] = pts[0]  # closure
+            s = np.asarray(pts)
         out.append(s)
     body = ", ".join(
         "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in r) + ")" for r in out

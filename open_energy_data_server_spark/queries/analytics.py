@@ -94,7 +94,13 @@ def q_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain (2-decimal measures → ≤49k rows per type regardless of
     corpus size), not over the raw rows — no per-type full sort of
     the fact table, which is the 3-task ceiling the naive ntile plan
-    would have."""
+    would have.
+
+    Single window pass: the per-type total shares the cumulative
+    window's (partitionBy, orderBy) spec with an unbounded frame, so
+    Catalyst folds both frames into ONE Window exec — one exchange,
+    one sort — instead of a second whole-partition window pass (the
+    round-6 plan's 2.25×-at-scale10 constant factor)."""
     ev = load_table(spark, sf_dir, "events")
     cnt = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("hrs"))
     wc = (
@@ -102,7 +108,11 @@ def q_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("value").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wt = Window.partitionBy("event_type")
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     cum = F.sum("hrs").over(wc)
     tot = F.sum("hrs").over(wt)
     return cnt.select(
@@ -150,9 +160,13 @@ def q_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shuffled join on the same high-cardinality key — still sort-free
     with AQE's shuffled-hash preference. The sums are exact fixed-point
     bigints, so agg-then-join is bit-identical to the window form
-    (measured ~2× faster at sf0.1, PLANS.md r6)."""
+    (measured ~2× faster at sf0.1, PLANS.md r6). The join is
+    null-safe (eqNullSafe): a window PARTITION BY keeps NULL-key rows
+    as one group, so a plain inner join would silently drop them —
+    groupBy likewise keeps NULL as a group, and eqNullSafe matches it
+    back, preserving the window form's semantics exactly."""
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("user_id").agg(
+    stats = ev.groupBy(F.col("user_id").alias("__uid")).agg(
         F.sum(_scaled("value")).alias("__s1"),
         F.sum(_scaled(F.col("value") * F.col("value"))).alias("__s2"),
         F.count(F.lit(1)).cast("double").alias("__n"),
@@ -162,7 +176,7 @@ def q_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_v = ex2 - mean_v * mean_v
     dev2 = (F.col("value") - mean_v) * (F.col("value") - mean_v)
     return (
-        ev.join(stats, "user_id")
+        ev.join(stats, ev["user_id"].eqNullSafe(stats["__uid"]))
         .select(
             "event_id",
             "user_id",

@@ -48,7 +48,17 @@ def _json_default(v):
 
 
 class PostgrestFacade:
-    """Bind tables → serve the PostgREST param grammar over HTTP."""
+    """Bind tables → serve the PostgREST param grammar over HTTP.
+
+    Schema routing: PostgREST selects the dataset schema per request
+    via the ``Accept-Profile`` header (the reference's export examples
+    send ``Accept-Profile: londondatastore``,
+    /root/reference/docs/source/examples/http_export_examples.md:15).
+    The facade binds one namespace per profile — the constructor's
+    ``tables`` become the default profile; ``bind_profile`` adds more,
+    and the same table name may resolve differently per profile. An
+    unknown profile is 406, matching PostgREST.
+    """
 
     def __init__(
         self,
@@ -56,23 +66,55 @@ class PostgrestFacade:
         sf_dir: str,
         tables: tuple[str, ...] = TABLES,
         max_rows: int = 10_000,
+        default_profile: str = "public",
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = tables
         self.max_rows = max_rows
+        self.default_profile = default_profile
+        self._profiles: dict[str, dict[str, object]] = {
+            default_profile: {t: t for t in tables}
+        }
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+
+    def bind_profile(self, profile: str, tables: dict[str, object]) -> None:
+        """Bind a schema namespace: table name → DataFrame, zero-arg
+        callable returning one, or a str naming an sf_dir parquet
+        table. Re-binding a profile replaces its namespace."""
+        self._profiles[profile] = dict(tables)
+
+    def _resolve(self, profile: str, name: str) -> DataFrame:
+        bound = self._profiles[profile][name]
+        if isinstance(bound, DataFrame):
+            return bound
+        if callable(bound):
+            return bound()
+        return load_table(self.spark, self.sf_dir, bound)
 
     # --- request → response (HTTP-free, unit-testable) ---
 
     def handle(
-        self, path: str, query: str, accept: str = "application/json"
+        self,
+        path: str,
+        query: str,
+        accept: str = "application/json",
+        profile: str = "",
     ) -> tuple[int, str, str]:
         """→ (status, content_type, body)."""
+        profile = profile or self.default_profile
+        if profile not in self._profiles:
+            return 406, "application/json", json.dumps(
+                {
+                    "message": f"Invalid schema {profile!r}; the schema must "
+                    f"be one of: {sorted(self._profiles)}"
+                }
+            )
+        namespace = self._profiles[profile]
         name = unquote(path).strip("/")
         if not name:
-            return 200, "application/json", json.dumps(sorted(self.tables))
+            return 200, "application/json", json.dumps(sorted(namespace))
         is_rpc = name.startswith("rpc/")
         if is_rpc:
             from open_energy_data_server_spark.plans.procedures import (
@@ -83,9 +125,9 @@ class PostgrestFacade:
                 return 404, "application/json", json.dumps(
                     {"message": f"unknown procedure {name[4:]!r}"}
                 )
-        elif name not in self.tables:
+        elif name not in namespace:
             return 404, "application/json", json.dumps(
-                {"message": f"unknown table {name!r}"}
+                {"message": f"unknown table {name!r} in schema {profile!r}"}
             )
         params: dict[str, str] = {}
         for k, v in parse_qsl(query, keep_blank_values=True):
@@ -101,7 +143,7 @@ class PostgrestFacade:
         try:
             limit = min(int(params.get("limit", self.max_rows)), self.max_rows)
             params["limit"] = str(limit)
-            df = self._plan(name, params)
+            df = self._plan(name, params, profile)
             rows = df.collect()
         except Exception as exc:  # translator raises ValueError on bad grammar
             return 400, "application/json", json.dumps({"message": str(exc)})
@@ -117,18 +159,26 @@ class PostgrestFacade:
         )
         return 200, "application/json", body
 
-    def _plan(self, name: str, params: dict[str, str]) -> DataFrame:
+    def _plan(self, name: str, params: dict[str, str], profile: str) -> DataFrame:
         if name.startswith("rpc/"):
             # PostgREST RPC (the reference's minimal-walkthrough shape,
-            # python_postgrest_visualise.py: /rpc/<proc>): the procedure
-            # result is a relation, so the same param grammar applies
+            # python_postgrest_visualise.py: /rpc/<proc>): query params
+            # whose names match declared procedure arguments bind as
+            # arguments (PostgREST's GET-RPC contract); the procedure
+            # result is a relation, so the remaining params go through
+            # the same grammar as any table request.
             from open_energy_data_server_spark.plans.procedures import (
                 call_procedure,
+                procedure_params,
             )
 
-            df = call_procedure(self.spark, name[4:])
+            declared = set(procedure_params(name[4:]))
+            args = {k: v for k, v in params.items() if k in declared}
+            for k in args:
+                del params[k]
+            df = call_procedure(self.spark, name[4:], args)
         else:
-            df = load_table(self.spark, self.sf_dir, name)
+            df = self._resolve(profile, name)
         clean: dict[str, str] = {}
         filters: list[tuple[str, str]] = []
         for k, v in params.items():
@@ -156,7 +206,10 @@ class PostgrestFacade:
             def do_GET(self) -> None:  # noqa: N802 (http.server API)
                 u = urlparse(self.path)
                 status, ctype, body = facade.handle(
-                    u.path, u.query, self.headers.get("Accept", "")
+                    u.path,
+                    u.query,
+                    self.headers.get("Accept", ""),
+                    self.headers.get("Accept-Profile", ""),
                 )
                 payload = body.encode()
                 self.send_response(status)

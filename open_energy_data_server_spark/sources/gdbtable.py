@@ -228,11 +228,21 @@ class GdbTable:
 
     @staticmethod
     def _parse_tablx(xbuf: bytes) -> tuple[list[int], list[int]]:
-        magic, _blocks, n_rows, osize = struct.unpack_from("<4i", xbuf, 0)
+        magic, n_blocks, n_rows, osize = struct.unpack_from("<4i", xbuf, 0)
         if magic != 3:
             raise ValueError("not a .gdbtablx (bad magic)")
         if osize not in (4, 5, 6):
             raise ValueError(f"unsupported .gdbtablx offset size {osize}")
+        # A dense index has ceil(n_rows/1024) 1024-row blocks. A sparse
+        # index (blocks omitted after bulk deletes, signalled by a
+        # trailing block map) has fewer — reading it as dense would
+        # yield garbage offsets and silently wrong OBJECTIDs, so raise
+        # and let read_gdb fall back to an injected reader.
+        if n_blocks != (n_rows + 1023) // 1024:
+            raise ValueError(
+                f"sparse .gdbtablx ({n_blocks} blocks for {n_rows} rows; "
+                "block map unsupported) — inject a fiona reader"
+            )
         offs, rowids = [], []
         pos = 16
         for i in range(n_rows):

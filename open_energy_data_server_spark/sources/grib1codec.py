@@ -37,10 +37,24 @@ import numpy as np
 import pandas as pd
 
 from open_energy_data_server_spark.sources.grib2codec import (
-    _TIME_UNIT,
     _u,
     _unpack_bits,
 )
+
+# GRIB1 code table 4 (time unit) → timedelta of one unit. This table
+# DIFFERS from GRIB2's table 4.4: in edition 1, 13/14 are 15/30 minutes
+# and "second" is 254 (GRIB2 uses 13 for second).
+_TIME_UNIT_ED1 = {
+    0: timedelta(minutes=1),
+    1: timedelta(hours=1),
+    2: timedelta(days=1),
+    10: timedelta(hours=3),
+    11: timedelta(hours=6),
+    12: timedelta(hours=12),
+    13: timedelta(minutes=15),
+    14: timedelta(minutes=30),
+    254: timedelta(seconds=1),
+}
 
 # GRIB1 code table 2 (WMO standard) → short names for the variables the
 # COSMO REA6 / DWD downloads carry; unknown indicators fall back to a
@@ -133,11 +147,14 @@ def _decode_message1(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     century = pds[24]
     year = (century - 1) * 100 + yoc if yoc < 100 else century * 100
     ref_time = datetime(year, month, day, hour, minute)
-    unit = _TIME_UNIT.get(pds[17])
+    unit = _TIME_UNIT_ED1.get(pds[17])
     p1, p2, tri = pds[18], pds[19], pds[20]
     if unit is None:
-        lead = timedelta(0)
-    elif tri == 10:  # P1P2 as one 16-bit value
+        raise ValueError(
+            f"GRIB1 time unit {pds[17]} not in code table 4 subset "
+            "(0-2,10-14,254) — inject a pygrib decoder"
+        )
+    if tri == 10:  # P1P2 as one 16-bit value
         lead = (p1 * 256 + p2) * unit
     elif tri in (2, 3, 4, 5):  # period products valid at end of [P1,P2]
         lead = p2 * unit

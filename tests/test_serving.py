@@ -167,3 +167,105 @@ def test_or_and_logic_filters(spark):
     # malformed tree -> 400
     status, _, _ = f.handle("/region", "or=r_name.eq.EUROPE")
     assert status == 400
+
+
+def test_accept_profile_schema_routing(spark):
+    """PostgREST selects the dataset schema per request via the
+    Accept-Profile header (the reference's export examples send
+    Accept-Profile: londondatastore, http_export_examples.md:15):
+    the SAME table name must resolve per-request to the bound
+    profile's namespace; an unknown profile is 406."""
+    from open_energy_data_server_spark.io import load_table
+
+    f = PostgrestFacade(spark, SF_DIR_SMOKE, max_rows=100)
+    # same table name "consumption" in two schemas, different shapes
+    f.bind_profile(
+        "londondatastore",
+        {"consumption": load_table(spark, SF_DIR_SMOKE, "region")},
+    )
+    f.bind_profile(
+        "entsoe",
+        {"consumption": lambda: load_table(spark, SF_DIR_SMOKE, "nation")},
+    )
+    port = f.start()
+    try:
+        def get(path, profile=None):
+            headers = {"Accept": "application/json"}
+            if profile:
+                headers["Accept-Profile"] = profile
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}", headers=headers
+            )
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read().decode())
+
+        status, rows = get("/consumption?limit=99", "londondatastore")
+        assert status == 200 and len(rows) == 5 and "r_name" in rows[0]
+        status, rows = get("/consumption?limit=99", "entsoe")
+        assert status == 200 and len(rows) == 25 and "n_name" in rows[0]
+        # default profile has no such table
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get("/consumption")
+        assert err.value.code == 404
+        # default profile still serves its own namespace
+        status, rows = get("/region?limit=2")
+        assert status == 200 and len(rows) == 2
+        # root listing is per-profile
+        status, listing = get("/", "londondatastore")
+        assert listing == ["consumption"]
+        # unknown profile -> 406, PostgREST-style
+        with pytest.raises(urllib.error.HTTPError) as err:
+            get("/region", "no_such_schema")
+        assert err.value.code == 406
+    finally:
+        f.stop()
+
+
+def test_rpc_parameterized_arguments(spark):
+    """PostgREST binds GET /rpc/<proc> query params to procedure
+    ARGUMENTS (not result filters); non-argument params still apply
+    to the result relation, and unknown columns error instead of
+    silently filtering."""
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.plans.procedures import (
+        register_procedure,
+    )
+
+    load_table(spark, SF_DIR_SMOKE, "nation").createOrReplaceTempView(
+        "nation_rpc_v"
+    )
+    register_procedure(
+        "nations_of_region",
+        "SELECT n_nationkey, n_name FROM nation_rpc_v "
+        "WHERE n_regionkey = {regionkey}",
+        params=("regionkey",),
+    )
+    f = PostgrestFacade(spark, SF_DIR_SMOKE, max_rows=100)
+    status, _, body = f.handle(
+        "/rpc/nations_of_region", "regionkey=1&order=n_nationkey.asc"
+    )
+    assert status == 200
+    rows = json.loads(body)
+    assert rows and all("n_name" in r for r in rows)
+    # argument + result filter compose
+    first = rows[0]["n_name"]
+    status, _, body = f.handle(
+        "/rpc/nations_of_region", f"regionkey=1&n_name=eq.{first}"
+    )
+    assert status == 200 and len(json.loads(body)) == 1
+    # missing required argument -> 400
+    status, _, body = f.handle("/rpc/nations_of_region", "")
+    assert status == 400 and "missing" in json.loads(body)["message"]
+    # param that is neither an argument nor a result column -> 400
+    status, _, body = f.handle(
+        "/rpc/nations_of_region", "regionkey=1&bogus_col=eq.1"
+    )
+    assert status == 400
+    # string args bind as quoted literals (no injection)
+    register_procedure(
+        "nations_named",
+        "SELECT n_nationkey FROM nation_rpc_v WHERE n_name = {name}",
+        params=("name",),
+    )
+    status, _, body = f.handle("/rpc/nations_named", "name=NATION_3'; DROP--")
+    assert status == 200 and json.loads(body) == []
