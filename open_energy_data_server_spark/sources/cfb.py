@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import struct
 
+from open_energy_data_server_spark.sources._robust import corrupt_guard
+
 _MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 _FREE = 0xFFFFFFFF
 _ENDOFCHAIN = 0xFFFFFFFE
@@ -40,6 +42,7 @@ def _chain(fat: list[int], start: int, limit: int) -> list[int]:
     return out
 
 
+@corrupt_guard("cfb")
 def read_cfb(raw: bytes) -> dict[str, bytes]:
     """CFB container → {stream name: content} (storages skipped)."""
     if raw[:8] != _MAGIC:

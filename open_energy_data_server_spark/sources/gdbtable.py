@@ -41,6 +41,8 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
+from open_energy_data_server_spark.sources._robust import corrupt_guard
+
 FIELD_INT16 = 0
 FIELD_INT32 = 1
 FIELD_FLOAT32 = 2
@@ -105,6 +107,7 @@ class GeomMeta:
 class GdbTable:
     """One .gdbtable + .gdbtablx pair, random-access by row range."""
 
+    @corrupt_guard("gdbtable")
     def __init__(self, table_path: str):
         if not table_path.endswith(".gdbtable"):
             raise ValueError(f"expected a .gdbtable path, got {table_path}")
@@ -254,6 +257,7 @@ class GdbTable:
         return offs, rowids
 
     # --- rows ------------------------------------------------------
+    @corrupt_guard("gdbtable")
     def read_rows(self, start: int, stop: int) -> pd.DataFrame:
         """Decode valid rows [start, stop) (0-based over live rows,
         the same chunk semantics as the reference's fiona slices)."""

@@ -23,10 +23,17 @@ The bit unpack is shared with the GRIB2 codec (one ``unpackbits`` +
 matmul — no per-point Python), so a COSMO 824×848 field decodes in
 milliseconds inside an executor Arrow batch.
 
+- BDS second-order (complex) packing, the older-DWD-archive form
+  pygrib decodes transparently: per-group first-order values plus
+  per-point second-order deviations, with constant or per-group
+  widths, grouped row-by-row or by an explicit secondary bitmap —
+  ``value = (R + (FO_group + SO_point)·2^E) / 10^D``.
+
 Deliberately NOT implemented (raise ValueError; callers inject
-cfgrib/pygrib via ``read_grib(..., decoder=...)``): second-order /
-complex packing, spherical harmonics, grids other than (rotated)
-lat/lon, j-consecutive scanning.
+cfgrib/pygrib via ``read_grib(..., decoder=...)``): matrix /
+boustrophedonic / general-extended second-order variants, spherical
+harmonics, grids other than (rotated) lat/lon, j-consecutive
+scanning.
 """
 
 from __future__ import annotations
@@ -121,6 +128,100 @@ def unrotate(
     return lat, lon % 360.0
 
 
+def _decode_second_order(
+    bds: bytes, e_scale: int, r_ref: float, d_scale: int, n_values: int
+) -> np.ndarray:
+    """GRIB1 grid-point second-order packing (WMO Ed.1 BDS, flag bit 2):
+    P1 first-order group values (octet-11 width, starting at pointer
+    N1) plus P2 per-point second-order deviations (per-group widths
+    from octet 22, starting at pointer N2). Points map to groups via
+    an explicit secondary bitmap (extended flag bit 2: a 1 starts a
+    new group) or, absent one, row-by-row (P2/P1 equal rows — the
+    classic gribex layout older DWD archives carry).
+    ``value = (R + (FO + SO)·2^E) / 10^D``."""
+    if (bds[3] >> 4) & 0x1 == 0:
+        raise ValueError(
+            "GRIB1 second-order packing without extended flags (octet 14)"
+        )
+    if len(bds) < 22:
+        raise ValueError("GRIB1 second-order BDS too short for its pointers")
+    ext = bds[13]
+    if ext & 0x80:
+        raise ValueError("GRIB1 matrix-of-values packing unsupported")
+    if ext & 0x10:
+        raise ValueError(
+            "GRIB1 general extended second-order packing unsupported; "
+            "inject a pygrib/cfgrib decoder"
+        )
+    if ext & 0x08:
+        raise ValueError("GRIB1 boustrophedonic ordering unsupported")
+    has_sec_bitmap = bool(ext & 0x40)
+    diff_widths = bool(ext & 0x20)
+    n1, n2 = _u(bds, 11, 2), _u(bds, 14, 2)
+    p1, p2 = _u(bds, 16, 2), _u(bds, 18, 2)
+    if p2 != n_values:
+        raise ValueError(
+            f"GRIB1 second-order P2={p2} != expected {n_values} points"
+        )
+    if p1 == 0 or n1 < 22 or n2 < n1 or n2 > len(bds):
+        raise ValueError("GRIB1 second-order pointers/counts inconsistent")
+    pos = 21  # 0-based offset of octet 22
+    if diff_widths:
+        if pos + p1 > len(bds):
+            raise ValueError("GRIB1 second-order width table truncated")
+        widths = np.frombuffer(bds[pos : pos + p1], dtype=np.uint8).astype(
+            np.int64
+        )
+        pos += p1
+    else:
+        widths = np.full(p1, bds[pos], dtype=np.int64)
+        pos += 1
+    if has_sec_bitmap:
+        nbytes = (p2 + 7) // 8
+        if pos + nbytes > n1 - 1:
+            raise ValueError("GRIB1 secondary bitmap truncated")
+        sb = np.unpackbits(
+            np.frombuffer(bds[pos : pos + nbytes], dtype=np.uint8)
+        )[:p2].astype(bool)
+        if p2 and not sb[0]:
+            raise ValueError(
+                "GRIB1 secondary bitmap must start a group at point 0"
+            )
+        groups = np.cumsum(sb) - 1
+        if p2 and groups[-1] + 1 != p1:
+            raise ValueError(
+                f"GRIB1 secondary bitmap marks {int(groups[-1]) + 1} "
+                f"groups, header says P1={p1}"
+            )
+    else:
+        if p2 % p1:
+            raise ValueError(
+                f"GRIB1 row-by-row second-order packing needs P1 | P2, "
+                f"got P1={p1}, P2={p2}"
+            )
+        groups = np.repeat(np.arange(p1), p2 // p1)
+    fo = _unpack_bits(bds[n1 - 1 :], p1, bds[10])
+    # second-order deviations: variable per-point widths → gather bits
+    # by distinct width (few distinct values), vectorized per width
+    so_bits = widths[groups]
+    total = int(so_bits.sum())
+    raw = np.unpackbits(np.frombuffer(bds[n2 - 1 :], dtype=np.uint8))
+    if raw.size < total:
+        raise ValueError(
+            f"GRIB1 second-order data too short: {raw.size} bits < {total}"
+        )
+    ends = np.cumsum(so_bits)
+    so = np.zeros(p2, dtype=np.float64)
+    for w in np.unique(so_bits):
+        if w == 0:
+            continue
+        idx = np.nonzero(so_bits == w)[0]
+        offs = (ends[idx] - w)[:, None] + np.arange(w)[None, :]
+        wts = (1 << np.arange(w - 1, -1, -1)).astype(np.float64)
+        so[idx] = raw[offs].astype(np.float64) @ wts
+    return (r_ref + (fo[groups] + so) * (2.0**e_scale)) / (10.0**d_scale)
+
+
 def _decode_message1(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     """Decode one GRIB1 message starting at ``start``; return
     (long-frame, offset-after-message)."""
@@ -172,6 +273,8 @@ def _decode_message1(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
             "10 rotated latlon); inject a pygrib/cfgrib decoder"
         )
     ni, nj = _u(gds, 6, 2), _u(gds, 8, 2)
+    if ni * nj > 1 << 26:  # corrupt counts → OOM guard (COSMO ≈ 700k)
+        raise ValueError(f"implausible GRIB1 grid {ni}x{nj} (> 2^26 points)")
     la1, lo1 = _s3(gds, 10) / 1e3, _s3(gds, 13) / 1e3
     la2, lo2 = _s3(gds, 17) / 1e3, _s3(gds, 20) / 1e3
     scan = gds[27]
@@ -209,11 +312,6 @@ def _decode_message1(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     flags = bds[3] >> 4
     if flags & 0x8:
         raise ValueError("GRIB1 spherical-harmonic data unsupported")
-    if flags & 0x4:
-        raise ValueError(
-            "GRIB1 second-order (complex) packing unsupported; inject a "
-            "pygrib/cfgrib decoder for this file"
-        )
     unused_bits = bds[3] & 0x0F
     e_scale = _s2(bds, 4)
     r_ref = _ibm_float(bds[6:10])
@@ -222,15 +320,18 @@ def _decode_message1(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     n_values = (
         int(bitmap[:n_grid].sum()) if bitmap is not None else n_grid
     )
-    if nbits > 0:
-        avail = (len(bds) - 11) * 8 - unused_bits
-        if avail < n_values * nbits:
-            raise ValueError(
-                f"GRIB1 data section too short: {avail} bits < "
-                f"{n_values * nbits}"
-            )
-    packed = _unpack_bits(bds[11:], n_values, nbits)
-    values = (r_ref + packed * (2.0**e_scale)) / (10.0**d_scale)
+    if flags & 0x4:
+        values = _decode_second_order(bds, e_scale, r_ref, d_scale, n_values)
+    else:
+        if nbits > 0:
+            avail = (len(bds) - 11) * 8 - unused_bits
+            if avail < n_values * nbits:
+                raise ValueError(
+                    f"GRIB1 data section too short: {avail} bits < "
+                    f"{n_values * nbits}"
+                )
+        packed = _unpack_bits(bds[11:], n_values, nbits)
+        values = (r_ref + packed * (2.0**e_scale)) / (10.0**d_scale)
     if bitmap is not None:
         full = np.full(n_grid, np.nan)
         full[bitmap[:n_grid]] = values

@@ -43,6 +43,8 @@ from datetime import datetime, timedelta
 import numpy as np
 import pandas as pd
 
+from open_energy_data_server_spark.sources._robust import corrupt_guard
+
 # (discipline, parameterCategory, parameterNumber) → short name, for the
 # variables the reference's weather crawlers request (dwd.py:33-44,
 # ecmwf.py:56-66); unknown triples fall back to a systematic code.
@@ -104,6 +106,8 @@ def _gaussian_latitudes(
     Gauss-Legendre quadrature nodes mapped through arcsin (the grid
     ECMWF's IFS runs on). A subarea takes the ``nj`` consecutive
     Gaussian rows starting at the one nearest La1, in scan order."""
+    if n > 1 << 14:  # leggauss is O(N²); operational grids are ≤ O2560
+        raise ValueError(f"implausible Gaussian grid number N={n}")
     nodes, _ = np.polynomial.legendre.leggauss(2 * n)
     glats = np.degrees(np.arcsin(np.sort(nodes)))  # ascending
     if north_to_south:
@@ -275,6 +279,15 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
                 )
             ni = _u(body, 30, 4)
             nj = _u(body, 34, 4)
+            # a corrupt 4-byte count can claim a multi-billion-point
+            # grid and OOM the executor on the lat/lon allocation —
+            # far beyond any operational field (global 0.05° ≈ 26M).
+            # Ni is legitimately coded missing (all-ones) on reduced
+            # Gaussian grids, where the per-row list bounds the points.
+            if nj > 1 << 26 or (body[10] == 0 and ni * nj > 1 << 26):
+                raise ValueError(
+                    f"implausible GRIB2 grid {ni}x{nj} (> 2^26 points)"
+                )
             # REDUCED Gaussian (ECMWF's native O-grid): an optional
             # list (octet 11 = entry width, octet 12 = interpretation 1
             # "points per row") follows the template body at octet 73;
@@ -290,6 +303,11 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
                 row_ni = np.array(
                     [_u(body, 72 + k * w, w) for k in range(nj)], dtype=np.int64
                 )
+                if int(row_ni.sum()) > 1 << 26:
+                    raise ValueError(
+                        "implausible reduced-grid points-per-row total "
+                        f"{int(row_ni.sum())} (> 2^26)"
+                    )
             lat1 = _s(body, 46, 4) / 1e6
             lon1 = _u(body, 50, 4) / 1e6
             dlon = _u(body, 63, 4) / 1e6
@@ -343,6 +361,18 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
             else:
                 packed = _unpack_bits(body[5:], n_points, nbits)
             values = (r_ref + packed * (2.0**e_scale)) / (10.0**d_scale)
+            n_grid = int(row_ni.sum()) if row_ni is not None else ni * nj
+            # validate counts BEFORE the O(n_grid) lat/lon allocations:
+            # a corrupt ni/nj claiming millions of points must fail on
+            # this comparison, not after materializing the grid
+            if bitmap is not None:
+                if bitmap[:n_grid].sum() != values.size:
+                    raise ValueError(
+                        f"{values.size} values for "
+                        f"{int(bitmap[:n_grid].sum())} bitmap-present points"
+                    )
+            elif values.size != n_grid:
+                raise ValueError(f"{values.size} values for {n_grid} grid points")
             if gauss_n:
                 row_lats = _gaussian_latitudes(gauss_n, lat1, nj, scan_neg_j)
             else:
@@ -357,17 +387,13 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
                         for k in row_ni
                     ]
                 )
-                n_grid = int(row_ni.sum())
             else:
                 grid_lat = np.repeat(row_lats, ni)
                 grid_lon = np.tile((lon1 + dlon * np.arange(ni)) % 360.0, nj)
-                n_grid = ni * nj
             if bitmap is not None:
                 full = np.full(n_grid, np.nan)
                 full[bitmap[:n_grid]] = values
                 values = full
-            elif values.size != n_grid:
-                raise ValueError(f"{values.size} values for {n_grid} grid points")
             var = PARAM_NAMES.get(
                 (discipline, category, number),
                 f"d{discipline}c{category}n{number}",
@@ -392,6 +418,7 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     return pd.concat(frames, ignore_index=True), end
 
 
+@corrupt_guard("grib")
 def decode_grib2(raw: bytes) -> pd.DataFrame:
     """bytes of a (possibly multi-message, possibly mixed-edition)
     GRIB file → long frame (time, latitude, longitude, variable,

@@ -28,6 +28,8 @@ import lzma
 import struct
 import zlib
 
+from open_energy_data_server_spark.sources._robust import corrupt_guard
+
 _SIGNATURE = b"7z\xbc\xaf\x27\x1c"
 
 # header property ids (7zFormat.txt)
@@ -322,6 +324,7 @@ def is_7z(raw: bytes) -> bool:
     return raw[:6] == _SIGNATURE
 
 
+@corrupt_guard("7z")
 def read_7z(raw: bytes) -> dict[str, bytes]:
     """7z archive bytes → ordered {member name: content}. CRC-checked."""
     if not is_7z(raw):

@@ -38,6 +38,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from open_energy_data_server_spark.sources._robust import corrupt_guard
+
 SHAPE_POINT = {1, 11, 21}
 SHAPE_POLYLINE = {3, 13, 23}
 SHAPE_POLYGON = {5, 15, 25}
@@ -115,6 +117,7 @@ def _shape_to_wkt(shape_type: int, content: bytes) -> str | None:
     raise ValueError(f"unsupported shapefile shape type {shape_type}")
 
 
+@corrupt_guard("shapefile .shp")
 def parse_shp(raw: bytes) -> list[dict]:
     """.shp bytes → [{record: int, shape_type: int, geometry: WKT}]."""
     if len(raw) < 100:
@@ -128,6 +131,11 @@ def parse_shp(raw: bytes) -> list[dict]:
     off = 100
     while off + 8 <= end:
         rec_no, content_words = struct.unpack_from(">ii", raw, off)
+        if content_words <= 0:  # corrupt length would loop forever
+            raise ValueError(
+                f"shapefile record {rec_no} has invalid content length "
+                f"{content_words}"
+            )
         content = raw[off + 8 : off + 8 + 2 * content_words]
         (shape_type,) = struct.unpack_from("<i", content, 0)
         out.append(
@@ -141,9 +149,15 @@ def parse_shp(raw: bytes) -> list[dict]:
     return out
 
 
+@corrupt_guard("shapefile .dbf")
 def parse_dbf(raw: bytes) -> list[dict]:
     """.dbf bytes → one dict per (non-deleted) record, typed values."""
     n_records, header_size, record_size = struct.unpack_from("<IHH", raw, 4)
+    if record_size == 0:
+        raise ValueError("dbf record size 0")
+    # a corrupt count can claim 4G records over a tiny buffer — bound
+    # the scan by what the buffer actually holds
+    n_records = min(n_records, max(0, (len(raw) - header_size)) // record_size)
     fields = []
     off = 32
     while off < header_size - 1 and raw[off] != 0x0D:

@@ -30,6 +30,8 @@ import pandas as pd
 
 from open_energy_data_server_spark.sources.cfb import read_cfb, write_cfb
 
+from open_energy_data_server_spark.sources._robust import corrupt_guard
+
 # record opcodes ([MS-XLS])
 _BOF = 0x0809
 _EOF = 0x000A
@@ -215,6 +217,7 @@ def _parse_sheet(stream: bytes, start: int, sst: list[str]) -> dict[int, dict[in
     return rows
 
 
+@corrupt_guard("xls")
 def parse_xls(
     raw: bytes,
     sheet: str | int = 0,

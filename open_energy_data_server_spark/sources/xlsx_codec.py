@@ -27,6 +27,8 @@ import zipfile
 
 import pandas as pd
 
+from open_energy_data_server_spark.sources._robust import corrupt_guard
+
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 _RID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
@@ -121,6 +123,7 @@ def _cell_value(c: ET.Element, shared: list[str]):
     return int(num) if num.is_integer() and abs(num) < 2**53 else num
 
 
+@corrupt_guard("xlsx")
 def parse_xlsx(
     raw: bytes,
     sheet: str | int = 0,

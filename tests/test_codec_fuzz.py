@@ -1,0 +1,157 @@
+"""Corrupt-input fuzzing for the five pure binary decoders.
+
+At 100 TB the landing area WILL contain truncated downloads and
+bit-rotted files. A corrupt file must fail its Spark task READABLY —
+a single ValueError naming the format — never an IndexError /
+struct.error deep in octet math, an infinite loop, or a silent wrong
+decode that crashes later. This module drives every decoder through:
+
+- a truncation sweep (every prefix length on a sampled grid), and
+- a bit-flip sweep (two flips at every sampled byte position),
+
+asserting each decode either succeeds or raises ValueError, under a
+watchdog alarm that turns a hung decoder into a test failure.
+Deterministic by construction (fixed fixtures, fixed position grids —
+no RNG), so failures replay exactly.
+"""
+
+from __future__ import annotations
+
+import signal
+
+import pytest
+
+from open_energy_data_server_spark.sources.cfb import read_cfb, write_cfb
+from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+from open_energy_data_server_spark.sources.sevenzip import read_7z, write_7z
+from open_energy_data_server_spark.sources.shapefile import parse_dbf, parse_shp
+from open_energy_data_server_spark.sources.xls_codec import parse_xls, write_xls
+
+from tests.test_grib1codec import make_grib1
+from tests.test_grib2codec import make_grib2
+from tests.test_shapefile import _dbf, _poly_content, _shp
+
+WATCHDOG_SECONDS = 20
+
+
+def _sample_positions(n: int, k: int = 120) -> list[int]:
+    """k deterministic positions covering [0, n)."""
+    if n <= k:
+        return list(range(n))
+    step = n / k
+    return sorted({int(i * step) for i in range(k)})
+
+
+def _drive(decode, blob: bytes) -> None:
+    """One fuzz probe: decode must finish fast and fail only cleanly."""
+
+    def _alarm(signum, frame):  # noqa: ARG001
+        raise RuntimeError("decoder hung on corrupt input")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(WATCHDOG_SECONDS)
+    try:
+        try:
+            decode(blob)
+        except ValueError:
+            pass  # the one allowed failure mode
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _fuzz(decode, raw: bytes) -> None:
+    for cut in _sample_positions(len(raw)):
+        _drive(decode, raw[:cut])
+    for pos in _sample_positions(len(raw)):
+        for mask in (0x80, 0x01):
+            mutated = bytearray(raw)
+            mutated[pos] ^= mask
+            _drive(decode, bytes(mutated))
+
+
+# --- fixtures: one healthy artifact per codec ------------------------
+
+def _grib1_bytes() -> bytes:
+    return make_grib1(
+        [0, 10, 20, 35, 7, 9], ni=3, nj=2, bitmap=None, grid_type=0
+    )
+
+
+def _grib2_bytes() -> bytes:
+    return make_grib2(list(range(12)), ni=4, nj=3)
+
+
+def _sevenzip_bytes() -> bytes:
+    return write_7z(
+        {"a.csv": b"ts,v\n1,2\n" * 30, "b.txt": b"hello world"},
+        codec="lzma2",
+    )
+
+
+def _xls_bytes() -> bytes:
+    rows = [["name", "count"], ["alpha", 1], ["beta", 2], ["gamma", 3]]
+    return write_xls({"Data": rows})
+
+
+def _cfb_bytes() -> bytes:
+    return write_cfb({"Workbook": b"payload" * 20, "Extra": bytes(range(256))})
+
+
+def _shp_bytes() -> bytes:
+    ring = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]
+    return _shp([_poly_content([ring])] * 3, shape_type=5)
+
+
+def _dbf_bytes() -> bytes:
+    return _dbf(
+        [("A", 1, 1.5, "T"), ("B", 2, 2.5, "F"), ("C", 3, 3.5, "T")]
+    )
+
+
+CODECS = {
+    "grib1": (_grib1_bytes, decode_grib2),
+    "grib2": (_grib2_bytes, decode_grib2),
+    "sevenzip": (_sevenzip_bytes, read_7z),
+    "xls": (_xls_bytes, parse_xls),
+    "cfb": (_cfb_bytes, read_cfb),
+    "shp": (_shp_bytes, parse_shp),
+    "dbf": (_dbf_bytes, parse_dbf),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CODECS))
+def test_codec_truncation_and_bitflip_fuzz(name):
+    build, decode = CODECS[name]
+    raw = build()
+    decode(raw)  # healthy fixture must decode
+    _fuzz(decode, raw)
+
+
+def test_gdbtable_fuzz(tmp_path):
+    """GdbTable reads path pairs — fuzz the .gdbtable bytes against a
+    healthy .gdbtablx and vice versa."""
+    from open_energy_data_server_spark.sources.gdbtable import GdbTable
+    from tests.test_gdbtable import SQUARE, write_fixture_gdb
+
+    good = tmp_path / "good"
+    good.mkdir()
+    write_fixture_gdb(
+        good,
+        [(1, 1.5, "a", SQUARE), (2, None, "b", None), (3, 2.5, None, SQUARE)],
+    )
+    table_raw = (good / "a00000004.gdbtable").read_bytes()
+    tablx_raw = (good / "a00000004.gdbtablx").read_bytes()
+
+    work = tmp_path / "work"
+    work.mkdir()
+
+    def decode_pair(table: bytes, tablx: bytes) -> None:
+        (work / "a00000004.gdbtable").write_bytes(table)
+        (work / "a00000004.gdbtablx").write_bytes(tablx)
+        t = GdbTable(str(work / "a00000004.gdbtable"))
+        t.read_rows(0, 10)
+
+    decode_pair(table_raw, tablx_raw)  # healthy pair must decode
+    _fuzz(lambda b: decode_pair(b, tablx_raw), table_raw)
+    _fuzz(lambda b: decode_pair(table_raw, b), tablx_raw)

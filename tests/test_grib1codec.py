@@ -76,6 +76,7 @@ def make_grib1(
     pole: tuple[float, float] = (-40.0, 10.0),
     bds_flags: int = 0x0,
     scan: int = 0x00,
+    bds_body_override: bytes | None = None,
 ) -> bytes:
     """Spec-derived GRIB1 message encoder (octet numbers per WMO Ed.1)."""
     year = ref_time[0]
@@ -130,15 +131,18 @@ def make_grib1(
         body = bytes([unused]) + (0).to_bytes(2, "big") + bm_bytes
         bms = (len(body) + 3).to_bytes(3, "big") + body
 
-    data = _pack(xs, nbits)
-    unused_bits = (8 * len(data)) - len(xs) * nbits
-    bds_body = (
-        bytes([(bds_flags << 4) | unused_bits])
-        + _sm2(e_scale)
-        + _ibm32(r_ref)
-        + bytes([nbits])
-        + data
-    )
+    if bds_body_override is not None:
+        bds_body = bds_body_override
+    else:
+        data = _pack(xs, nbits)
+        unused_bits = (8 * len(data)) - len(xs) * nbits
+        bds_body = (
+            bytes([(bds_flags << 4) | unused_bits])
+            + _sm2(e_scale)
+            + _ibm32(r_ref)
+            + bytes([nbits])
+            + data
+        )
     if len(bds_body) % 2:  # BDS length must be even per spec
         bds_body += b"\x00"
         bds_body = bytes([bds_body[0] + 8]) + bds_body[1:]  # 8 more unused bits
@@ -250,10 +254,12 @@ def test_grib1_period_product_lead_time():
     assert str(df["time"].iloc[0]) == "1999-01-02 15:00:00"
 
 
-def test_grib1_complex_packing_raises():
+def test_grib1_second_order_without_extended_flags_raises():
+    # flag bit 2 set but bit 4 (extended flags at octet 14) clear is
+    # not a layout the decoder can interpret — clean error, no garbage
     raw = make_grib1([1, 2], ni=2, nj=1, bds_flags=0x4,
                      r_ref=0.0, e_scale=0, d_scale=0)
-    with pytest.raises(ValueError, match="complex"):
+    with pytest.raises(ValueError, match="extended flags"):
         decode_grib2(raw)
 
 
@@ -267,3 +273,118 @@ def test_grib1_distributed_read(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 8
     assert {r["value"] for r in rows} == {25.0, 27.0, 29.0, 32.0}
+
+
+def make_so_bds(
+    fo: list[int],
+    so: list[int],
+    group_of: list[int],
+    nbits_fo: int = 8,
+    widths=4,
+    sec_bitmap: bool = False,
+    r_ref: float = 250.0,
+    e_scale: int = 1,
+    ext_extra: int = 0,
+) -> bytes:
+    """BDS body for GRIB1 grid-point second-order packing (WMO Ed.1
+    octets 4..): flags 0x5 (grid, complex, float, extended flags),
+    N1/N2 pointers, P1/P2 counts, width table at octet 22, optional
+    secondary bitmap, FO data at N1, SO deviations at N2."""
+    p1, p2 = len(fo), len(so)
+    diff = isinstance(widths, (list, tuple))
+    wlist = list(widths) if diff else [widths] * p1
+    ext = (0x40 if sec_bitmap else 0) | (0x20 if diff else 0) | ext_extra
+    width_bytes = bytes(wlist) if diff else bytes([wlist[0]])
+    sb_bytes = b""
+    if sec_bitmap:
+        bits = "".join(
+            "1" if (i == 0 or group_of[i] != group_of[i - 1]) else "0"
+            for i in range(p2)
+        )
+        bits += "0" * (-len(bits) % 8)
+        sb_bytes = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    fo_data = _pack(fo, nbits_fo)
+    so_bits = "".join(
+        format(v, f"0{wlist[group_of[i]]}b") for i, v in enumerate(so)
+    )
+    unused = -len(so_bits) % 8
+    so_bits += "0" * unused
+    so_data = bytes(int(so_bits[i : i + 8], 2) for i in range(0, len(so_bits), 8))
+    n1 = 22 + len(width_bytes) + len(sb_bytes)
+    n2 = n1 + len(fo_data)
+    body = (
+        bytes([(0x5 << 4) | unused])
+        + _sm2(e_scale)
+        + _ibm32(r_ref)
+        + bytes([nbits_fo])
+        + n1.to_bytes(2, "big")
+        + bytes([ext])
+        + n2.to_bytes(2, "big")
+        + p1.to_bytes(2, "big")
+        + p2.to_bytes(2, "big")
+        + b"\x00"
+        + width_bytes
+        + sb_bytes
+        + fo_data
+        + so_data
+    )
+    return body
+
+
+def test_grib1_second_order_row_by_row():
+    # 2x2 grid, rows are groups: FO=[0,100], SO=[0,10,20,35], width 6
+    # value = (250 + (FO+SO)·2^1) / 10^1
+    body = make_so_bds([0, 100], [0, 10, 20, 35], [0, 0, 1, 1], widths=6)
+    raw = make_grib1([], ni=2, nj=2, bds_body_override=body)
+    df = decode_grib2(raw)
+    assert df["value"].tolist() == [25.0, 27.0, 49.0, 52.0]
+
+
+def test_grib1_second_order_secondary_bitmap_diff_widths():
+    # irregular groups via secondary bitmap: [p0] [p1 p2 p3] [p4 p5],
+    # per-group widths 3/6/4
+    fo, so = [5, 0, 40], [1, 0, 33, 7, 2, 9]
+    grp = [0, 1, 1, 1, 2, 2]
+    body = make_so_bds(fo, so, grp, widths=[3, 6, 4], sec_bitmap=True)
+    raw = make_grib1([], ni=3, nj=2, bds_body_override=body)
+    df = decode_grib2(raw)
+    x = [fo[g] + s for g, s in zip(grp, so)]
+    assert df["value"].tolist() == [(250.0 + v * 2.0) / 10.0 for v in x]
+
+
+def test_grib1_second_order_with_primary_bitmap():
+    # 2x2 grid, point 2 missing; 3 present points in one group
+    body = make_so_bds([10], [0, 5, 20], [0, 0, 0], widths=5)
+    raw = make_grib1(
+        [], ni=2, nj=2, bitmap=[1, 1, 0, 1], bds_body_override=body
+    )
+    df = decode_grib2(raw)
+    vals = df["value"].tolist()
+    assert vals[0] == 27.0 and vals[1] == 28.0 and vals[3] == 31.0
+    assert vals[2] != vals[2]  # NaN
+
+
+def test_grib1_second_order_matches_simple_packing():
+    # property: one group with FO=0 and SO width = simple nbits is
+    # bit-identical to simple packing of the same X field
+    xs = [0, 3, 17, 255, 128, 64, 1, 200, 99]
+    simple = decode_grib2(make_grib1(xs, ni=3, nj=3, nbits=8))
+    body = make_so_bds([0], xs, [0] * len(xs), widths=8)
+    so = decode_grib2(make_grib1([], ni=3, nj=3, bds_body_override=body))
+    assert simple["value"].tolist() == so["value"].tolist()
+
+
+def test_grib1_second_order_unsupported_variants_raise():
+    body_m = make_so_bds([0], [1, 2, 3, 4], [0] * 4, ext_extra=0x80)
+    with pytest.raises(ValueError, match="matrix"):
+        decode_grib2(make_grib1([], ni=2, nj=2, bds_body_override=body_m))
+    body_g = make_so_bds([0], [1, 2, 3, 4], [0] * 4, ext_extra=0x10)
+    with pytest.raises(ValueError, match="general extended"):
+        decode_grib2(make_grib1([], ni=2, nj=2, bds_body_override=body_g))
+    body_b = make_so_bds([0], [1, 2, 3, 4], [0] * 4, ext_extra=0x08)
+    with pytest.raises(ValueError, match="boustrophedonic"):
+        decode_grib2(make_grib1([], ni=2, nj=2, bds_body_override=body_b))
+    # row-by-row with P1 not dividing P2
+    body_r = make_so_bds([0, 1, 2], [1, 2, 3, 4], [0, 0, 1, 2])
+    with pytest.raises(ValueError, match="P1"):
+        decode_grib2(make_grib1([], ni=2, nj=2, bds_body_override=body_r))
