@@ -113,3 +113,86 @@ def run_all(spark: SparkSession, lake_root: str, pipelines: list[Pipeline]) -> l
             log.exception("pipeline %s.%s failed", p.schema, p.table)
             results.append(RunResult(p.schema, p.table, None, error=str(exc)))
     return results
+
+
+# --- multi-schema orchestration (the crawl_all.py __main__ analog) ---
+
+CrawlerBuild = Callable[[str], list[Pipeline]]
+
+# name → builder producing that crawler's pipelines for a schema name;
+# the registry plays the role of the reference's crawler/ folder glob
+# (crawl_all.py:30-47)
+_CRAWLERS: dict[str, CrawlerBuild] = {}
+
+
+def register_crawler(name: str, build: CrawlerBuild) -> None:
+    """Register a crawler (idempotent overwrite), discovery-style."""
+    _CRAWLERS[name] = build
+
+
+def available_crawlers(exclude: tuple[str, ...] = ()) -> list[str]:
+    """Sorted crawler names minus exclusions — the analog of
+    ``get_available_crawlers`` (crawl_all.py:30-47), which drops the
+    sources without publicly available data."""
+    return sorted(n for n in _CRAWLERS if n not in exclude)
+
+
+def schema_name_of(crawler_name: str) -> str:
+    """Crawler name → dataset schema, the reference's derivation
+    (crawl_all.py:60: ``crawler_name.replace("_crawler", "")``)."""
+    return crawler_name.replace("_crawler", "")
+
+
+def crawl_all(
+    spark: SparkSession,
+    lake_root: str,
+    names: list[str] | None = None,
+    exclude: tuple[str, ...] = (),
+) -> list[RunResult]:
+    """Run every registered crawler through the shared contract —
+    derive its schema name, build its pipelines, execute with both
+    crawler-level and pipeline-level error isolation (one broken
+    source never blocks the sweep, crawl_all.py:15-27) — and return
+    the flat per-table result list. Re-running is idempotent: each
+    pipeline resumes from its destination watermark (T1) and the
+    catalog row is a MERGE (K10), so a second sweep appends only
+    newer-than-watermark rows and keeps one metadata row per schema."""
+    results: list[RunResult] = []
+    for name in names if names is not None else available_crawlers(exclude):
+        if name not in _CRAWLERS:
+            results.append(RunResult(schema_name_of(name), "", None,
+                                     error=f"unknown crawler {name!r}"))
+            continue
+        schema = schema_name_of(name)
+        log.info("executing crawler %s (schema %s)", name, schema)
+        try:
+            pipelines = _CRAWLERS[name](schema)
+        except Exception as exc:  # noqa: BLE001 — isolation is the contract
+            log.exception("crawler %s failed to build", name)
+            results.append(RunResult(schema, "", None, error=str(exc)))
+            continue
+        results.extend(run_all(spark, lake_root, pipelines))
+    return results
+
+
+def summary_table(spark: SparkSession, results: list[RunResult]) -> DataFrame:
+    """One summary relation over a sweep (schema, table, rows, error) —
+    the log the reference scatters over crawl_all's logger, as data."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("schema_name", StringType()),
+            StructField("table_name", StringType()),
+            StructField("rows", LongType()),
+            StructField("error", StringType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(r.schema, r.table, r.rows, r.error) for r in results], schema
+    )

@@ -101,3 +101,74 @@ def test_full_crawl_lifecycle(spark, tmp_path):
     results = run_all(spark, lake, [boom, _make_pipeline(spark, tmp_path, CSV_BATCH1, "b3")])
     assert results[0].error is not None and "fetch died" in results[0].error
     assert results[1].error is None
+
+
+def test_crawl_all_multi_schema_sweep(spark, tmp_path):
+    """The crawl_all.py __main__ analog: discover registered crawlers,
+    derive schema names, run each through the shared contract — one
+    metadata row per schema, watermark-resume idempotent re-run, one
+    summary relation, crawler-level isolation."""
+    from open_energy_data_server_spark.pipeline import (
+        available_crawlers,
+        crawl_all,
+        register_crawler,
+        schema_name_of,
+        summary_table,
+    )
+
+    lake = str(tmp_path / "lake")
+
+    def wind_build(schema):
+        p = _make_pipeline(spark, tmp_path, CSV_BATCH1, f"{schema}_w")
+        p.schema = schema
+        return [p]
+
+    def solar_build(schema):
+        p = _make_pipeline(spark, tmp_path, CSV_BATCH2, f"{schema}_s")
+        p.schema = schema
+        return [p]
+
+    def broken_build(schema):
+        raise OSError("source catalog unreachable")
+
+    register_crawler("windpark_crawler", wind_build)
+    register_crawler("solarfield_crawler", solar_build)
+    register_crawler("deadsource_crawler", broken_build)
+    register_crawler("private_crawler", wind_build)  # excluded below
+
+    assert schema_name_of("windpark_crawler") == "windpark"
+    names = available_crawlers(exclude=("private_crawler",))
+    assert names == [
+        "deadsource_crawler", "solarfield_crawler", "windpark_crawler",
+    ]
+
+    results = crawl_all(spark, lake, exclude=("private_crawler",))
+    by_schema = {r.schema: r for r in results}
+    # broken crawler isolated, the others landed
+    assert "unreachable" in by_schema["deadsource"].error
+    assert by_schema["windpark"].error is None
+    assert by_schema["solarfield"].error is None
+
+    # one metadata row per successful schema
+    cat = read_metadata(spark, lake)
+    schemas = sorted(r.schema_name for r in cat.collect())
+    assert schemas == ["solarfield", "windpark"]
+
+    # summary relation mirrors the result list
+    summ = summary_table(spark, results).collect()
+    assert {(r.schema_name, r.error is None) for r in summ} == {
+        ("deadsource", False), ("windpark", True), ("solarfield", True),
+    }
+
+    # idempotent re-run: watermark resume appends nothing, catalog
+    # still holds exactly one row per schema
+    results2 = crawl_all(
+        spark, lake, names=["windpark_crawler", "solarfield_crawler"]
+    )
+    assert all(r.error is None and r.rows == 0 for r in results2)
+    cat2 = read_metadata(spark, lake)
+    assert sorted(r.schema_name for r in cat2.collect()) == [
+        "solarfield", "windpark",
+    ]
+    wind = read_table_or_none(spark, lake, "windpark", "generation")
+    assert wind.count() == 3  # unchanged by the re-run
