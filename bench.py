@@ -129,6 +129,17 @@ def main() -> None:
         for name in warm1
     }
 
+    # Host calibration: first-touch memory throughput of this run's
+    # box. Shared-host virtualization sometimes degrades page-fault
+    # bandwidth ~10x (measured 6 MB/s vs healthy ~2 GB/s on identical
+    # images); publishing the probe lets a cross-round comparison
+    # separate engine regressions from host conditions.
+    import numpy as _np
+
+    t_cal = time.perf_counter()
+    _np.ones(25_000_000).sum()
+    cal_mbps = round(200.0 / max(time.perf_counter() - t_cal, 1e-9), 1)
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     record = {
         "metric": "total_runtime_all_queries",
@@ -138,6 +149,7 @@ def main() -> None:
         "sf": sf,
         "cold_sec": cold_wall,
         "ingest_sec": ingest_sec,
+        "host_memtouch_mbps": cal_mbps,
     }
     # Full record: one line with every query (the documented contract),
     # plus a copy on disk so per-query numbers survive stdout capture.

@@ -14,11 +14,14 @@ geometry as WKT string columns; the compute kit is dependency-free:
 from __future__ import annotations
 
 import re
+from typing import TYPE_CHECKING
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pandas is only needed by the one pandas-UDF below;
+    import pandas as pd  # importing it eagerly costs ~2 s of session init
 
 _WKT_POLY = re.compile(r"POLYGON\s*\(\s*(.+)\s*\)\s*$", re.IGNORECASE | re.DOTALL)
 
@@ -392,6 +395,10 @@ def simplify_wkt_col(wkt: Column | str, tolerance: float) -> Column:
     """Distributed per-row ST_Simplify over a WKT column (Arrow-batched
     pandas UDF — geometry parsing is genuinely per-row Python; this is
     the same documented seam as the shapefile/GRIB decode)."""
+    global pd
+    import pandas as pd  # noqa: PLW0603 — lazy; must land in module
+    # globals so pandas_udf's get_type_hints can resolve the annotation
+
     from pyspark.sql.functions import pandas_udf
 
     tol = float(tolerance)

@@ -25,7 +25,10 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,6 +58,7 @@ def decode_features(df: DataFrame, id_col: str = "asset_id", payload_col: str = 
     columns, and drops the payload in the same pass.
     """
     src = df.select(F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload"))
+    import pandas as pd  # lazy: captured into the worker closure
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -111,6 +115,7 @@ def resize_images(
         F.col(f"{meta_col}.width").alias("w0"),
         F.col(f"{meta_col}.height").alias("h0"),
     )
+    import pandas as pd  # lazy: captured into the worker closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,6 +172,7 @@ def sample_video_frames(
         F.col(f"{meta_col}.height").alias("h"),
         F.col(f"{meta_col}.duration_s").alias("dur"),
     )
+    import pandas as pd  # lazy: captured into the worker closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

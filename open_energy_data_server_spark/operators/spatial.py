@@ -24,7 +24,10 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pandas only appears in worker-side annotations;
+    import pandas as pd  # eager import costs ~2 s of session init
 from pyspark.sql import DataFrame
 
 from open_energy_data_server_spark.functions.geo import (

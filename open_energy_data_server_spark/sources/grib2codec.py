@@ -17,7 +17,9 @@ subset those crawlers actually produce/consume:
   bit-field of ``nbits`` per point), 5.2 (complex packing: group
   references + per-group widths/lengths), and 5.3 (complex packing
   with first/second-order spatial differencing — the NCEP operational
-  encoding).
+  encoding), and 5.41 (PNG packing — the data section is a PNG image
+  whose samples are the scaled values; decoded by the sibling pure
+  ``sources.pngcodec``, no libpng).
 - Section 6 bitmap indicator 0 (bitmap present) and 255 (none).
 - Multi-message files (each hour/variable is its own GRIB message,
   concatenated — the DWD download shape).
@@ -332,11 +334,11 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
         elif sec_num == 5:
             n_points = _u(body, 5, 4)
             template = _u(body, 9, 2)
-            if template not in (0, 2, 3):
+            if template not in (0, 2, 3, 41):
                 raise ValueError(
                     f"data representation template 5.{template} unsupported (only "
-                    "5.0 simple / 5.2 complex / 5.3 complex+spatial-diff); "
-                    "inject a cfgrib decoder for this file"
+                    "5.0 simple / 5.2 complex / 5.3 complex+spatial-diff / "
+                    "5.41 PNG); inject a cfgrib decoder for this file"
                 )
             drs_template = template
             r_ref = struct.unpack(">f", body[11:15])[0]
@@ -358,6 +360,21 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
                 raise ValueError("GRIB2 data section before grid/identification")
             if drs_template in (2, 3):
                 packed = _unpack_complex(body[5:], n_points, nbits, complex_meta)
+            elif drs_template == 41:
+                # template 7.41: the data section IS a PNG image whose
+                # samples are the scaled values, row-major
+                from open_energy_data_server_spark.sources.pngcodec import (
+                    decode_png,
+                )
+
+                packed = decode_png(bytes(body[5:])).reshape(-1).astype(
+                    np.float64
+                )
+                if packed.size != n_points:
+                    raise ValueError(
+                        f"PNG-packed field carries {packed.size} samples, "
+                        f"DRS says {n_points}"
+                    )
             else:
                 packed = _unpack_bits(body[5:], n_points, nbits)
             values = (r_ref + packed * (2.0**e_scale)) / (10.0**d_scale)

@@ -23,6 +23,7 @@ import pytest
 
 from open_energy_data_server_spark.sources.cfb import read_cfb, write_cfb
 from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+from open_energy_data_server_spark.sources.pngcodec import decode_png
 from open_energy_data_server_spark.sources.sevenzip import read_7z, write_7z
 from open_energy_data_server_spark.sources.shapefile import parse_dbf, parse_shp
 from open_energy_data_server_spark.sources.xls_codec import parse_xls, write_xls
@@ -109,8 +110,16 @@ def _dbf_bytes() -> bytes:
     )
 
 
+def _png_bytes() -> bytes:
+    from tests.test_pngcodec import write_png
+
+    grid = [[(i * 37 + j * 11) % 256 for j in range(9)] for i in range(7)]
+    return write_png(grid, depth=8, row_filters=[0, 1, 2, 3, 4])
+
+
 CODECS = {
     "grib1": (_grib1_bytes, decode_grib2),
+    "png": (_png_bytes, decode_png),
     "grib2": (_grib2_bytes, decode_grib2),
     "sevenzip": (_sevenzip_bytes, read_7z),
     "xls": (_xls_bytes, parse_xls),

@@ -50,6 +50,8 @@ def make_grib2(
     forecast_hours: int = 5,
     bitmap: list[int] | None = None,
     scan: int = 0x00,
+    drs_template: int = 0,
+    data_override: bytes | None = None,
 ) -> bytes:
     n_data = len(xs)
     sec1 = (
@@ -105,7 +107,7 @@ def make_grib2(
     sec5 = (
         b"\x05"
         + n_data.to_bytes(4, "big")
-        + (0).to_bytes(2, "big")  # template 5.0 simple packing
+        + drs_template.to_bytes(2, "big")  # 5.0 simple / 5.41 PNG
         + struct.pack(">f", r_ref)
         + _sm(e_scale, 2)
         + _sm(d_scale, 2)
@@ -125,7 +127,9 @@ def make_grib2(
         )
     sec6 = (len(sec6) + 4).to_bytes(4, "big") + sec6
 
-    sec7 = b"\x07" + _pack_values(xs, nbits)
+    sec7 = b"\x07" + (
+        data_override if data_override is not None else _pack_values(xs, nbits)
+    )
     sec7 = (len(sec7) + 4).to_bytes(4, "big") + sec7
 
     body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
