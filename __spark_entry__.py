@@ -29,6 +29,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registering them (the tool folds them in on the next rotation) —
 # or rerun the tool immediately if they must be checked this round.
 _DRIVER_PRIORITY = [
+    # never driver-checked (no CORRECTNESS_r* row)
+    "q_grid_density",
+    "q_cusum_drift",
+    "q_chisq_drift",
+    "q_percentile_bands",
+    "q_rpc_parameterized",
     # checked names, stalest latest-green first (as of r06)
     "q_neighbour_pairs",  # r3
     "q_union_distinct",  # r3

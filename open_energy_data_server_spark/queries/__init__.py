@@ -48,6 +48,7 @@ def _load_all() -> None:
         llm_text,
         relational,
         reshape_asof,
+        round7,
         scalars,
         search_rank,
         windows,
