@@ -202,29 +202,24 @@ def q_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine determinism): per-bucket terms are identical IEEE
     expressions in both engines, summed fixed-point.
 
-    Scale: rows collapse immediately to (type, bucket, period) counts
-    in one hash agg — everything after runs on ≤ |types|·20 rows."""
+    Scale: rows collapse immediately to (type, bucket) rows with two
+    conditional counts in ONE hash agg — everything after runs on
+    ≤ |types|·10 rows."""
     ev = load_table(spark, sf_dir, "events")
-    b = (
+    period0 = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    m = (
         ev.select(
             "event_type",
             F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
                 "bucket"
             ),
-            F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0)
-            .otherwise(1)
-            .alias("period"),
+            period0.alias("p0"),
         )
-        .groupBy("event_type", "bucket", "period")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    m = b.groupBy("event_type", "bucket").agg(
-        F.sum(F.when(F.col("period") == 0, F.col("c")).otherwise(0))
-        .cast("double")
-        .alias("oa"),
-        F.sum(F.when(F.col("period") == 1, F.col("c")).otherwise(0))
-        .cast("double")
-        .alias("ob"),
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("p0"), 1).otherwise(0)).cast("double").alias("oa"),
+            F.sum(F.when(~F.col("p0"), 1).otherwise(0)).cast("double").alias("ob"),
+        )
     )
     tot = m.groupBy("event_type").agg(
         F.sum("oa").alias("na"), F.sum("ob").alias("nb")
