@@ -27,6 +27,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered by {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -49,6 +54,7 @@ def _load_all() -> None:
         relational,
         reshape_asof,
         round7,
+        round7b,
         scalars,
         search_rank,
         windows,
