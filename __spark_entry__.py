@@ -36,7 +36,6 @@ _DRIVER_PRIORITY = [
     "q_percentile_bands",
     "q_rpc_parameterized",
     "q_gaps_islands",
-    "q_funnel_conversion",
     "q_rrf_hybrid_search",
     # checked names, stalest latest-green first (as of r06)
     "q_neighbour_pairs",  # r3

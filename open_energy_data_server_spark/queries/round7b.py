@@ -5,10 +5,10 @@ series are *behavioral* logs as much as measurements
 (/root/reference/crawler/tankerkoenig.py price-change events,
 opsd/entsoe load series — and q_event_transitions in analytics.py
 already models their first-order structure): q_gaps_islands is the
-classic streak/outage detector (consecutive active days per series —
-the relational dual of q_data_gaps' missing-interval sweep), and
-q_funnel_conversion the ordered-stage milestone count (signup →
-view → purchase with strict temporal ordering).
+classic streak/outage detector — consecutive active days per series,
+the relational dual of q_data_gaps' missing-interval sweep (the
+ordered-funnel counterpart already lives in operators/funnel.py /
+q_funnel_steps).
 
 q_rrf_hybrid_search completes the LLM retrieval kit: reciprocal-rank
 fusion (Cormack et al., the de-facto hybrid-search combiner) of a
@@ -92,86 +92,6 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.max("streak_days").cast("bigint").alias("longest_streak"),
         F.sum("streak_days").cast("bigint").alias("active_days"),
-    )
-
-
-@query(
-    "q_funnel_conversion",
-    oracle="""
-    WITH w1 AS (
-      SELECT user_id, ts, event_type,
-             MIN(CASE WHEN event_type = 'signup' THEN ts END)
-               OVER (PARTITION BY user_id) AS t1
-      FROM events
-    ),
-    w2 AS (
-      SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
-                  OVER (PARTITION BY user_id) AS t2
-      FROM w1
-    ),
-    w3 AS (
-      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
-                  OVER (PARTITION BY user_id) AS t3
-      FROM w2
-    )
-    SELECT COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
-             AS n_signup,
-           COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
-             AS n_view_after_signup,
-           COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
-             AS n_purchase_after_view
-    FROM w3
-    """,
-)
-def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered three-stage funnel with strict temporal sequencing:
-    users who signed up, then VIEWED strictly after signing up, then
-    PURCHASED strictly after that view. Milestone times are
-    whole-partition conditional mins (t2's predicate references t1,
-    t3's references t2), so the stage order is enforced per row, not
-    just per type.
-
-    Scale: one hash exchange by user_id feeds all three WindowExec
-    passes (same partition spec — Spark chains them without
-    re-shuffling), then a partial-agg'd count-distinct; per-series
-    state is three timestamps."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    staged = (
-        ev.withColumn(
-            "t1",
-            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
-        )
-        .withColumn(
-            "t2",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t3",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t2")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-    )
-    return staged.agg(
-        F.countDistinct(
-            F.when(F.col("t1").isNotNull(), F.col("user_id"))
-        ).alias("n_signup"),
-        F.countDistinct(
-            F.when(F.col("t2").isNotNull(), F.col("user_id"))
-        ).alias("n_view_after_signup"),
-        F.countDistinct(
-            F.when(F.col("t3").isNotNull(), F.col("user_id"))
-        ).alias("n_purchase_after_view"),
     )
 
 

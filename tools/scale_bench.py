@@ -203,6 +203,14 @@ def main() -> None:
             entry["ratio"] = round(entry["spark_sec"] / entry["duckdb_sec"], 2)
         results[name] = entry
 
+    # host-health attribution (same probe as bench.py): paired ratios
+    # survive a degraded box, absolutes don't — record the conditions.
+    import numpy as _np
+
+    t_cal = time.perf_counter()
+    _np.ones(25_000_000).sum()
+    cal_mbps = round(200.0 / max(time.perf_counter() - t_cal, 1e-9), 1)
+
     total = round(sum(e["spark_sec"] for e in results.values()), 2)
     print(
         json.dumps(
@@ -212,6 +220,7 @@ def main() -> None:
                 "unit": "sec",
                 "gen_sec": gen_sec,
                 "replicas": REPLICAS,
+                "host_memtouch_mbps": cal_mbps,
                 "queries": results,
             }
         )
