@@ -17,9 +17,11 @@ subset those crawlers actually produce/consume:
   bit-field of ``nbits`` per point), 5.2 (complex packing: group
   references + per-group widths/lengths), and 5.3 (complex packing
   with first/second-order spatial differencing — the NCEP operational
-  encoding), and 5.41 (PNG packing — the data section is a PNG image
+  encoding), 5.41 (PNG packing — the data section is a PNG image
   whose samples are the scaled values; decoded by the sibling pure
-  ``sources.pngcodec``, no libpng).
+  ``sources.pngcodec``, no libpng), and 5.42 (CCSDS/AEC lossless
+  packing — the current DWD open-data encoding; decoded by the
+  sibling pure ``sources.aeccodec``, no libaec).
 - Section 6 bitmap indicator 0 (bitmap present) and 255 (none).
 - Multi-message files (each hour/variable is its own GRIB message,
   concatenated — the DWD download shape).
@@ -32,9 +34,8 @@ GRIB edition 1 messages (the DWD COSMO REA6 shape, dwd.py:120-147)
 dispatch to the sibling pure codec ``sources.grib1codec`` — mixed-
 edition files decode transparently. Deliberately NOT implemented
 (raise ValueError, callers inject cfgrib via the ``decoder=`` seam
-instead): spectral packing, 5.40 JPEG2000, 5.42 CCSDS, embedded
-missing-value management in complex packing, Lambert/polar
-projections.
+instead): spectral packing, 5.40 JPEG2000, embedded missing-value
+management in complex packing, Lambert/polar projections.
 """
 
 from __future__ import annotations
@@ -250,6 +251,7 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     r_ref = 0.0
     drs_template = 0
     complex_meta: dict | None = None
+    aec_meta: dict | None = None
     gauss_n = 0
     row_ni: np.ndarray | None = None
     e_scale = d_scale = 0
@@ -334,11 +336,11 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
         elif sec_num == 5:
             n_points = _u(body, 5, 4)
             template = _u(body, 9, 2)
-            if template not in (0, 2, 3, 41):
+            if template not in (0, 2, 3, 41, 42):
                 raise ValueError(
                     f"data representation template 5.{template} unsupported (only "
                     "5.0 simple / 5.2 complex / 5.3 complex+spatial-diff / "
-                    "5.41 PNG); inject a cfgrib decoder for this file"
+                    "5.41 PNG / 5.42 CCSDS); inject a cfgrib decoder for this file"
                 )
             drs_template = template
             r_ref = struct.unpack(">f", body[11:15])[0]
@@ -347,6 +349,14 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
             nbits = body[19]
             if template in (2, 3):
                 complex_meta = _parse_complex_drs(body, template)
+            elif template == 42:
+                if len(body) < 25:
+                    raise ValueError("GRIB2 template 5.42 section too short")
+                aec_meta = {
+                    "flags": body[21],
+                    "block_size": body[22],
+                    "rsi": _u(body, 23, 2),
+                }
         elif sec_num == 6:
             indicator = body[5]
             if indicator == 0:
@@ -360,6 +370,19 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
                 raise ValueError("GRIB2 data section before grid/identification")
             if drs_template in (2, 3):
                 packed = _unpack_complex(body[5:], n_points, nbits, complex_meta)
+            elif drs_template == 42:
+                from open_energy_data_server_spark.sources.aeccodec import (
+                    decode_ccsds,
+                )
+
+                packed = decode_ccsds(
+                    bytes(body[5:]),
+                    n_points,
+                    nbits,
+                    aec_meta["flags"],
+                    aec_meta["block_size"],
+                    aec_meta["rsi"],
+                ).astype(np.float64)
             elif drs_template == 41:
                 # template 7.41: the data section IS a PNG image whose
                 # samples are the scaled values, row-major

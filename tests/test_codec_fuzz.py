@@ -110,6 +110,31 @@ def _dbf_bytes() -> bytes:
     )
 
 
+def _grib2_aec_bytes() -> bytes:
+    import numpy as np
+
+    from open_energy_data_server_spark.sources.aeccodec import (
+        FLAG_MSB,
+        FLAG_PREPROCESS,
+        encode_ccsds,
+    )
+
+    xs = np.clip(
+        np.cumsum(np.arange(48) % 7 - 3) + 200, 0, 1023
+    ).astype(np.uint32)
+    flags = FLAG_PREPROCESS | FLAG_MSB
+    payload = encode_ccsds(xs, 10, flags=flags, block_size=16, rsi=8)
+    return make_grib2(
+        list(xs),
+        ni=8,
+        nj=6,
+        nbits=10,
+        drs_template=42,
+        data_override=payload,
+        sec5_extra=bytes([flags, 16]) + (8).to_bytes(2, "big"),
+    )
+
+
 def _png_bytes() -> bytes:
     from tests.test_pngcodec import write_png
 
@@ -121,6 +146,7 @@ CODECS = {
     "grib1": (_grib1_bytes, decode_grib2),
     "png": (_png_bytes, decode_png),
     "grib2": (_grib2_bytes, decode_grib2),
+    "grib2_aec": (_grib2_aec_bytes, decode_grib2),
     "sevenzip": (_sevenzip_bytes, read_7z),
     "xls": (_xls_bytes, parse_xls),
     "cfb": (_cfb_bytes, read_cfb),

@@ -52,6 +52,7 @@ def make_grib2(
     scan: int = 0x00,
     drs_template: int = 0,
     data_override: bytes | None = None,
+    sec5_extra: bytes = b"",
 ) -> bytes:
     n_data = len(xs)
     sec1 = (
@@ -112,6 +113,7 @@ def make_grib2(
         + _sm(e_scale, 2)
         + _sm(d_scale, 2)
         + bytes([nbits, 0])
+        + sec5_extra
     )
     sec5 = (len(sec5) + 4).to_bytes(4, "big") + sec5
 
