@@ -66,6 +66,9 @@ NLJ_ALLOWED = {
     "q_tfidf_topk",
     "q_bm25_search",
     "q_familiarity_buckets",
+    # 1-row query-vector broadcast attached keylessly to the corpus
+    # scan (the scalar-subquery shape; see q_rrf_hybrid_search doc)
+    "q_rrf_hybrid_search",
 }
 
 
