@@ -229,3 +229,13 @@ def test_grib2_ccsds_truncated_payload_raises():
     )
     with pytest.raises(ValueError, match="CCSDS"):
         decode_grib2(msg)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.sampled_from([8, 12, 16]))
+def test_arbitrary_bytes_never_hang_or_crash(blob, bps):
+    # any byte soup must decode fully or raise the one allowed error
+    try:
+        decode_ccsds(blob, 256, bps, FLAG_PREPROCESS, 16, 8)
+    except ValueError:
+        pass
