@@ -14,12 +14,13 @@ container per year (dwd_generate_dc.py) — here it is ordinary task
 parallelism.
 
 The default decoder is the repo's own pure-Python GRIB codec
-(``sources.grib2codec`` — grid template 3.0, simple packing 5.0,
-bitmaps; numpy-vectorized bit unpack — with per-message dispatch to
-``sources.grib1codec`` for edition-1 files: IBM-float reference
-values, regular AND rotated lat/lon grids, the DWD COSMO REA6 shape).
-The decoder stays injectable: packings the minimal codec rejects
-(JPEG2000, spectral, second-order) swap in cfgrib with
+(``sources.grib2codec`` — lat/lon + Gaussian grids; simple, complex/
+spatial-diff, PNG and CCSDS/AEC packings; bitmaps; numpy-vectorized —
+with per-message dispatch to ``sources.grib1codec`` for edition-1
+files: IBM-float reference values, regular AND rotated lat/lon grids,
+second-order packing, the DWD COSMO REA6 shape). The decoder stays
+injectable: packings the pure codecs reject (JPEG2000, spherical
+harmonics) swap in cfgrib with
 ``read_grib(..., decoder=cfgrib_decoder)``.
 """
 
