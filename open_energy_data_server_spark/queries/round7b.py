@@ -108,7 +108,7 @@ _FUSED_K = 20
       SELECT doc_id,
              len(list_filter(
                string_split_regex(lower(trim(text)), '\\s+'),
-               t -> t IN ('join', 'hash', 'window', 'stream')))
+               t -> t IN ({", ".join(f"'{t}'" for t in _RRF_TERMS)})))
                AS lex_score
       FROM documents WHERE doc_id <> 0
     ),
@@ -157,14 +157,15 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion: a lexical ranker
     (term-frequency of the bag-of-words query, no explode) and an
     exact-cosine ranker against the query document's embedding
-    (vec_id 0) each produce a bounded top-{_CAND_K} candidate list;
-    RRF (k={_RRF_K}) fuses them and returns the top-{_FUSED_K}.
+    (vec_id 0) each produce a bounded top-k (_CAND_K = 100) candidate
+    list; RRF (k = _RRF_K = 60) fuses them and returns the top
+    _FUSED_K = 20.
 
     Scale: each ranker is independently top-k-bounded BEFORE fusion —
     the lexical side is one tokenize scan + WindowGroupLimit, the
     vector side one corpus scan with an in-row fixed-point dot fold
     (at 100 TB it becomes the bucketed-ANN probe, same contract);
-    fusion is a full-outer join over ≤ 2·{_CAND_K} skinny rows."""
+    fusion is a full-outer join over ≤ 200 skinny rows."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     term_arr = F.array(*[F.lit(t) for t in _RRF_TERMS])

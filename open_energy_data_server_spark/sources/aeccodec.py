@@ -203,7 +203,12 @@ def decode_ccsds(
                     parts.append(br.take_fields(1, bits_per_sample))
                 if se:
                     n_mapped = block_size - ref
-                    ms = br.fs_run((n_mapped + 1) // 2, fs_limit)
+                    # SE pair values m range up to (2·xmax+1)(xmax+1) for
+                    # spec-valid (if non-cost-minimal) encoders — wider
+                    # than fs_limit, so the SE branch gets its own bound
+                    # (the reader still stops at end-of-stream, so a
+                    # corrupt unary run cannot spin past the data).
+                    ms = br.fs_run((n_mapped + 1) // 2, se_bound)
                     if int(ms.max(initial=0)) > se_bound:
                         raise ValueError(
                             "CCSDS second-extension value out of range"
@@ -337,6 +342,10 @@ def encode_ccsds(
     """Encode unsigned ints as a CCSDS 121.0 stream (tests only)."""
     if flags & (FLAG_SIGNED | FLAG_RESTRICTED):
         raise ValueError("signed/restricted encoding unsupported")
+    if bits_per_sample < 3:
+        # id_len=1 leaves no split-sample options (max_k < 0); the n≤2
+        # low-entropy coding tables are out of scope for a test encoder
+        raise ValueError("bits_per_sample < 3 unsupported by test encoder")
     xs = [int(v) for v in samples]
     xmax = (1 << bits_per_sample) - 1
     if any(not 0 <= v <= xmax for v in xs):
