@@ -45,6 +45,17 @@ _AGGS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.coun
 RESERVED = {"select", "order", "limit", "offset", "or", "and"}
 
 
+def _unquote_value(raw: str) -> str:
+    """Strip one pair of surrounding quotes from a filter value. The
+    reference's documented export params quote date literals —
+    ``DateTime=gte.'2012-01-01'`` (http_export_examples.md:20) — and a
+    quoted value compared against a TIMESTAMP column would null-cast
+    and silently drop every row."""
+    if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in ("'", '"'):
+        return raw[1:-1]
+    return raw
+
+
 def _parse_filter(col: str, spec: str) -> Column:
     c = F.col(col)
     negate = False
@@ -55,10 +66,10 @@ def _parse_filter(col: str, spec: str) -> Column:
     if op == "is":
         cond = c.isNull() if raw == "null" else (c == (raw == "true"))
     elif op == "in":
-        vals = [v.strip() for v in raw.strip("()").split(",")]
+        vals = [_unquote_value(v.strip()) for v in raw.strip("()").split(",")]
         cond = c.cast("string").isin(vals)
     elif op in _COMPARATORS:
-        cond = _COMPARATORS[op](c, raw)
+        cond = _COMPARATORS[op](c, _unquote_value(raw))
     else:
         raise ValueError(f"unsupported PostgREST operator {op!r} for column {col!r}")
     return ~cond if negate else cond

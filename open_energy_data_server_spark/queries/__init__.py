@@ -55,6 +55,7 @@ def _load_all() -> None:
         reshape_asof,
         round7,
         round7b,
+        round8,
         scalars,
         search_rank,
         windows,

@@ -118,4 +118,22 @@ def register_engine_functions(spark: SparkSession) -> None:
                                     THEN width_s - 1 ELSE 0 END) div width_s) * width_s)
         """
     )
+    # ST_AsGeoJSON for single-ring WKT polygons — the open_nrw.json
+    # dashboards call it in rawSql (Select ST_AsGeoJSON(nuts.geometry)
+    # …). Same pure string-op expression as
+    # functions.geo.wkt_polygon_to_geojson (G1), kept in sync by
+    # tests/test_geo.py — a SQL body, not a UDF, so panels stay inside
+    # whole-stage codegen.
+    spark.sql(
+        r"""
+        CREATE OR REPLACE TEMPORARY FUNCTION ST_AsGeoJSON(wkt STRING)
+        RETURNS STRING
+        RETURN concat('{"type":"Polygon","coordinates":[[',
+          array_join(transform(
+            split(regexp_replace(regexp_replace(wkt, '^POLYGON\\s*\\(\\(', ''),
+                                 '\\)\\)\\s*$', ''), ',\\s*'),
+            p -> concat('[', regexp_replace(trim(p), '\\s+', ','), ']')), ','),
+          ']]}')
+        """
+    )
     spark._oeds_functions_registered = True

@@ -332,3 +332,26 @@ def test_hull_from_geometry_table_full_pipeline(spark):
         c = transform_ring(corners_3857, 3857, 4326)
         inside = points_in_polygon([ring], c[:, 0], c[:, 1])
         assert bool(inside.all())
+
+
+def test_st_asgeojson_sql_matches_column_function(spark):
+    """The SQL-registered ST_AsGeoJSON (session.register_engine_functions,
+    serving the open_nrw.json dashboards) must stay in sync with the
+    column function wkt_polygon_to_geojson (G1)."""
+    from open_energy_data_server_spark.functions.geo import wkt_polygon_to_geojson
+    from open_energy_data_server_spark.session import register_engine_functions
+    from pyspark.sql import functions as F
+
+    register_engine_functions(spark)
+    wkts = [
+        "POLYGON ((1 2, 3 4, 5 2, 1 2))",
+        "POLYGON((6.1 50.7,6.2 50.7,6.2 50.8,6.1 50.7))",
+    ]
+    df = spark.createDataFrame([(w,) for w in wkts], "wkt string")
+    both = df.select(
+        wkt_polygon_to_geojson("wkt").alias("col_fn"),
+        F.expr("ST_AsGeoJSON(wkt)").alias("sql_fn"),
+    ).collect()
+    for r in both:
+        assert r.col_fn == r.sql_fn
+        assert r.col_fn.startswith('{"type":"Polygon","coordinates":[[[')

@@ -43,3 +43,74 @@ def test_expand_plain_group(spark):
         "15 minutes",
     )
     assert "time_bucket(900, ts)" in sql and "AS time" not in sql
+
+
+def test_interval_ms_is_integer_milliseconds():
+    """Round-7 defect: the bare $__interval replace ran first and
+    turned $__interval_ms into '1 hour_ms' (broken SQL in every
+    entsog.json flow panel)."""
+    sql = expand_macros(
+        "SELECT sum(value/$__interval_ms*1000*60*60) AS flow FROM f "
+        "WHERE $__timeFilter(ts) GROUP BY $__timeGroup(ts,$__interval)",
+        "2024-01-01 00:00:00",
+        "2024-01-02 00:00:00",
+        "1 hour",
+    )
+    assert "value/3600000*1000*60*60" in sql
+    assert "_ms" not in sql and "$" not in sql
+
+
+def test_unix_epoch_filter():
+    sql = expand_macros(
+        "SELECT * FROM t WHERE $__unixEpochFilter(epoch_s)",
+        "2024-01-01 00:00:00",
+        "2024-01-02 00:00:00",
+    )
+    assert "epoch_s >= 1704067200 AND epoch_s <= 1704153600" in sql
+
+
+def test_template_variables_and_braced_form():
+    sql = expand_macros(
+        "SELECT * FROM t WHERE country = '$country' AND nuts_id LIKE "
+        "'${nuts_id}%' AND c IN ($countries)",
+        "2024-01-01 00:00:00",
+        "2024-01-02 00:00:00",
+        variables={
+            "country": "DE",
+            "nuts_id": "DEA2",
+            "countries": "'DE','AT'",
+        },
+    )
+    assert "country = 'DE'" in sql
+    assert "nuts_id LIKE 'DEA2%'" in sql
+    assert "c IN ('DE','AT')" in sql
+
+
+def test_escaped_quote_identifier_and_literal_time_bucket():
+    """entsoe.json aliases a column as \"\"\"0\"\"\" (PG escaped-quote
+    identifier); refit.json calls TimescaleDB's interval-literal
+    time_bucket('1 hour', ...) in raw (non-macro) SQL."""
+    sql = expand_macros(
+        'SELECT avg("0") AS """0""", time_bucket(\'1 hour\', "DateTime") '
+        "FROM c",
+        "2024-01-01 00:00:00",
+        "2024-01-02 00:00:00",
+    )
+    assert 'avg(`0`) AS `"0"`' in sql
+    assert "time_bucket(3600, `DateTime`)" in sql
+
+
+def test_flow_rate_panel_executes(spark):
+    """entsog flow-panel shape end to end on the events table."""
+    register_engine_functions(spark)
+    load_table(spark, SF_DIR_ORACLE, "events").createOrReplaceTempView("events")
+    sql = expand_macros(
+        "SELECT $__timeGroupAlias(ts,$__interval), "
+        "sum(value/$__interval_ms*1000*60*60) AS flow "
+        "FROM events WHERE $__timeFilter(ts) GROUP BY 1",
+        "2024-01-05 00:00:00",
+        "2024-01-06 00:00:00",
+        "15 minutes",
+    )
+    rows = spark.sql(sql).collect()
+    assert rows and all(r.flow is not None for r in rows)
