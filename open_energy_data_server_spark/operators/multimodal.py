@@ -218,14 +218,24 @@ DHASH_BANDS = 4
 def dhash_bits(grid: Column) -> Column:
     """60-bit dHash of a row-major ``DHASH_H×DHASH_W`` byte grid held
     in a string column (first ``DHASH_H*DHASH_W`` bytes are used).
-    Pure expression — no Python, no shuffle."""
+    Pure expression — no Python, no shuffle.
+
+    The grid is cast to BINARY once so each neighbour probe is an O(1)
+    byte slice compared with BINARY's unsigned byte order. The earlier
+    ``ascii(substring(<string>, pos, 1))`` form walked the UTF-8
+    prefix on every probe — O(pos) per term × 120 terms ≈ 8k byte
+    steps per row, the whole 8× constant factor the round-7 scale
+    bench flagged. Equivalent on the ASCII stand-in grids the callers
+    filter to (octet_length = length), and strictly more correct for
+    bytes ≥ 0x80 (true unsigned pixel order)."""
+    raw = grid.cast("binary")
     acc = F.lit(0).cast("bigint")
     for r in range(DHASH_H):
         for c in range(DHASH_W - 1):
             j = r * (DHASH_W - 1) + c
             pos = r * DHASH_W + c + 1  # 1-based
-            left = F.ascii(F.substring(grid, pos, 1))
-            right = F.ascii(F.substring(grid, pos + 1, 1))
+            left = F.substring(raw, pos, 1)
+            right = F.substring(raw, pos + 1, 1)
             acc = acc + F.when(
                 left < right, F.lit(1 << j).cast("bigint")
             ).otherwise(F.lit(0).cast("bigint"))
