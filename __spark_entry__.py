@@ -30,57 +30,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # or rerun the tool immediately if they must be checked this round.
 _DRIVER_PRIORITY = [
     # never driver-checked (no CORRECTNESS_r* row)
-    "q_grid_density",
-    "q_cusum_drift",
-    "q_chisq_drift",
-    "q_percentile_bands",
-    "q_rpc_parameterized",
-    "q_gaps_islands",
-    "q_rrf_hybrid_search",
-    # checked names, stalest latest-green first (as of r06)
-    "q_neighbour_pairs",  # r3
-    "q_union_distinct",  # r3
-    "q_range_join_fiscal_windows",  # r3
-    "q_intersect_except",  # r3
-    "q_ann_bruteforce_topk",  # r3
-    "q_ann_lsh_buckets",  # r3
-    "q_multimodal_decode",  # r3
-    "q_dedup_embedding_cosine",  # r3
-    "q_decontaminate",  # r3
-    "q_pii_scrub",  # r3
-    "q_domain_stats",  # r3
-    "q_timestamp_assembly",  # r3
-    "q_interpolate_linear",  # r3
-    "q_rolling_1h_window",  # r3
-    "q_quantiles_cont",  # r4
-    "q_stream_stream_join",  # r4
-    "q_ann_ivf_probe",  # r4
-    "q_semdedup_pairs",  # r4
-    "q_image_dhash",  # r4
-    "q_kmeans_refine",  # r4
-    "q_text_stats",  # r4
-    "q_lang_id",  # r4
-    "q_dedup_exact",  # r4
-    "q_dedup_ngram_jaccard",  # r4
-    "q_minhash_signatures",  # r4
-    "q_dedup_minhash_lsh",  # r4
-    "q_simhash",  # r4
-    "q_simhash_pairs",  # r4
-    "q_doc_fingerprint_winnow",  # r4
-    "q_stratified_sample",  # r4
-    "q_token_pack",  # r4
-    "q_quality_filters",  # r4
-    "q_curation_pipeline",  # r4
-    "q_sample_fixed_k",  # r4
-    "q_boilerplate_strip",  # r4
-    "q_duplicate_spans",  # r4
-    "q_dedup_groups",  # r4
-    "q_mixture_sample",  # r4
-    "q_dedup_purge",  # r4
-    "q_remove_duplicate_spans",  # r4
-    "q1_pricing_summary",  # r4
-    "q_melt_part_measures",  # r4
-    "q_melt_wide_chunked",  # r4
+    "q_grafana_flow_rate",
+    # checked names, stalest latest-green first (as of r07)
     "q_suffix_melt",  # r4
     "q_pivot_event_counts",  # r4
     "q_asof_rate_join",  # r4
@@ -202,6 +153,56 @@ _DRIVER_PRIORITY = [
     "q_repetition_signals",  # r6
     "q_topk_per_group",  # r6
     "q_scd2_apply",  # r6
+    "q_quantiles_cont",  # r7
+    "q_stream_stream_join",  # r7
+    "q_neighbour_pairs",  # r7
+    "q_union_distinct",  # r7
+    "q_range_join_fiscal_windows",  # r7
+    "q_intersect_except",  # r7
+    "q_ann_bruteforce_topk",  # r7
+    "q_ann_lsh_buckets",  # r7
+    "q_multimodal_decode",  # r7
+    "q_dedup_embedding_cosine",  # r7
+    "q_ann_ivf_probe",  # r7
+    "q_semdedup_pairs",  # r7
+    "q_image_dhash",  # r7
+    "q_kmeans_refine",  # r7
+    "q_text_stats",  # r7
+    "q_lang_id",  # r7
+    "q_dedup_exact",  # r7
+    "q_dedup_ngram_jaccard",  # r7
+    "q_minhash_signatures",  # r7
+    "q_dedup_minhash_lsh",  # r7
+    "q_simhash",  # r7
+    "q_simhash_pairs",  # r7
+    "q_doc_fingerprint_winnow",  # r7
+    "q_stratified_sample",  # r7
+    "q_token_pack",  # r7
+    "q_quality_filters",  # r7
+    "q_curation_pipeline",  # r7
+    "q_sample_fixed_k",  # r7
+    "q_decontaminate",  # r7
+    "q_pii_scrub",  # r7
+    "q_domain_stats",  # r7
+    "q_boilerplate_strip",  # r7
+    "q_duplicate_spans",  # r7
+    "q_dedup_groups",  # r7
+    "q_mixture_sample",  # r7
+    "q_dedup_purge",  # r7
+    "q_remove_duplicate_spans",  # r7
+    "q1_pricing_summary",  # r7
+    "q_melt_part_measures",  # r7
+    "q_melt_wide_chunked",  # r7
+    "q_grid_density",  # r7
+    "q_cusum_drift",  # r7
+    "q_chisq_drift",  # r7
+    "q_percentile_bands",  # r7
+    "q_rpc_parameterized",  # r7
+    "q_gaps_islands",  # r7
+    "q_rrf_hybrid_search",  # r7
+    "q_timestamp_assembly",  # r7
+    "q_interpolate_linear",  # r7
+    "q_rolling_1h_window",  # r7
 ]
 
 
