@@ -15,13 +15,13 @@ parallelism.
 
 The default decoder is the repo's own pure-Python GRIB codec
 (``sources.grib2codec`` — lat/lon + Gaussian grids; simple, complex/
-spatial-diff, PNG and CCSDS/AEC packings; bitmaps; numpy-vectorized —
-with per-message dispatch to ``sources.grib1codec`` for edition-1
-files: IBM-float reference values, regular AND rotated lat/lon grids,
-second-order packing, the DWD COSMO REA6 shape). The decoder stays
-injectable: packings the pure codecs reject (JPEG2000, spherical
-harmonics) swap in cfgrib with
-``read_grib(..., decoder=cfgrib_decoder)``.
+spatial-diff, lossless JPEG2000, PNG and CCSDS/AEC packings; bitmaps;
+numpy-vectorized — with per-message dispatch to
+``sources.grib1codec`` for edition-1 files: IBM-float reference
+values, regular AND rotated lat/lon grids, second-order packing, the
+DWD COSMO REA6 shape). The decoder stays injectable: packings the
+pure codecs reject (lossy JPEG2000, spherical harmonics) swap in
+cfgrib with ``read_grib(..., decoder=cfgrib_decoder)``.
 """
 
 from __future__ import annotations

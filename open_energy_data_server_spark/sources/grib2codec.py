@@ -17,9 +17,11 @@ subset those crawlers actually produce/consume:
   bit-field of ``nbits`` per point), 5.2 (complex packing: group
   references + per-group widths/lengths), and 5.3 (complex packing
   with first/second-order spatial differencing — the NCEP operational
-  encoding), 5.41 (PNG packing — the data section is a PNG image
-  whose samples are the scaled values; decoded by the sibling pure
-  ``sources.pngcodec``, no libpng), and 5.42 (CCSDS/AEC lossless
+  encoding), 5.40 (lossless JPEG2000 packing — the ECMWF open-data
+  encoding; decoded by the sibling pure ``sources.j2kcodec``, no
+  openjpeg/jasper), 5.41 (PNG packing — the data section is a PNG
+  image whose samples are the scaled values; decoded by the sibling
+  pure ``sources.pngcodec``, no libpng), and 5.42 (CCSDS/AEC lossless
   packing — the current DWD open-data encoding; decoded by the
   sibling pure ``sources.aeccodec``, no libaec).
 - Section 6 bitmap indicator 0 (bitmap present) and 255 (none).
@@ -34,7 +36,7 @@ GRIB edition 1 messages (the DWD COSMO REA6 shape, dwd.py:120-147)
 dispatch to the sibling pure codec ``sources.grib1codec`` — mixed-
 edition files decode transparently. Deliberately NOT implemented
 (raise ValueError, callers inject cfgrib via the ``decoder=`` seam
-instead): spectral packing, 5.40 JPEG2000, embedded missing-value
+instead): spectral packing, lossy JPEG2000, embedded missing-value
 management in complex packing, Lambert/polar projections.
 """
 
@@ -336,11 +338,12 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
         elif sec_num == 5:
             n_points = _u(body, 5, 4)
             template = _u(body, 9, 2)
-            if template not in (0, 2, 3, 41, 42):
+            if template not in (0, 2, 3, 40, 41, 42):
                 raise ValueError(
                     f"data representation template 5.{template} unsupported (only "
                     "5.0 simple / 5.2 complex / 5.3 complex+spatial-diff / "
-                    "5.41 PNG / 5.42 CCSDS); inject a cfgrib decoder for this file"
+                    "5.40 JPEG2000 / 5.41 PNG / 5.42 CCSDS); inject a cfgrib "
+                    "decoder for this file"
                 )
             drs_template = template
             r_ref = struct.unpack(">f", body[11:15])[0]
@@ -349,6 +352,13 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
             nbits = body[19]
             if template in (2, 3):
                 complex_meta = _parse_complex_drs(body, template)
+            elif template == 40:
+                # octet 22: compression type (0 lossless / 1 lossy)
+                if len(body) >= 22 and body[21] not in (0, 255):
+                    raise ValueError(
+                        "GRIB2 template 5.40 lossy JPEG2000 unsupported "
+                        "(lossless only)"
+                    )
             elif template == 42:
                 if len(body) < 25:
                     raise ValueError("GRIB2 template 5.42 section too short")
@@ -383,6 +393,21 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
                     aec_meta["block_size"],
                     aec_meta["rsi"],
                 ).astype(np.float64)
+            elif drs_template == 40:
+                # template 7.40: the data section IS a JPEG2000
+                # codestream whose samples are the scaled values
+                from open_energy_data_server_spark.sources.j2kcodec import (
+                    decode_j2k,
+                )
+
+                packed = decode_j2k(bytes(body[5:])).reshape(-1).astype(
+                    np.float64
+                )
+                if packed.size != n_points:
+                    raise ValueError(
+                        f"JPEG2000-packed field carries {packed.size} "
+                        f"samples, DRS says {n_points}"
+                    )
             elif drs_template == 41:
                 # template 7.41: the data section IS a PNG image whose
                 # samples are the scaled values, row-major

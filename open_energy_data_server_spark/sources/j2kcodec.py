@@ -1,0 +1,1226 @@
+"""Minimal pure-Python JPEG 2000 codestream codec for GRIB2 template 5.40.
+
+ECMWF open data and many NCEP products ship GRIB2 fields with
+JPEG 2000 packing (data-representation template 5.40): section 7 is a
+raw JPEG 2000 *codestream* (SOC..EOC, no JP2 container) encoding the
+scaled integer field X in ``value = (R + X·2^E) / 10^D`` as a single
+grayscale component. The reference reads such files through cfgrib's
+eccodes/openjpeg binding (/root/reference/crawler/ecmwf.py:135-141);
+this module removes that native dependency for the profile those
+encoders actually emit:
+
+- single tile at the image origin, single component,
+- reversible 5/3 wavelet (lossless — GRIB2 octet 22 compression
+  type 0), no quantization,
+- one quality layer, LRCP/RLCP progression, default precincts
+  (one per resolution), no SOP/EPH markers,
+- default code-block style (no bypass / reset / termall /
+  vertical-causal / segmentation symbols).
+
+Anything outside that profile raises ValueError — the ``decoder=``
+injection seam of sources.grib stays available for exotic streams.
+
+Format knowledge is the public ISO/IEC 15444-1 specification
+(ITU-T T.800): Annex A markers, Annex B codestream/packet-header
+syntax with tag trees, Annex C the MQ arithmetic coder (shared with
+JBIG2), Annex D the EBCOT T1 coefficient coder, Annex F the
+reversible 5/3 lifting transform. ``encode_j2k`` is a spec-faithful
+test encoder (same subset) so round-trip and fuzz suites verify the
+decoder against the format, not against itself.
+
+Scale note: T1 bit-plane coding is inherently sequential per
+code-block, and this pure-Python implementation favours clarity —
+fixture-sized grids decode in milliseconds, but operational ~700k
+point ECMWF fields belong on the injected-cfgrib path (or a future
+vectorized T1) if they are on the hot path; the distributed read
+keeps per-file decode inside one Arrow batch either way.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from open_energy_data_server_spark.sources._robust import corrupt_guard
+
+# ---------------------------------------------------------------------------
+# MQ arithmetic coder (ISO 15444-1 Annex C; state table shared with JBIG2)
+
+_QE = (
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601,
+)
+_NMPS = (
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46,
+)
+_NLPS = (
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14, 15,
+    16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30,
+    31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46,
+)
+_SWITCH = (
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0,
+)
+
+# T1 context numbering: 0-8 zero coding, 9-13 sign coding,
+# 14-16 magnitude refinement, 17 run-length (cleanup aggregation),
+# 18 UNIFORM. Initial (state, MPS) per Annex D: all (0,0) except
+# ZC all-zero context 0 → state 4, RL → state 3, UNIFORM → state 46.
+_N_CTX = 19
+_CTX_RL = 17
+_CTX_UNI = 18
+
+
+def _fresh_contexts() -> tuple[list[int], list[int]]:
+    state = [0] * _N_CTX
+    state[0] = 4
+    state[_CTX_RL] = 3
+    state[_CTX_UNI] = 46
+    return state, [0] * _N_CTX
+
+
+class _MQDecoder:
+    """Annex C.3 software-conventions decoder. Reading past the end of
+    the segment feeds 0xFF (the marker-found branch), so truncated
+    streams decode garbage bits instead of crashing — the caller's
+    pass budget bounds the work and consistency checks reject the
+    result."""
+
+    __slots__ = ("data", "bp", "cur", "c", "a", "ct", "I", "mps")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        self.cur = data[0] if data else 0xFF
+        self.c = self.cur << 16
+        self.I, self.mps = _fresh_contexts()
+        self.ct = 0
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        data = self.data
+        if self.cur == 0xFF:
+            nxt = data[self.bp + 1] if self.bp + 1 < len(data) else 0xFF
+            if nxt > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.cur = nxt
+                self.c += nxt << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            nxt = data[self.bp] if self.bp < len(data) else 0xFF
+            self.cur = nxt
+            self.c += nxt << 8
+            self.ct = 8
+
+    def decode(self, k: int) -> int:
+        i = self.I[k]
+        qe = _QE[i]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            if self.a < qe:  # MPS exchange
+                self.a = qe
+                d = self.mps[k]
+                self.I[k] = _NMPS[i]
+            else:
+                self.a = qe
+                d = 1 - self.mps[k]
+                if _SWITCH[i]:
+                    self.mps[k] ^= 1
+                self.I[k] = _NLPS[i]
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return self.mps[k]
+            if self.a < qe:
+                d = 1 - self.mps[k]
+                if _SWITCH[i]:
+                    self.mps[k] ^= 1
+                self.I[k] = _NLPS[i]
+            else:
+                d = self.mps[k]
+                self.I[k] = _NMPS[i]
+        # renormalize
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class _MQEncoder:
+    """Annex C.2 encoder (tests only). The byte before the stream is a
+    sentinel the first BYTEOUT writes into; it is asserted untouched
+    by a carry and dropped at flush."""
+
+    __slots__ = ("buf", "c", "a", "ct", "I", "mps")
+
+    def __init__(self):
+        self.buf = bytearray([0])  # sentinel
+        self.c = 0
+        self.a = 0x8000
+        self.ct = 12
+        self.I, self.mps = _fresh_contexts()
+
+    def _byteout(self) -> None:
+        buf = self.buf
+        if buf[-1] == 0xFF:
+            buf.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            buf.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            buf[-1] += 1  # carry
+            if buf[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                buf.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                buf.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def _renorm(self) -> None:
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, bit: int, k: int) -> None:
+        i = self.I[k]
+        qe = _QE[i]
+        if bit == self.mps[k]:
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            self.I[k] = _NMPS[i]
+            self._renorm()
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if _SWITCH[i]:
+                self.mps[k] ^= 1
+            self.I[k] = _NLPS[i]
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # SETBITS then two byteouts (Annex C.2.9)
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        if self.buf[0] != 0:
+            raise ValueError("MQ encoder carry reached the sentinel byte")
+        out = bytes(self.buf[1:])
+        while out.endswith(b"\xff"):
+            out = out[:-1]  # terminating 0xFF may be discarded (C.2.9)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Packet-header bit I/O (Annex B.10.1: bit stuffing after 0xFF bytes)
+
+
+class _HeaderBitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.ct = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG2000 packet header truncated")
+            prev = self.cur
+            self.cur = self.data[self.pos]
+            self.pos += 1
+            self.ct = 7 if prev == 0xFF else 8
+            if prev == 0xFF and self.cur & 0x80:
+                raise ValueError("JPEG2000 packet header bit-stuffing violated")
+        self.ct -= 1
+        return (self.cur >> self.ct) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """End of packet header → first body byte offset."""
+        self.ct = 0
+        if self.cur == 0xFF:  # header may not end with 0xFF: stuff byte
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG2000 packet header truncated")
+            self.pos += 1
+        self.cur = 0
+        return self.pos
+
+
+class _HeaderBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.free = 8
+
+    def bit(self, b: int) -> None:
+        if self.free == 0:
+            self.out.append(self.cur)
+            self.free = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+        self.free -= 1
+        self.cur |= (b & 1) << self.free
+        # note: when free started at 7 the MSB stays 0 (stuffed)
+
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bit((v >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytes(self.out) + bytes([self.cur]) if self.free < 8 else bytes(self.out)
+        if out.endswith(b"\xff"):
+            out += b"\x00"  # header must not end with 0xFF
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Tag trees (Annex B.10.2)
+
+
+class _TagTree:
+    def __init__(self, w: int, h: int):
+        self.levels: list[tuple[int, int]] = []
+        lw, lh = w, h
+        while True:
+            self.levels.append((lw, lh))
+            if lw == 1 and lh == 1:
+                break
+            lw, lh = (lw + 1) // 2, (lh + 1) // 2
+        self.low = [np.zeros((lh_, lw_), np.int32) for lw_, lh_ in self.levels]
+        self.known = [np.zeros((lh_, lw_), bool) for lw_, lh_ in self.levels]
+        self.value = [np.zeros((lh_, lw_), np.int32) for lw_, lh_ in self.levels]
+
+    def _path(self, x: int, y: int):
+        """Root→leaf node coordinates."""
+        path = []
+        for lvl in range(len(self.levels)):
+            path.append((lvl, x >> lvl, y >> lvl))
+        return reversed(path)
+
+    def decode(self, x: int, y: int, threshold: int, rd: _HeaderBitReader) -> bool:
+        """True iff leaf value < threshold (then fully resolved)."""
+        low = 0
+        for lvl, nx, ny in self._path(x, y):
+            if self.low[lvl][ny, nx] < low:
+                self.low[lvl][ny, nx] = low
+            while not self.known[lvl][ny, nx] and self.low[lvl][ny, nx] < threshold:
+                if rd.bit():
+                    self.known[lvl][ny, nx] = True
+                else:
+                    self.low[lvl][ny, nx] += 1
+            if not self.known[lvl][ny, nx]:
+                return False
+            low = self.low[lvl][ny, nx]
+        return True
+
+    # encoder side -----------------------------------------------------
+    def set_values(self, leaf_values: np.ndarray) -> None:
+        self.value[0][:, :] = leaf_values
+        for lvl in range(1, len(self.levels)):
+            lw, lh = self.levels[lvl]
+            below = self.value[lvl - 1]
+            for ny in range(lh):
+                for nx in range(lw):
+                    blk = below[2 * ny : 2 * ny + 2, 2 * nx : 2 * nx + 2]
+                    self.value[lvl][ny, nx] = blk.min()
+
+    def encode(self, x: int, y: int, threshold: int, wr: _HeaderBitWriter) -> None:
+        low = 0
+        for lvl, nx, ny in self._path(x, y):
+            if self.low[lvl][ny, nx] < low:
+                self.low[lvl][ny, nx] = low
+            while self.low[lvl][ny, nx] < threshold:
+                if self.low[lvl][ny, nx] >= self.value[lvl][ny, nx]:
+                    if not self.known[lvl][ny, nx]:
+                        wr.bit(1)
+                        self.known[lvl][ny, nx] = True
+                    break
+                wr.bit(0)
+                self.low[lvl][ny, nx] += 1
+            if not self.known[lvl][ny, nx]:
+                return
+            low = self.low[lvl][ny, nx]
+
+
+# ---------------------------------------------------------------------------
+# T1 EBCOT coefficient coder (Annex D)
+
+# zero-coding context LUTs indexed [h, v, d] (counts of significant
+# horizontal / vertical / diagonal neighbours)
+def _build_zc_luts():
+    ll = np.zeros((3, 3, 5), np.int8)
+    hh = np.zeros((3, 3, 5), np.int8)
+    for h in range(3):
+        for v in range(3):
+            for d in range(5):
+                if h == 2:
+                    c = 8
+                elif h == 1:
+                    c = 7 if v >= 1 else (6 if d >= 1 else 5)
+                elif v == 2:
+                    c = 4
+                elif v == 1:
+                    c = 3
+                else:
+                    c = 2 if d >= 2 else (1 if d == 1 else 0)
+                ll[h, v, d] = c
+                hv = h + v
+                if d >= 3:
+                    c2 = 8
+                elif d == 2:
+                    c2 = 7 if hv >= 1 else 6
+                elif d == 1:
+                    c2 = 5 if hv >= 2 else (4 if hv == 1 else 3)
+                else:
+                    c2 = 2 if hv >= 2 else (1 if hv == 1 else 0)
+                hh[h, v, d] = c2
+    return ll, hh
+
+
+_ZC_LL, _ZC_HH = _build_zc_luts()
+
+# sign-coding context and XOR bit indexed by (H+1, V+1)
+_SC = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+class _T1:
+    """Shared scan/context machinery for one code-block; the `mq`
+    member is an _MQDecoder or _MQEncoder and the pass loops call
+    `self.op(...)` hooks defined by the subclassing closures below."""
+
+    def __init__(self, w: int, h: int, band: str):
+        self.w, self.h = w, h
+        self.band = band
+        # padded state planes (1-cell apron) → no bounds checks
+        self.sig = np.zeros((h + 2, w + 2), np.int8)
+        self.neg = np.zeros((h + 2, w + 2), np.int8)
+        self.vis = np.zeros((h + 2, w + 2), np.int8)
+        self.ref = np.zeros((h + 2, w + 2), np.int8)
+        self.mag = np.zeros((h + 2, w + 2), np.int64)
+
+    def _zc_ctx(self, y: int, x: int) -> int:
+        s = self.sig
+        hcnt = s[y, x - 1] + s[y, x + 1]
+        vcnt = s[y - 1, x] + s[y + 1, x]
+        dcnt = (
+            s[y - 1, x - 1] + s[y - 1, x + 1] + s[y + 1, x - 1] + s[y + 1, x + 1]
+        )
+        if self.band == "HH":
+            return int(_ZC_HH[hcnt, vcnt, dcnt])
+        if self.band == "HL":  # horizontally high-pass: swap h and v
+            return int(_ZC_LL[vcnt, hcnt, dcnt])
+        return int(_ZC_LL[hcnt, vcnt, dcnt])
+
+    def _has_sig_neighbour(self, y: int, x: int) -> bool:
+        s = self.sig
+        return bool(
+            s[y, x - 1] or s[y, x + 1] or s[y - 1, x] or s[y + 1, x]
+            or s[y - 1, x - 1] or s[y - 1, x + 1]
+            or s[y + 1, x - 1] or s[y + 1, x + 1]
+        )
+
+    def _sc_ctx(self, y: int, x: int) -> tuple[int, int]:
+        s, n = self.sig, self.neg
+        hsum = (s[y, x - 1] * (1 - 2 * n[y, x - 1])) + (
+            s[y, x + 1] * (1 - 2 * n[y, x + 1])
+        )
+        vsum = (s[y - 1, x] * (1 - 2 * n[y - 1, x])) + (
+            s[y + 1, x] * (1 - 2 * n[y + 1, x])
+        )
+        hh = max(-1, min(1, int(hsum)))
+        vv = max(-1, min(1, int(vsum)))
+        return _SC[(hh, vv)]
+
+
+def _t1_decode(
+    data: bytes, w: int, h: int, npasses: int, numbps: int, band: str
+) -> np.ndarray:
+    """Decode one code-block → signed int64 coefficients (h, w)."""
+    if numbps <= 0 or npasses <= 0:
+        return np.zeros((h, w), np.int64)
+    t1 = _T1(w, h, band)
+    mq = _MQDecoder(data)
+    sig, neg, vis, ref, mag = t1.sig, t1.neg, t1.vis, t1.ref, t1.mag
+
+    def spp(plane: int) -> None:
+        bit = 1 << plane
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                for y in range(y0, min(y0 + 4, h + 1)):
+                    if sig[y, x] or not t1._has_sig_neighbour(y, x):
+                        continue
+                    vis[y, x] = 1
+                    if mq.decode(t1._zc_ctx(y, x)):
+                        ctx, xor = t1._sc_ctx(y, x)
+                        neg[y, x] = mq.decode(ctx) ^ xor
+                        sig[y, x] = 1
+                        mag[y, x] = bit
+
+    def mrp(plane: int) -> None:
+        bit = 1 << plane
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                for y in range(y0, min(y0 + 4, h + 1)):
+                    if not sig[y, x] or vis[y, x]:
+                        continue
+                    if ref[y, x]:
+                        ctx = 16
+                    else:
+                        ctx = 15 if t1._has_sig_neighbour(y, x) else 14
+                        ref[y, x] = 1
+                    if mq.decode(ctx):
+                        mag[y, x] |= bit
+
+    def cln(plane: int) -> None:
+        bit = 1 << plane
+        for y0 in range(1, h + 1, 4):
+            full = y0 + 3 <= h
+            for x in range(1, w + 1):
+                start = y0
+                if full and all(
+                    not sig[y, x] and not vis[y, x] and not t1._has_sig_neighbour(y, x)
+                    for y in range(y0, y0 + 4)
+                ):
+                    if not mq.decode(_CTX_RL):
+                        continue  # whole column stays insignificant
+                    r = (mq.decode(_CTX_UNI) << 1) | mq.decode(_CTX_UNI)
+                    y = y0 + r
+                    ctx, xor = t1._sc_ctx(y, x)
+                    neg[y, x] = mq.decode(ctx) ^ xor
+                    sig[y, x] = 1
+                    mag[y, x] = bit
+                    start = y + 1
+                for y in range(start, min(y0 + 4, h + 1)):
+                    if sig[y, x] or vis[y, x]:
+                        continue
+                    if mq.decode(t1._zc_ctx(y, x)):
+                        ctx, xor = t1._sc_ctx(y, x)
+                        neg[y, x] = mq.decode(ctx) ^ xor
+                        sig[y, x] = 1
+                        mag[y, x] = bit
+        vis[:, :] = 0
+
+    plane = numbps - 1
+    passno = 0
+    kind = 2  # 0=SPP 1=MRP 2=CLN; first pass is cleanup at the MSB plane
+    while passno < npasses:
+        if plane < 0:
+            raise ValueError("JPEG2000 code-block has more passes than bit-planes")
+        (spp, mrp, cln)[kind](plane)
+        passno += 1
+        if kind == 2:
+            plane -= 1
+            kind = 0
+        else:
+            kind += 1
+    signs = 1 - 2 * neg[1 : h + 1, 1 : w + 1].astype(np.int64)
+    return signs * mag[1 : h + 1, 1 : w + 1]
+
+
+def _t1_encode(coeffs: np.ndarray, band: str, numbps: int):
+    """Encode one code-block; → (bytes, npasses, msb_planes_used) or
+    None when all coefficients are zero. All passes go into one
+    layer/segment (single MQ termination)."""
+    h, w = coeffs.shape
+    absmag = np.abs(coeffs)
+    maxmag = int(absmag.max(initial=0))
+    if maxmag == 0:
+        return None
+    used = maxmag.bit_length()
+    if used > numbps:
+        raise ValueError(
+            f"code-block magnitude needs {used} bit-planes, band budget {numbps}"
+        )
+    t1 = _T1(w, h, band)
+    mq = _MQEncoder()
+    sig, neg, vis, ref, mag = t1.sig, t1.neg, t1.vis, t1.ref, t1.mag
+    mag[1 : h + 1, 1 : w + 1] = absmag
+    negin = np.zeros_like(mag)
+    negin[1 : h + 1, 1 : w + 1] = (coeffs < 0).astype(np.int64)
+
+    def spp(plane: int) -> None:
+        bit = 1 << plane
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                for y in range(y0, min(y0 + 4, h + 1)):
+                    if sig[y, x] or not t1._has_sig_neighbour(y, x):
+                        continue
+                    vis[y, x] = 1
+                    b = 1 if mag[y, x] & bit else 0
+                    mq.encode(b, t1._zc_ctx(y, x))
+                    if b:
+                        ctx, xor = t1._sc_ctx(y, x)
+                        neg[y, x] = negin[y, x]
+                        mq.encode(int(negin[y, x]) ^ xor, ctx)
+                        sig[y, x] = 1
+
+    def mrp(plane: int) -> None:
+        bit = 1 << plane
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                for y in range(y0, min(y0 + 4, h + 1)):
+                    if not sig[y, x] or vis[y, x]:
+                        continue
+                    if ref[y, x]:
+                        ctx = 16
+                    else:
+                        ctx = 15 if t1._has_sig_neighbour(y, x) else 14
+                        ref[y, x] = 1
+                    mq.encode(1 if mag[y, x] & bit else 0, ctx)
+
+    def cln(plane: int) -> None:
+        bit = 1 << plane
+        for y0 in range(1, h + 1, 4):
+            full = y0 + 3 <= h
+            for x in range(1, w + 1):
+                start = y0
+                if full and all(
+                    not sig[y, x] and not vis[y, x] and not t1._has_sig_neighbour(y, x)
+                    for y in range(y0, y0 + 4)
+                ):
+                    hits = [y for y in range(y0, y0 + 4) if mag[y, x] & bit]
+                    if not hits:
+                        mq.encode(0, _CTX_RL)
+                        continue
+                    mq.encode(1, _CTX_RL)
+                    r = hits[0] - y0
+                    mq.encode((r >> 1) & 1, _CTX_UNI)
+                    mq.encode(r & 1, _CTX_UNI)
+                    y = hits[0]
+                    ctx, xor = t1._sc_ctx(y, x)
+                    neg[y, x] = negin[y, x]
+                    mq.encode(int(negin[y, x]) ^ xor, ctx)
+                    sig[y, x] = 1
+                    start = y + 1
+                for y in range(start, min(y0 + 4, h + 1)):
+                    if sig[y, x] or vis[y, x]:
+                        continue
+                    b = 1 if mag[y, x] & bit else 0
+                    mq.encode(b, t1._zc_ctx(y, x))
+                    if b:
+                        ctx, xor = t1._sc_ctx(y, x)
+                        neg[y, x] = negin[y, x]
+                        mq.encode(int(negin[y, x]) ^ xor, ctx)
+                        sig[y, x] = 1
+        vis[:, :] = 0
+
+    npasses = 3 * used - 2
+    plane = used - 1
+    kind = 2
+    for _ in range(npasses):
+        (spp, mrp, cln)[kind](plane)
+        if kind == 2:
+            plane -= 1
+            kind = 0
+        else:
+            kind += 1
+    return mq.flush(), npasses, used
+
+
+# ---------------------------------------------------------------------------
+# Reversible 5/3 lifting (Annex F), interleaved layout, int64
+
+
+def _inv_lift_axis(x: np.ndarray) -> np.ndarray:
+    """1D_SR along the last axis (low samples at even indices)."""
+    n = x.shape[-1]
+    if n < 2:
+        return x
+    even = x[..., 0::2].astype(np.int64).copy()
+    odd = x[..., 1::2].astype(np.int64).copy()
+    ne, no = even.shape[-1], odd.shape[-1]
+    op = np.concatenate([odd[..., :1], odd, odd[..., -1:]], axis=-1)
+    even -= (op[..., :ne] + op[..., 1 : ne + 1] + 2) >> 2
+    ep = np.concatenate([even, even[..., -1:]], axis=-1)
+    odd += (ep[..., :no] + ep[..., 1 : no + 1]) >> 1
+    out = np.empty_like(x, dtype=np.int64)
+    out[..., 0::2] = even
+    out[..., 1::2] = odd
+    return out
+
+
+def _fwd_lift_axis(x: np.ndarray) -> np.ndarray:
+    """1D_SD along the last axis (tests only)."""
+    n = x.shape[-1]
+    if n < 2:
+        return x.astype(np.int64)
+    even = x[..., 0::2].astype(np.int64).copy()
+    odd = x[..., 1::2].astype(np.int64).copy()
+    ne, no = even.shape[-1], odd.shape[-1]
+    ep = np.concatenate([even, even[..., -1:]], axis=-1)
+    odd -= (ep[..., :no] + ep[..., 1 : no + 1]) >> 1
+    op = np.concatenate([odd[..., :1], odd, odd[..., -1:]], axis=-1)
+    even += (op[..., :ne] + op[..., 1 : ne + 1] + 2) >> 2
+    out = np.empty(x.shape, dtype=np.int64)
+    out[..., 0::2] = even
+    out[..., 1::2] = odd
+    return out
+
+
+def _interleave(ll, hl, lh, hh) -> np.ndarray:
+    h = ll.shape[0] + lh.shape[0]
+    w = ll.shape[1] + hl.shape[1]
+    a = np.zeros((h, w), np.int64)
+    a[0::2, 0::2] = ll
+    a[0::2, 1::2] = hl
+    a[1::2, 0::2] = lh
+    a[1::2, 1::2] = hh
+    return a
+
+
+def _idwt53(ll: np.ndarray, bands: list[tuple[np.ndarray, np.ndarray, np.ndarray]]):
+    """bands: [(HL, LH, HH)] coarsest→finest; 2D_SR = interleave,
+    HOR_SR, VER_SR per level."""
+    for hl, lh, hh in bands:
+        a = _interleave(ll, hl, lh, hh)
+        a = _inv_lift_axis(a)  # rows
+        a = _inv_lift_axis(a.T).T  # columns
+        ll = a
+    return ll
+
+
+def _fdwt53(a: np.ndarray, levels: int):
+    """→ (ll, [(HL, LH, HH)] coarsest→finest) (tests only)."""
+    bands: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    cur = a.astype(np.int64)
+    for _ in range(levels):
+        cur = _fwd_lift_axis(cur.T).T  # columns first (mirror of inverse)
+        cur = _fwd_lift_axis(cur)  # then rows
+        ll = cur[0::2, 0::2]
+        hl = cur[0::2, 1::2]
+        lh = cur[1::2, 0::2]
+        hh = cur[1::2, 1::2]
+        bands.append((hl, lh, hh))
+        cur = ll
+    bands.reverse()
+    return cur, bands
+
+
+# ---------------------------------------------------------------------------
+# Codestream structure
+
+_SOC = 0xFF4F
+_SIZ = 0xFF51
+_COD = 0xFF52
+_COC = 0xFF53
+_QCD = 0xFF5C
+_QCC = 0xFF5D
+_COM = 0xFF64
+_TLM = 0xFF55
+_PLM = 0xFF57
+_PLT = 0xFF58
+_POC = 0xFF5F
+_CRG = 0xFF63
+_SOT = 0xFF90
+_SOD = 0xFF93
+_EOC = 0xFFD9
+
+_SKIPPABLE = {_COM, _TLM, _PLM, _PLT, _CRG}
+_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _band_geometry(w: int, h: int, levels: int):
+    """Per-resolution band dims for a tile at the origin.
+
+    → list over r = 0..levels of (bands) where r=0 is [('LL', w, h)]
+    and r>0 is [('HL', ...), ('LH', ...), ('HH', ...)].
+    """
+    dims = [(w, h)]
+    for _ in range(levels):
+        pw, ph = dims[-1]
+        dims.append(((pw + 1) // 2, (ph + 1) // 2))
+    # dims[d] = LL size after d decompositions
+    res = [[("LL", dims[levels][0], dims[levels][1])]]
+    for r in range(1, levels + 1):
+        d = levels - r + 1  # decomposition level of these bands
+        pw, ph = dims[d - 1]
+        lw, lh = dims[d]
+        hw, hh_ = pw - lw, ph - lh
+        res.append([("HL", hw, lh), ("LH", lw, hh_), ("HH", hw, hh_)])
+    return res
+
+
+def _cb_grid(bw: int, bh: int, cbw: int, cbh: int):
+    return (max(1, -(-bw // cbw)) if bw else 0, max(1, -(-bh // cbh)) if bh else 0)
+
+
+class _CodeBlock:
+    __slots__ = ("w", "h", "x0", "y0", "included", "numbps", "lblock",
+                 "segments", "npasses")
+
+    def __init__(self, x0: int, y0: int, w: int, h: int):
+        self.x0, self.y0, self.w, self.h = x0, y0, w, h
+        self.included = False
+        self.numbps = 0
+        self.lblock = 3
+        self.segments: list[bytes] = []
+        self.npasses = 0
+
+
+def _read_npasses(rd: _HeaderBitReader) -> int:
+    if not rd.bit():
+        return 1
+    if not rd.bit():
+        return 2
+    v = rd.bits(2)
+    if v < 3:
+        return 3 + v
+    u = rd.bits(5)
+    if u < 31:
+        return 6 + u
+    return 37 + rd.bits(7)
+
+
+def _write_npasses(wr: _HeaderBitWriter, n: int) -> None:
+    if n == 1:
+        wr.bit(0)
+    elif n == 2:
+        wr.bits(0b10, 2)
+    elif n <= 5:
+        wr.bits(0b11, 2)
+        wr.bits(n - 3, 2)
+    elif n <= 36:
+        wr.bits(0b1111, 4)
+        wr.bits(n - 6, 5)
+    elif n <= 164:
+        wr.bits(0b111111111, 9)
+        wr.bits(n - 37, 7)
+    else:
+        raise ValueError(f"{n} coding passes unencodable")
+
+
+@corrupt_guard("JPEG2000")
+def decode_j2k(raw: bytes) -> np.ndarray:
+    """Decode a JPEG 2000 codestream (lossless GRIB2 profile, see
+    module docstring) → int64 samples of shape (Ysiz, Xsiz)."""
+    if len(raw) < 4 or struct.unpack(">H", raw[0:2])[0] != _SOC:
+        raise ValueError("not a JPEG2000 codestream (missing SOC)")
+    pos = 2
+    width = height = None
+    precision = 8
+    signed = False
+    levels = 0
+    layers = 1
+    cbw = cbh = 64
+    progression = 0
+    transform = None
+    guard = 2
+    exps: list[int] = []
+    sot_at = None
+    psot = None
+
+    while True:
+        if pos + 2 > len(raw):
+            raise ValueError("JPEG2000 codestream truncated before SOT")
+        marker = struct.unpack(">H", raw[pos : pos + 2])[0]
+        pos += 2
+        if marker == _SOT:
+            if pos + 10 > len(raw):
+                raise ValueError("JPEG2000 SOT truncated")
+            lsot, isot, psot, tpsot, tnsot = struct.unpack(
+                ">HHIBB", raw[pos : pos + 10]
+            )
+            if isot != 0 or tpsot != 0 or tnsot not in (0, 1):
+                raise ValueError(
+                    "multi-tile / multi-tile-part JPEG2000 unsupported"
+                )
+            sot_at = pos - 2
+            pos += lsot
+            marker = struct.unpack(">H", raw[pos : pos + 2])[0]
+            if marker != _SOD:
+                raise ValueError("JPEG2000 tile-part headers unsupported")
+            pos += 2
+            break
+        if pos + 2 > len(raw):
+            raise ValueError("JPEG2000 marker segment truncated")
+        ln = struct.unpack(">H", raw[pos : pos + 2])[0]
+        body = raw[pos + 2 : pos + ln]
+        if len(body) != ln - 2:
+            raise ValueError("JPEG2000 marker segment truncated")
+        if marker == _SIZ:
+            if ln < 41:
+                raise ValueError("JPEG2000 SIZ too short")
+            (_rsiz, xsiz, ysiz, xosiz, yosiz, xtsiz, ytsiz, xtosiz,
+             ytosiz, csiz) = struct.unpack(">HIIIIIIIIH", body[:36])
+            if csiz != 1:
+                raise ValueError(
+                    f"{csiz}-component JPEG2000 unsupported (GRIB2 packs 1)"
+                )
+            if xosiz or yosiz or xtosiz or ytosiz:
+                raise ValueError("JPEG2000 non-zero image/tile offsets unsupported")
+            if xtsiz < xsiz or ytsiz < ysiz:
+                raise ValueError("multi-tile JPEG2000 unsupported")
+            ssiz, xr, yr = body[36], body[37], body[38]
+            if xr != 1 or yr != 1:
+                raise ValueError("JPEG2000 subsampled component unsupported")
+            precision = (ssiz & 0x7F) + 1
+            signed = bool(ssiz & 0x80)
+            if not 1 <= precision <= 31:
+                raise ValueError(f"JPEG2000 precision {precision} out of range")
+            width, height = xsiz, ysiz
+            if width == 0 or height == 0 or width * height > 200_000_000:
+                raise ValueError(f"implausible JPEG2000 size {width}x{height}")
+        elif marker == _COD:
+            scod = body[0]
+            if scod & 0x01:
+                raise ValueError("JPEG2000 user-defined precincts unsupported")
+            if scod & 0x06:
+                raise ValueError("JPEG2000 SOP/EPH markers unsupported")
+            progression = body[1]
+            if progression > 1:
+                raise ValueError(
+                    f"JPEG2000 progression order {progression} unsupported "
+                    "(LRCP/RLCP only)"
+                )
+            layers = struct.unpack(">H", body[2:4])[0]
+            if body[4] != 0:
+                raise ValueError("JPEG2000 multi-component transform unsupported")
+            levels = body[5]
+            if levels > 32:
+                raise ValueError(f"implausible decomposition levels {levels}")
+            cbw = 1 << ((body[6] & 0x0F) + 2)
+            cbh = 1 << ((body[7] & 0x0F) + 2)
+            if body[8] != 0:
+                raise ValueError(
+                    "JPEG2000 code-block style (bypass/reset/termall/causal/"
+                    "segmark) unsupported"
+                )
+            transform = body[9]
+            if transform != 1:
+                raise ValueError(
+                    "JPEG2000 9/7 irreversible transform unsupported "
+                    "(GRIB2 lossless uses 5/3)"
+                )
+        elif marker == _QCD:
+            sqcd = body[0]
+            guard = sqcd >> 5
+            if sqcd & 0x1F != 0:
+                raise ValueError(
+                    "JPEG2000 scalar quantization unsupported (lossless only)"
+                )
+            exps = [b >> 3 for b in body[1:]]
+        elif marker in (_COC, _QCC, _POC):
+            raise ValueError(
+                f"JPEG2000 marker 0x{marker:04X} (per-component overrides / "
+                "progression change) unsupported"
+            )
+        elif marker in _SKIPPABLE:
+            pass
+        else:
+            raise ValueError(f"JPEG2000 unknown marker 0x{marker:04X}")
+        pos += ln
+
+    if width is None or transform is None or not exps:
+        raise ValueError("JPEG2000 missing SIZ/COD/QCD before tile data")
+    if len(exps) < 3 * levels + 1:
+        raise ValueError("JPEG2000 QCD exponent count mismatch")
+    if layers == 0 or layers > 64:
+        raise ValueError(f"implausible JPEG2000 layer count {layers}")
+
+    data_end = len(raw)
+    if psot:
+        data_end = min(data_end, sot_at + psot)
+    if raw[-2:] == struct.pack(">H", _EOC) and data_end > len(raw) - 2:
+        data_end = len(raw) - 2
+
+    geometry = _band_geometry(width, height, levels)
+    # per-band code-block bookkeeping + per-resolution tag trees
+    resolutions = []
+    for r, bands in enumerate(geometry):
+        rbands = []
+        for bi, (name, bw, bh) in enumerate(bands):
+            gx, gy = _cb_grid(bw, bh, cbw, cbh)
+            cbs = [
+                [
+                    _CodeBlock(
+                        x * cbw, y * cbh,
+                        min(cbw, bw - x * cbw), min(cbh, bh - y * cbh),
+                    )
+                    for x in range(gx)
+                ]
+                for y in range(gy)
+            ]
+            exp_idx = 0 if r == 0 else 1 + 3 * (r - 1) + bi
+            mb = guard + exps[exp_idx] - 1
+            if not 0 < mb <= 38:
+                raise ValueError(f"implausible JPEG2000 bit-plane count {mb}")
+            rbands.append({
+                "name": name, "w": bw, "h": bh, "grid": (gx, gy),
+                "cbs": cbs, "mb": mb,
+                "incl": _TagTree(max(gx, 1), max(gy, 1)),
+                "imsb": _TagTree(max(gx, 1), max(gy, 1)),
+            })
+        resolutions.append(rbands)
+
+    # packet decode — for one component/tile LRCP iterates layers
+    # outer, RLCP resolutions outer
+    if progression == 0:  # LRCP
+        order = [(l, r) for l in range(layers) for r in range(levels + 1)]
+    else:  # RLCP
+        order = [(l, r) for r in range(levels + 1) for l in range(layers)]
+    pos_body = pos
+    for _l, _r in order:
+        for rbands in (resolutions[_r],):
+            rd = _HeaderBitReader(raw[:data_end], pos_body)
+            contributors: list[tuple[_CodeBlock, int, int]] = []
+            if not rd.bit():  # empty packet
+                pos_body = rd.align()
+                continue
+            for band in rbands:
+                gx, gy = band["grid"]
+                if band["w"] == 0 or band["h"] == 0:
+                    continue
+                for gyi in range(gy):
+                    for gxi in range(gx):
+                        cb = band["cbs"][gyi][gxi]
+                        if cb.included:
+                            contributes = bool(rd.bit())
+                        else:
+                            contributes = band["incl"].decode(gxi, gyi, _l + 1, rd)
+                        if not contributes:
+                            continue
+                        if not cb.included:
+                            cb.included = True
+                            t = 1
+                            while not band["imsb"].decode(gxi, gyi, t, rd):
+                                t += 1
+                                if t > band["mb"] + 1:
+                                    raise ValueError(
+                                        "JPEG2000 zero-bit-plane tag tree "
+                                        "exceeds band bit-planes"
+                                    )
+                            zbp = int(band["imsb"].low[0][gyi, gxi])
+                            cb.numbps = band["mb"] - zbp
+                            if cb.numbps < 0:
+                                raise ValueError(
+                                    "JPEG2000 negative code-block bit-planes"
+                                )
+                        np_new = _read_npasses(rd)
+                        while rd.bit():
+                            cb.lblock += 1
+                        nbits = cb.lblock + int(math.floor(math.log2(np_new)))
+                        seglen = rd.bits(nbits)
+                        if seglen > data_end - pos_body:
+                            raise ValueError("JPEG2000 segment length overruns data")
+                        contributors.append((cb, np_new, seglen))
+            body_at = rd.align()
+            for cb, np_new, seglen in contributors:
+                if body_at + seglen > data_end:
+                    raise ValueError("JPEG2000 packet body truncated")
+                cb.segments.append(raw[body_at : body_at + seglen])
+                cb.npasses += np_new
+                body_at += seglen
+            pos_body = body_at
+
+    # T1 decode into band planes, then inverse DWT
+    planes: list[list[np.ndarray]] = []
+    for rbands in resolutions:
+        rplanes = []
+        for band in rbands:
+            arr = np.zeros((band["h"], band["w"]), np.int64)
+            for row in band["cbs"]:
+                for cb in row:
+                    if not cb.included or cb.npasses == 0:
+                        continue
+                    coeffs = _t1_decode(
+                        b"".join(cb.segments), cb.w, cb.h, cb.npasses,
+                        cb.numbps, band["name"],
+                    )
+                    arr[cb.y0 : cb.y0 + cb.h, cb.x0 : cb.x0 + cb.w] = coeffs
+            rplanes.append(arr)
+        planes.append(rplanes)
+
+    ll = planes[0][0]
+    img = _idwt53(ll, [tuple(p) for p in planes[1:]])
+    if img.shape != (height, width):
+        raise ValueError("JPEG2000 reconstruction shape mismatch")
+    if not signed:
+        img = img + (1 << (precision - 1))  # undo DC level shift
+    return img
+
+
+def encode_j2k(
+    samples: np.ndarray,
+    precision: int,
+    levels: int = 2,
+    cb_size: tuple[int, int] = (64, 64),
+    signed: bool = False,
+) -> bytes:
+    """Encode (h, w) integers as a lossless JPEG 2000 codestream in
+    the decoder's profile (tests only — no rate control, every coding
+    pass in the single layer)."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim != 2:
+        raise ValueError("encode_j2k expects a 2-D array")
+    h, w = arr.shape
+    lo = -(1 << (precision - 1)) if signed else 0
+    hi = (1 << (precision - 1)) - 1 if signed else (1 << precision) - 1
+    if arr.min(initial=0) < lo or arr.max(initial=0) > hi:
+        raise ValueError("sample out of declared precision range")
+    cbw, cbh = cb_size
+    if cbw & (cbw - 1) or cbh & (cbh - 1) or not 4 <= cbw <= 1024 or not 4 <= cbh <= 1024:
+        raise ValueError("code-block dims must be powers of two in [4,1024]")
+    if cbw * cbh > 4096:
+        raise ValueError("code-block area above 4096")
+    levels = int(levels)
+    if not 0 <= levels <= 32:
+        raise ValueError("levels out of range")
+
+    shifted = arr if signed else arr - (1 << (precision - 1))
+    ll, dwt_bands = _fdwt53(shifted, levels)
+    geometry = _band_geometry(w, h, levels)
+    guard = 2
+
+    exps = []
+    band_arrays: list[list[np.ndarray]] = [[ll]]
+    exps.append(precision + _GAIN["LL"])
+    for r in range(1, levels + 1):
+        hl, lh, hh = dwt_bands[r - 1]
+        band_arrays.append([hl, lh, hh])
+        for name in ("HL", "LH", "HH"):
+            exps.append(precision + _GAIN[name])
+
+    # markers ----------------------------------------------------------
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    siz = struct.pack(
+        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1
+    ) + bytes([(precision - 1) | (0x80 if signed else 0), 1, 1])
+    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes([
+        0, levels,
+        int(math.log2(cbw)) - 2, int(math.log2(cbh)) - 2, 0, 1,
+    ])
+    qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
+
+    # packets (LRCP, 1 layer) -------------------------------------------
+    packets = bytearray()
+    for r, bands in enumerate(geometry):
+        wr = _HeaderBitWriter()
+        bodies = bytearray()
+        encoded = []
+        any_contrib = False
+        for bi, (name, bw, bh) in enumerate(bands):
+            gx, gy = _cb_grid(bw, bh, cbw, cbh)
+            arr_b = band_arrays[r][bi]
+            mb = guard + exps[0 if r == 0 else 1 + 3 * (r - 1) + bi] - 1
+            results = np.empty((gy, gx), object)
+            incl_vals = np.full((max(gy, 1), max(gx, 1)), 1, np.int32)
+            zbp_vals = np.zeros((max(gy, 1), max(gx, 1)), np.int32)
+            for gyi in range(gy):
+                for gxi in range(gx):
+                    x0, y0 = gxi * cbw, gyi * cbh
+                    blk = arr_b[y0 : min(y0 + cbh, bh), x0 : min(x0 + cbw, bw)]
+                    res = _t1_encode(blk, name, mb)
+                    results[gyi, gxi] = res
+                    if res is not None:
+                        incl_vals[gyi, gxi] = 0
+                        zbp_vals[gyi, gxi] = mb - res[2]
+                        any_contrib = True
+            incl = _TagTree(max(gx, 1), max(gy, 1))
+            imsb = _TagTree(max(gx, 1), max(gy, 1))
+            incl.set_values(incl_vals)
+            imsb.set_values(zbp_vals)
+            encoded.append((name, bw, bh, gx, gy, results, incl, imsb))
+        if not any_contrib:
+            wr.bit(0)
+            packets += wr.tobytes()
+            continue
+        wr.bit(1)
+        for name, bw, bh, gx, gy, results, incl, imsb in encoded:
+            if bw == 0 or bh == 0:
+                continue
+            for gyi in range(gy):
+                for gxi in range(gx):
+                    incl.encode(gxi, gyi, 1, wr)
+                    res = results[gyi, gxi]
+                    if res is None:
+                        continue
+                    data, npasses, _used = res
+                    # resolve the zero-bit-plane count fully (the huge
+                    # threshold stops at the leaf value, openjpeg-style)
+                    imsb.encode(gxi, gyi, 1 << 20, wr)
+                    _write_npasses(wr, npasses)
+                    lblock = 3
+                    nbits = lblock + int(math.floor(math.log2(npasses)))
+                    while len(data) >= (1 << nbits):
+                        wr.bit(1)
+                        lblock += 1
+                        nbits += 1
+                    wr.bit(0)
+                    wr.bits(len(data), nbits)
+                    bodies += data
+        packets += wr.tobytes() + bodies
+
+    sot_body = struct.pack(">HIBB", 0, 0, 0, 1)  # Psot patched below
+    tile = struct.pack(">HH", _SOT, 10) + sot_body + struct.pack(">H", _SOD) + packets
+    psot = len(tile)
+    tile = (
+        struct.pack(">HH", _SOT, 10)
+        + struct.pack(">HIBB", 0, psot, 0, 1)
+        + struct.pack(">H", _SOD)
+        + packets
+    )
+    return (
+        struct.pack(">H", _SOC)
+        + seg(_SIZ, siz)
+        + seg(_COD, cod)
+        + seg(_QCD, qcd)
+        + tile
+        + struct.pack(">H", _EOC)
+    )

@@ -23,6 +23,7 @@ import pytest
 
 from open_energy_data_server_spark.sources.cfb import read_cfb, write_cfb
 from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+from open_energy_data_server_spark.sources.j2kcodec import decode_j2k
 from open_energy_data_server_spark.sources.pngcodec import decode_png
 from open_energy_data_server_spark.sources.sevenzip import read_7z, write_7z
 from open_energy_data_server_spark.sources.shapefile import parse_dbf, parse_shp
@@ -142,8 +143,32 @@ def _png_bytes() -> bytes:
     return write_png(grid, depth=8, row_filters=[0, 1, 2, 3, 4])
 
 
+def _grib2_j2k_bytes() -> bytes:
+    import numpy as np
+
+    from tests.test_j2kcodec import _j2k_grib2
+
+    xs = np.clip(
+        np.cumsum(np.arange(48) % 7 - 3) + 200, 0, 1023
+    ).astype(np.int64)
+    return _j2k_grib2(xs, 8, 6, nbits=10, levels=2)
+
+
+def _j2k_bytes() -> bytes:
+    import numpy as np
+
+    from open_energy_data_server_spark.sources.j2kcodec import encode_j2k
+
+    rng = np.random.default_rng(5)
+    return encode_j2k(
+        rng.integers(0, 4096, size=(11, 9), dtype=np.int64), 12, 2, (8, 8)
+    )
+
+
 CODECS = {
     "grib1": (_grib1_bytes, decode_grib2),
+    "grib2_j2k": (_grib2_j2k_bytes, decode_grib2),
+    "j2k": (_j2k_bytes, decode_j2k),
     "png": (_png_bytes, decode_png),
     "grib2": (_grib2_bytes, decode_grib2),
     "grib2_aec": (_grib2_aec_bytes, decode_grib2),

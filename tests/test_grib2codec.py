@@ -196,16 +196,17 @@ def test_multi_message_file_and_param_fallback():
 
 def test_unsupported_packing_raises():
     raw = bytearray(make_grib2([1], ni=1, nj=1))
-    # flip the section-5 template number (octets 10-11 of section 5) to 40
-    # find section 5: walk sections
+    # flip the section-5 template number (octets 10-11 of section 5) to
+    # 50 (spectral packing — outside the supported set; 5.40 JPEG2000
+    # became a pure codec in round 8)
     off = 16
     while True:
         ln = int.from_bytes(raw[off : off + 4], "big")
         if raw[off + 4] == 5:
-            raw[off + 9 : off + 11] = (40).to_bytes(2, "big")
+            raw[off + 9 : off + 11] = (50).to_bytes(2, "big")
             break
         off += ln
-    with pytest.raises(ValueError, match="5.40 unsupported"):
+    with pytest.raises(ValueError, match="5.50 unsupported"):
         decode_grib2(bytes(raw))
 
 

@@ -1,0 +1,321 @@
+"""Pure-Python JPEG 2000 codec tests (GRIB2 template 5.40 support).
+
+The encoder is spec-faithful but independent of the decoder's parse
+path (it lays out markers/packets straight from ISO 15444-1 Annexes
+A/B and runs the forward transforms), so round-trips verify the
+decoder against the format. The MQ coder, tag trees and 5/3 lifting
+additionally get direct unit tests with hand-computed values.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_energy_data_server_spark.sources.j2kcodec import (
+    _fdwt53,
+    _fwd_lift_axis,
+    _HeaderBitReader,
+    _HeaderBitWriter,
+    _idwt53,
+    _inv_lift_axis,
+    _MQDecoder,
+    _MQEncoder,
+    _TagTree,
+    decode_j2k,
+    encode_j2k,
+)
+from tests.test_grib2codec import make_grib2
+
+
+# --------------------------------------------------------------- MQ coder
+
+
+def test_mq_roundtrip_known_pattern():
+    bits = [1, 0, 1, 1, 0, 0, 0, 1, 1, 1, 0, 1, 0, 1] * 40
+    ctxs = [(i * 7) % 19 for i in range(len(bits))]
+    enc = _MQEncoder()
+    for b, k in zip(bits, ctxs):
+        enc.encode(b, k)
+    data = enc.flush()
+    dec = _MQDecoder(data)
+    out = [dec.decode(k) for k in ctxs]
+    assert out == bits
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 18)), max_size=400))
+def test_mq_roundtrip_property(pairs):
+    enc = _MQEncoder()
+    for b, k in pairs:
+        enc.encode(b, k)
+    data = enc.flush()
+    dec = _MQDecoder(data)
+    assert [dec.decode(k) for _, k in pairs] == [b for b, _ in pairs]
+
+
+def test_mq_skewed_stream_compresses():
+    # 1000 MPS symbols in one context must compress far below 125 bytes
+    enc = _MQEncoder()
+    for _ in range(1000):
+        enc.encode(0, 5)
+    assert len(enc.flush()) < 30
+
+
+# --------------------------------------------------------------- tag trees
+
+
+def test_tagtree_roundtrip_grid():
+    values = np.array([[1, 3, 2], [2, 0, 4]], np.int32)
+    enc_tree = _TagTree(3, 2)
+    enc_tree.set_values(values)
+    wr = _HeaderBitWriter()
+    for y in range(2):
+        for x in range(3):
+            enc_tree.encode(x, y, 1 << 20, wr)
+    data = wr.tobytes()
+    dec_tree = _TagTree(3, 2)
+    rd = _HeaderBitReader(data, 0)
+    for y in range(2):
+        for x in range(3):
+            t = 1
+            while not dec_tree.decode(x, y, t, rd):
+                t += 1
+            assert dec_tree.low[0][y, x] == values[y, x]
+
+
+def test_header_bit_stuffing_after_ff():
+    wr = _HeaderBitWriter()
+    for _ in range(8):
+        wr.bit(1)  # 0xFF
+    for _ in range(7):
+        wr.bit(1)
+    data = wr.tobytes()
+    assert data[0] == 0xFF and data[1] & 0x80 == 0  # stuffed MSB
+    rd = _HeaderBitReader(data, 0)
+    assert [rd.bit() for _ in range(15)] == [1] * 15
+
+
+# --------------------------------------------------------------- 5/3 DWT
+
+
+def test_lift_hand_computed():
+    # x = [10, 12, 14, 16, 20]; forward 5/3 per Annex F:
+    # odd: 12 - (10+14)//2 = 0 ; 16 - (14+20)//2 = -1
+    # even: 10 + (0+0+2)//4 = 10 ; 14 + (0-1+2)//4 = 14 ;
+    #        20 + (-1-1+2)//4 = 20
+    x = np.array([10, 12, 14, 16, 20], np.int64)
+    f = _fwd_lift_axis(x)
+    assert f.tolist() == [10, 0, 14, -1, 20]
+    assert _inv_lift_axis(f).tolist() == x.tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 23),
+    st.integers(1, 23),
+    st.integers(0, 4),
+    st.integers(0, 2**31 - 1),
+)
+def test_dwt2d_roundtrip_property(h, w, levels, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-4096, 4096, size=(h, w), dtype=np.int64)
+    ll, bands = _fdwt53(a, levels)
+    back = _idwt53(ll, bands)
+    assert np.array_equal(back, a)
+
+
+# --------------------------------------------------------- full codestream
+
+
+@pytest.mark.parametrize(
+    ("shape", "prec", "levels", "cb"),
+    [
+        ((8, 8), 8, 0, (8, 8)),
+        ((16, 12), 10, 2, (16, 16)),
+        ((7, 9), 8, 2, (8, 8)),
+        ((33, 17), 12, 3, (16, 16)),
+        ((70, 50), 12, 3, (16, 16)),  # multi-code-block bands
+        ((64, 64), 16, 2, (64, 64)),
+        ((1, 5), 8, 1, (8, 8)),
+        ((5, 1), 8, 2, (8, 8)),
+        ((5, 5), 8, 5, (8, 8)),  # more levels than extent
+    ],
+)
+def test_roundtrip_shapes(shape, prec, levels, cb):
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    a = rng.integers(0, 1 << prec, size=shape, dtype=np.int64)
+    assert np.array_equal(decode_j2k(encode_j2k(a, prec, levels, cb)), a)
+
+
+def test_roundtrip_constant_and_signed():
+    for v in (0, 128, 255):
+        a = np.full((10, 10), v, np.int64)
+        assert np.array_equal(decode_j2k(encode_j2k(a, 8, 2, (16, 16))), a)
+    rng = np.random.default_rng(3)
+    s = rng.integers(-128, 128, size=(12, 12), dtype=np.int64)
+    assert np.array_equal(
+        decode_j2k(encode_j2k(s, 8, 2, (16, 16), signed=True)), s
+    )
+
+
+def test_roundtrip_smooth_field():
+    g = (
+        np.add.outer(np.sin(np.linspace(0, 3, 40)), np.cos(np.linspace(0, 2, 60)))
+        * 500
+        + 1200
+    ).astype(np.int64)
+    enc = encode_j2k(g, 12, levels=4, cb_size=(32, 32))
+    assert np.array_equal(decode_j2k(enc), g)
+    # lossless coding of a smooth field must actually compress
+    assert len(enc) < g.size * 12 // 8
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.integers(0, 3),
+    st.sampled_from([8, 10, 12, 16]),
+    st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_property(h, w, levels, prec, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << prec, size=(h, w), dtype=np.int64)
+    assert np.array_equal(decode_j2k(encode_j2k(a, prec, levels, (8, 8))), a)
+
+
+def test_marker_layout_spec_fields():
+    a = np.arange(12, dtype=np.int64).reshape(3, 4) * 5
+    enc = encode_j2k(a, 8, levels=1, cb_size=(8, 8))
+    assert enc[:2] == b"\xff\x4f"  # SOC
+    assert enc[2:4] == b"\xff\x51"  # SIZ
+    lsiz = struct.unpack(">H", enc[4:6])[0]
+    assert lsiz == 41  # 38 + 3·Csiz for one component
+    xsiz, ysiz = struct.unpack(">II", enc[8:16])
+    assert (xsiz, ysiz) == (4, 3)
+    csiz = struct.unpack(">H", enc[40:42])[0]
+    assert csiz == 1
+    assert enc[-2:] == b"\xff\xd9"  # EOC
+
+
+def test_unsupported_profiles_raise():
+    a = np.zeros((4, 4), np.int64)
+    enc = bytearray(encode_j2k(a, 8, 1, (8, 8)))
+    # flip the transform byte (last SPcod octet) to 0 → 9/7 irreversible
+    cod_at = bytes(enc).find(b"\xff\x52")
+    ln = struct.unpack(">H", enc[cod_at + 2 : cod_at + 4])[0]
+    bad = bytearray(enc)
+    bad[cod_at + 2 + ln - 1] = 0
+    with pytest.raises(ValueError, match="9/7"):
+        decode_j2k(bytes(bad))
+    with pytest.raises(ValueError, match="SOC"):
+        decode_j2k(b"\x00\x00" + bytes(enc[2:]))
+    with pytest.raises(ValueError, match="truncated|JPEG2000"):
+        decode_j2k(bytes(enc[: len(enc) // 2]))
+
+
+# ----------------------------------------------------- GRIB2 template 5.40
+
+
+def _j2k_grib2(xs, ni, nj, nbits=12, levels=2, **kw):
+    payload = encode_j2k(
+        np.asarray(xs, np.int64).reshape(nj, ni), nbits, levels=levels,
+        cb_size=(64, 64),
+    )
+    return make_grib2(
+        list(xs),
+        ni,
+        nj,
+        nbits=nbits,
+        drs_template=40,
+        data_override=payload,
+        sec5_extra=bytes([0, 255]),  # lossless, target ratio missing
+        **kw,
+    )
+
+
+def test_grib2_jpeg2000_template_decodes():
+    from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+
+    rng = np.random.default_rng(42)
+    ni, nj = 20, 15
+    walk = np.cumsum(rng.integers(-5, 6, size=ni * nj)) + 2000
+    xs = np.clip(walk, 0, 4095).astype(np.int64)
+    msg = _j2k_grib2(xs, ni, nj, r_ref=250.0, e_scale=1, d_scale=1)
+    df = decode_grib2(msg)
+    assert len(df) == ni * nj
+    expect = (250.0 + xs.astype(np.float64) * 2.0) / 10.0
+    np.testing.assert_allclose(np.sort(df["value"].values), np.sort(expect))
+
+
+def test_grib2_jpeg2000_matches_simple_packing():
+    from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+
+    xs = [7, 0, 255, 33, 99, 128]
+    simple = decode_grib2(make_grib2(xs, ni=3, nj=2, nbits=8))
+    j2k = decode_grib2(_j2k_grib2(xs, 3, 2, nbits=8, levels=1))
+    for col in ("latitude", "longitude", "value"):
+        np.testing.assert_allclose(
+            np.sort(simple[col].values), np.sort(j2k[col].values)
+        )
+
+
+def test_grib2_jpeg2000_lossy_flag_raises():
+    from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+
+    xs = [1, 2, 3, 4]
+    msg = make_grib2(
+        xs, ni=2, nj=2, nbits=8, drs_template=40,
+        data_override=encode_j2k(np.array(xs, np.int64).reshape(2, 2), 8, 0, (8, 8)),
+        sec5_extra=bytes([1, 50]),  # lossy compression type
+    )
+    with pytest.raises(ValueError, match="lossy"):
+        decode_grib2(msg)
+
+
+def test_grib2_jpeg2000_wrong_count_raises():
+    from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+
+    xs = [1, 2, 3, 4, 5, 6]
+    payload = encode_j2k(np.arange(4, dtype=np.int64).reshape(2, 2), 8, 0, (8, 8))
+    msg = make_grib2(
+        xs, ni=3, nj=2, nbits=8, drs_template=40,
+        data_override=payload, sec5_extra=bytes([0, 255]),
+    )
+    with pytest.raises(ValueError, match="JPEG2000|samples"):
+        decode_grib2(msg)
+
+
+def test_spark_read_grib_jpeg2000_distributed(spark, tmp_path):
+    """Template 5.40 through read_grib's distributed path."""
+    from open_energy_data_server_spark.sources.grib import read_grib
+
+    rng = np.random.default_rng(9)
+    ni, nj = 12, 8
+    d = tmp_path / "j2k"
+    d.mkdir()
+    fields = {}
+    for hour in (0, 6):
+        xs = rng.integers(0, 1023, size=ni * nj).astype(np.int64)
+        msg = _j2k_grib2(
+            xs, ni, nj, nbits=10, r_ref=2500.0, e_scale=0, d_scale=1,
+            forecast_hours=hour,
+        )
+        (d / f"f{hour:03d}.grib2").write_bytes(msg)
+        fields[hour] = xs
+    df = read_grib(spark, str(d / "*.grib2")).collect()
+    assert len(df) == 2 * ni * nj
+    by_time = {}
+    for row in df:
+        by_time.setdefault(row.time.hour, []).append(row.value)
+    for hour, xs in fields.items():
+        expect = (2500.0 + xs.astype(np.float64)) / 10.0
+        # ref time 03:00 + lead 0h/6h → valid hours 3 and 9
+        np.testing.assert_allclose(
+            np.sort(by_time[3 + hour]), np.sort(expect)
+        )
