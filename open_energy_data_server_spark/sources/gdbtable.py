@@ -128,8 +128,19 @@ class GdbTable:
     # --- structure -------------------------------------------------
     def _parse_header(self) -> None:
         buf = self._buf
-        if struct.unpack_from("<i", buf, 0)[0] != 3:
-            raise ValueError("not a .gdbtable (bad magic)")
+        magic = struct.unpack_from("<i", buf, 0)[0]
+        if magic != 3:
+            # ESRI's "Compress File Geodatabase Data" rewrites tables
+            # into the proprietary CDF layout, which no public spec or
+            # open-source reader (including GDAL's OpenFileGDB driver)
+            # decodes — fail loudly and name the seam instead of a
+            # generic bad-magic error deep in octet math.
+            raise ValueError(
+                f"not an uncompressed .gdbtable (magic {magic}, expected 3)"
+                " — compressed-geodatabase (CDF) tables have no public"
+                " layout; decompress in ArcGIS or inject an ESRI-SDK"
+                " reader via read_gdb(..., reader=...)"
+            )
         self.n_valid_rows = struct.unpack_from("<i", buf, 4)[0]
         field_off = struct.unpack_from("<q", buf, 32)[0]
         pos = field_off

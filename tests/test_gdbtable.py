@@ -256,8 +256,22 @@ def test_gdbtable_rejects_garbage(tmp_path):
     with pytest.raises(ValueError, match="missing row index"):
         GdbTable(str(tmp_path / "x.gdbtable"))
     (tmp_path / "x.gdbtablx").write_bytes(b"\x00" * 16)
-    with pytest.raises(ValueError, match="bad magic"):
+    with pytest.raises(ValueError, match="magic 7"):
         GdbTable(str(tmp_path / "x.gdbtable"))
+
+
+def test_gdbtable_compressed_variant_fails_loudly(tmp_path):
+    """A non-magic-3 .gdbtable (the proprietary compressed CDF layout)
+    must fail with an error that names the cause and the fiona/SDK
+    injection seam, not a generic parse error."""
+    import struct as _struct
+
+    (tmp_path / "c.gdbtable").write_bytes(
+        _struct.pack("<i", 9) + b"\x00" * 60
+    )
+    (tmp_path / "c.gdbtablx").write_bytes(b"\x00" * 16)
+    with pytest.raises(ValueError, match="compressed-geodatabase.*reader="):
+        GdbTable(str(tmp_path / "c.gdbtable"))
 
 
 def test_datetime_field_decodes(tmp_path):
