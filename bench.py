@@ -37,10 +37,42 @@ import sys
 import time
 
 
+_HEALTHY_MBPS = 500.0  # healthy boxes probe ~2 GB/s; degraded 6-100 MB/s
+
+
+def _memtouch_mbps() -> float:
+    """First-touch memory-bandwidth probe (MB/s)."""
+    import numpy as _np
+
+    t0 = time.perf_counter()
+    _np.ones(25_000_000).sum()
+    return round(200.0 / max(time.perf_counter() - t0, 1e-9), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # Host gate: a degraded box (shared-host page-fault bandwidth
+    # collapses 10-100×, SCALE.md) makes absolute timings meaningless.
+    # Probe up front, wait briefly for recovery, and ANNOTATE the
+    # artifact either way so a cross-round comparison can trust or
+    # discard this run's absolutes without re-deriving the conditions.
+    pre_probes = [_memtouch_mbps()]
+    waited = 0.0
+    while pre_probes[-1] < _HEALTHY_MBPS and waited < 120.0:
+        time.sleep(20.0)
+        waited += 20.0
+        pre_probes.append(_memtouch_mbps())
+    probe_pre = max(pre_probes)
+    if probe_pre < _HEALTHY_MBPS:
+        print(
+            f"bench: host degraded (memtouch {probe_pre} MB/s after "
+            f"{waited:.0f}s wait; healthy ≥ {_HEALTHY_MBPS}); absolute "
+            "timings in this artifact are host-, not engine-attributable",
+            file=sys.stderr,
+        )
 
     from open_energy_data_server_spark import get_spark
     from open_energy_data_server_spark.io import optimize_layout
@@ -134,11 +166,7 @@ def main() -> None:
     # bandwidth ~10x (measured 6 MB/s vs healthy ~2 GB/s on identical
     # images); publishing the probe lets a cross-round comparison
     # separate engine regressions from host conditions.
-    import numpy as _np
-
-    t_cal = time.perf_counter()
-    _np.ones(25_000_000).sum()
-    cal_mbps = round(200.0 / max(time.perf_counter() - t_cal, 1e-9), 1)
+    cal_mbps = _memtouch_mbps()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     record = {
@@ -150,6 +178,10 @@ def main() -> None:
         "cold_sec": cold_wall,
         "ingest_sec": ingest_sec,
         "host_memtouch_mbps": cal_mbps,
+        "host_memtouch_mbps_pre": probe_pre,
+        "host_degraded": bool(
+            min(probe_pre, cal_mbps) < _HEALTHY_MBPS
+        ),
     }
     # Full record: one line with every query (the documented contract),
     # plus a copy on disk so per-query numbers survive stdout capture.
