@@ -1,4 +1,4 @@
-"""Corrupt-input fuzzing for the five pure binary decoders.
+"""Corrupt-input fuzzing for the pure binary decoders.
 
 At 100 TB the landing area WILL contain truncated downloads and
 bit-rotted files. A corrupt file must fail its Spark task READABLY —
