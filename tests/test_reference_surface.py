@@ -93,7 +93,13 @@ STUB_TABLES: dict[str, str] = {
     ),
     "default.solar": "nuts_id STRING, power DOUBLE, azimuth DOUBLE, tilt DOUBLE",
     "default.heat": "nuts_id STRING, demand DOUBLE",
-    "default.nuts": "nuts_id STRING, geometry STRING, level BIGINT",
+    "default.nuts": "nuts_id STRING, geometry STRING, level BIGINT, country STRING",
+    # template-variable queries reference these (entsoe.json $country,
+    # entsog.json $pointkeys/$balancingzones, weather.json public.nuts)
+    "entsoe.areas": "name STRING",
+    "entsog.balancingzones": "bzLabel STRING",
+    "entsog.operatorpointdirections": "pointlabel STRING, operatorkey STRING",
+    "public.nuts": "nuts_id STRING, geometry STRING, level BIGINT, country STRING",
 }
 
 TIME_FROM = "2024-01-05 00:00:00"
@@ -154,6 +160,31 @@ def test_dashboard_panel_expands_and_runs(spark, stub_catalog, raw, variables):
     df = spark.sql(sql)
     assert df.columns, "panel must project at least one column"
     df.collect()  # zero rows on stubs; proves the physical plan runs
+
+
+def _template_query_cases():
+    for f in _dashboards():
+        doc = json.loads(f.read_text())
+        tlist = doc.get("templating", {}).get("list", [])
+        variables = {v["name"]: "DE" for v in tlist if v.get("type") != "datasource"}
+        for v in tlist:
+            q = v.get("query")
+            if isinstance(q, dict):
+                q = q.get("query")
+            if q and v.get("type") == "query":
+                yield pytest.param(q, variables, id=f"{f.stem}-${v['name']}")
+
+
+@pytest.mark.parametrize(("raw", "variables"), list(_template_query_cases()))
+def test_dashboard_template_variable_queries_run(spark, stub_catalog, raw, variables):
+    """The dashboards' template-variable dropdowns are themselves SQL
+    the engine must serve (they may reference other variables, e.g.
+    entsog's $pointkeys filters by '$operator')."""
+    sql = expand_macros(raw, TIME_FROM, TIME_TO, "1 hour", variables=variables)
+    assert "$" not in sql
+    df = spark.sql(sql)
+    assert len(df.columns) == 1  # a dropdown is a single-column query
+    df.collect()
 
 
 def test_dashboard_interval_ms_panels_expand_to_integer_ms():
