@@ -31,6 +31,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _DRIVER_PRIORITY = [
     # never driver-checked (no CORRECTNESS_r* row)
     "q_grafana_flow_rate",
+    "q_theil_sen_trend",
+    "q_autocorr_lag",
+    "q_entropy_daily",
+    "q_mad_outliers",
+    "q_seasonal_profile",
+    "q_bollinger_breach",
+    "q_embedding_quantize",
+    "q_ks_drift",
+    "q_grafana_unixepoch",
     # checked names, stalest latest-green first (as of r07)
     "q_suffix_melt",  # r4
     "q_pivot_event_counts",  # r4

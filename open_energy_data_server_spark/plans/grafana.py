@@ -86,9 +86,14 @@ def expand_macros(
         expr = f"time_bucket({w}, {col})"
         return f"{expr} AS time" if alias else expr
 
+    # Filter-macro arguments may themselves be calls (Grafana panels
+    # pass e.g. ``unix_timestamp(ts)`` or ``to_timestamp(col)``), so
+    # the argument pattern tolerates one paren-nesting level instead of
+    # clipping at the first ')'.
+    _arg = r"((?:[^()]|\([^()]*\))+)"
     out = sql
-    out = re.sub(r"\$__timeFilter\(([^)]+)\)", time_filter, out)
-    out = re.sub(r"\$__unixEpochFilter\(([^)]+)\)", unix_epoch_filter, out)
+    out = re.sub(rf"\$__timeFilter\({_arg}\)", time_filter, out)
+    out = re.sub(rf"\$__unixEpochFilter\({_arg}\)", unix_epoch_filter, out)
     out = re.sub(
         r"\$__timeGroupAlias\(([^,)]+)(?:,([^)]*))?\)",
         lambda m: time_group(m, True),

@@ -56,6 +56,7 @@ def _load_all() -> None:
         round7,
         round7b,
         round8,
+        round8b,
         scalars,
         search_rank,
         windows,

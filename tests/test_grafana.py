@@ -69,6 +69,24 @@ def test_unix_epoch_filter():
     assert "epoch_s >= 1704067200 AND epoch_s <= 1704153600" in sql
 
 
+def test_filter_macro_args_may_nest_calls():
+    """Panels pass expressions, not just bare columns — the argument
+    pattern must balance one paren level instead of clipping at the
+    first ')' (which yielded unparseable SQL)."""
+    sql = expand_macros(
+        "SELECT 1 FROM t WHERE $__unixEpochFilter(unix_timestamp(ts)) "
+        "AND $__timeFilter(to_timestamp(col))",
+        "2024-01-01 00:00:00",
+        "2024-01-02 00:00:00",
+    )
+    assert (
+        "unix_timestamp(ts) >= 1704067200 AND unix_timestamp(ts) <= 1704153600"
+        in sql
+    )
+    assert "to_timestamp(col) BETWEEN TIMESTAMP '2024-01-01 00:00:00'" in sql
+    assert "$" not in sql
+
+
 def test_template_variables_and_braced_form():
     sql = expand_macros(
         "SELECT * FROM t WHERE country = '$country' AND nuts_id LIKE "
