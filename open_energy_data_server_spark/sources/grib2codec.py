@@ -11,7 +11,9 @@ subset those crawlers actually produce/consume:
   the native IFS grid, REGULAR and REDUCED (per-row point counts via
   the optional grid-definition list; ragged rows melt naturally into
   the long output); row latitudes from Gauss-Legendre quadrature
-  nodes, subarea rows selected nearest La1.
+  nodes, subarea rows selected nearest La1 — and 3.50 (spherical
+  harmonic coefficients, triangular truncation J=K=M: the IFS
+  upper-air native representation).
 - Section 5 data representation templates 5.0 (simple packing:
   ``value = (R + X · 2^E) / 10^D`` with X an unsigned big-endian
   bit-field of ``nbits`` per point), 5.2 (complex packing: group
@@ -23,7 +25,15 @@ subset those crawlers actually produce/consume:
   image whose samples are the scaled values; decoded by the sibling
   pure ``sources.pngcodec``, no libpng), and 5.42 (CCSDS/AEC lossless
   packing — the current DWD open-data encoding; decoded by the
-  sibling pure ``sources.aeccodec``, no libaec).
+  sibling pure ``sources.aeccodec``, no libaec), and 5.51 (spectral
+  data, complex packing: the low-wavenumber sub-pentagon stored as
+  raw IEEE floats, the rest simple-packed after multiplication by the
+  Laplacian operator ``(n(n+1))^p`` — decode divides it back out).
+  Spectral messages have no geometry, so the long frame carries the
+  coefficient's (total, zonal) wavenumber pair in the two geometry
+  columns and tags the variable ``*_sh_re`` / ``*_sh_im`` — lossless,
+  self-describing, and the same row shape cfgrib exposes as an
+  abstract coefficient dimension.
 - Section 6 bitmap indicator 0 (bitmap present) and 255 (none).
 - Multi-message files (each hour/variable is its own GRIB message,
   concatenated — the DWD download shape).
@@ -36,8 +46,9 @@ GRIB edition 1 messages (the DWD COSMO REA6 shape, dwd.py:120-147)
 dispatch to the sibling pure codec ``sources.grib1codec`` — mixed-
 edition files decode transparently. Deliberately NOT implemented
 (raise ValueError, callers inject cfgrib via the ``decoder=`` seam
-instead): spectral packing, lossy JPEG2000, embedded missing-value
-management in complex packing, Lambert/polar projections.
+instead): pentagonal (non-triangular) spectral truncations, lossy
+JPEG2000, embedded missing-value management in complex packing,
+Lambert/polar projections.
 """
 
 from __future__ import annotations
@@ -102,6 +113,68 @@ def _unpack_bits(data: bytes, n_values: int, nbits: int) -> np.ndarray:
         raise ValueError(f"GRIB2 data section too short: {bits.size} bits < {need}")
     weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.float64)
     return bits[:need].reshape(n_values, nbits).astype(np.float64) @ weights
+
+
+def _spectral_wavenumbers(trunc: int) -> tuple[np.ndarray, np.ndarray]:
+    """(total n, zonal m) per complex coefficient of a triangular-T
+    spectral field in GRIB storage order: m varies slowest, n = m..T
+    within each m (the ecCodes/IFS layout)."""
+    ms = np.repeat(np.arange(trunc + 1), trunc + 1 - np.arange(trunc + 1))
+    ns = np.concatenate([np.arange(m, trunc + 1) for m in range(trunc + 1)])
+    return ns, ms
+
+
+def _unpack_spectral(
+    data: bytes,
+    n_points: int,
+    nbits: int,
+    meta: dict,
+    trunc: int,
+    r_ref: float,
+    e_scale: int,
+    d_scale: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Section-7 payload for template 7.51 (spectral data — complex
+    packing): the sub-truncation Ts values arrive first as raw IEEE
+    floats (code table 5.7 precision), the remaining coefficients
+    simple-packed and pre-multiplied by the Laplacian operator
+    ``(n(n+1))^p`` (p signed, stored ×10⁻⁶) — decode divides it back
+    out. Returns (values, n, m) in stream order, two rows (re, im)
+    per complex coefficient."""
+    ns, ms = _spectral_wavenumbers(trunc)
+    n_coeff = ns.size
+    if n_points != 2 * n_coeff:
+        raise ValueError(
+            f"spectral field T{trunc} needs {2 * n_coeff} values, "
+            f"DRS says {n_points}"
+        )
+    sub = ns <= meta["js"]
+    ts = meta["ts"]
+    if ts != 2 * int(sub.sum()):
+        raise ValueError(
+            f"unpacked-subset count {ts} inconsistent with sub-truncation "
+            f"T{meta['js']} ({2 * int(sub.sum())} values)"
+        )
+    if ts < 2:
+        raise ValueError("spectral subset must include the (0,0) coefficient")
+    width, dt = {1: (4, ">f4"), 2: (8, ">f8")}.get(meta["precision"], (0, ""))
+    if not width:
+        raise ValueError(
+            f"unpacked-subset precision {meta['precision']} unsupported "
+            "(1 = IEEE 32-bit, 2 = 64-bit)"
+        )
+    if len(data) < ts * width:
+        raise ValueError("spectral data section shorter than unpacked subset")
+    raw = np.frombuffer(data, dtype=dt, count=ts, offset=0).astype(np.float64)
+    packed = _unpack_bits(data[ts * width :], n_points - ts, nbits)
+    y = (r_ref + packed * (2.0**e_scale)) / (10.0**d_scale)
+    n_pk = ns[~sub].astype(np.float64)
+    lam = (n_pk * (n_pk + 1.0)) ** meta["p"]
+    values = np.empty(n_points, dtype=np.float64)
+    mask2 = np.repeat(sub, 2)
+    values[mask2] = raw
+    values[~mask2] = y / np.repeat(lam, 2)
+    return values, np.repeat(ns, 2), np.repeat(ms, 2)
 
 
 def _gaussian_latitudes(
@@ -256,6 +329,8 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     aec_meta: dict | None = None
     gauss_n = 0
     row_ni: np.ndarray | None = None
+    spectral_trunc: int | None = None
+    sh_meta: dict | None = None
     e_scale = d_scale = 0
     nbits = 0
     n_points = 0
@@ -278,11 +353,32 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
             )
         elif sec_num == 3:
             template = _u(body, 12, 2)
-            if template not in (0, 40):
+            if template not in (0, 40, 50):
                 raise ValueError(
                     f"grid template 3.{template} unsupported (3.0 latlon / "
-                    "3.40 regular Gaussian)"
+                    "3.40 Gaussian / 3.50 spherical harmonics)"
                 )
+            if template == 50:
+                # spherical harmonic coefficients: pentagonal resolution
+                # parameters J, K, M — only the triangular truncation the
+                # IFS emits (J=K=M) is supported
+                j_res = _u(body, 14, 4)
+                k_res = _u(body, 18, 4)
+                m_res = _u(body, 22, 4)
+                if not (j_res == k_res == m_res):
+                    raise ValueError(
+                        f"pentagonal spectral truncation J={j_res} K={k_res} "
+                        f"M={m_res} unsupported (triangular only); inject "
+                        "cfgrib"
+                    )
+                if j_res > 1 << 12:  # T4096 ≫ any operational truncation
+                    raise ValueError(
+                        f"implausible spectral truncation T{j_res}"
+                    )
+                spectral_trunc = j_res
+                ni = nj = 0  # spectral fields carry no grid
+                off += sec_len
+                continue
             ni = _u(body, 30, 4)
             nj = _u(body, 34, 4)
             # a corrupt 4-byte count can claim a multi-billion-point
@@ -338,12 +434,12 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
         elif sec_num == 5:
             n_points = _u(body, 5, 4)
             template = _u(body, 9, 2)
-            if template not in (0, 2, 3, 40, 41, 42):
+            if template not in (0, 2, 3, 40, 41, 42, 51):
                 raise ValueError(
                     f"data representation template 5.{template} unsupported (only "
                     "5.0 simple / 5.2 complex / 5.3 complex+spatial-diff / "
-                    "5.40 JPEG2000 / 5.41 PNG / 5.42 CCSDS); inject a cfgrib "
-                    "decoder for this file"
+                    "5.40 JPEG2000 / 5.41 PNG / 5.42 CCSDS / 5.51 spectral); "
+                    "inject a cfgrib decoder for this file"
                 )
             drs_template = template
             r_ref = struct.unpack(">f", body[11:15])[0]
@@ -367,6 +463,22 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
                     "block_size": body[22],
                     "rsi": _u(body, 23, 2),
                 }
+            elif template == 51:
+                if len(body) < 35:
+                    raise ValueError("GRIB2 template 5.51 section too short")
+                js, ks, ms_ = _u(body, 24, 2), _u(body, 26, 2), _u(body, 28, 2)
+                if not (js == ks == ms_):
+                    raise ValueError(
+                        f"pentagonal spectral sub-truncation Js={js} Ks={ks} "
+                        f"Ms={ms_} unsupported (triangular only); inject cfgrib"
+                    )
+                sh_meta = {
+                    # Laplacian scaling factor, signed, stored ×10⁻⁶
+                    "p": _sign_magnitude(_u(body, 20, 4), 32) / 1e6,
+                    "js": js,
+                    "ts": _u(body, 30, 4),
+                    "precision": body[34],
+                }
         elif sec_num == 6:
             indicator = body[5]
             if indicator == 0:
@@ -378,6 +490,52 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
         elif sec_num == 7:
             if ni is None or ref_time is None:
                 raise ValueError("GRIB2 data section before grid/identification")
+            if drs_template == 51:
+                if spectral_trunc is None or sh_meta is None:
+                    raise ValueError(
+                        "GRIB2 spectral data (5.51) requires grid template "
+                        "3.50 and its DRS metadata"
+                    )
+                if bitmap is not None:
+                    raise ValueError("bitmap with spectral data is invalid")
+                sh_vals, sh_n, sh_m = _unpack_spectral(
+                    bytes(body[5:]),
+                    n_points,
+                    nbits,
+                    sh_meta,
+                    spectral_trunc,
+                    r_ref,
+                    e_scale,
+                    d_scale,
+                )
+                var = PARAM_NAMES.get(
+                    (discipline, category, number),
+                    f"d{discipline}c{category}n{number}",
+                )
+                part = np.tile([f"{var}_sh_re", f"{var}_sh_im"], sh_n.size // 2)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "time": pd.Timestamp(ref_time + lead),
+                            # spectral space has no geometry: the two
+                            # geometry columns carry the coefficient's
+                            # (total, zonal) wavenumber pair
+                            "latitude": sh_n.astype(np.float64),
+                            "longitude": sh_m.astype(np.float64),
+                            "variable": part,
+                            "value": sh_vals,
+                        }
+                    )
+                )
+                off += sec_len
+                continue
+            if spectral_trunc is not None or lat1 is None:
+                # grid-packed data section but the grid definition was
+                # spectral (or never parsed) — corrupt message
+                raise ValueError(
+                    "GRIB2 grid-packed data section without a grid "
+                    "definition (section 3 was spectral or missing)"
+                )
             if drs_template in (2, 3):
                 packed = _unpack_complex(body[5:], n_points, nbits, complex_meta)
             elif drs_template == 42:

@@ -165,9 +165,21 @@ def _j2k_bytes() -> bytes:
     )
 
 
+def _grib2_spectral_bytes() -> bytes:
+    from tests.test_grib2_spectral import make_grib2_spectral
+
+    return make_grib2_spectral(
+        unpacked=[5.5, 0.0],
+        packed_x=[2, 4, 12, 18, 4, 6, 30, 36, 12, 24],
+        trunc=2,
+        js=0,
+    )
+
+
 CODECS = {
     "grib1": (_grib1_bytes, decode_grib2),
     "grib2_j2k": (_grib2_j2k_bytes, decode_grib2),
+    "grib2_spectral": (_grib2_spectral_bytes, decode_grib2),
     "j2k": (_j2k_bytes, decode_j2k),
     "png": (_png_bytes, decode_png),
     "grib2": (_grib2_bytes, decode_grib2),
