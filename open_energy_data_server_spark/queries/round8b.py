@@ -149,7 +149,9 @@ def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     them would misalign every lag), then Pearson r at each lag comes
     from EXACT integer moment sums (counts are ints; Σxy never leaves
     BIGINT), so shuffle order cannot move a bit. Scaffold size is
-    |series|·|hours| — bounded metadata, not data. The lag window
+    |series|·|hours| — bounded metadata, not data. Both lags come
+    from ONE window pass over ONE hourly build (stack → single agg:
+    3 shuffles/3 scans, vs 6/6 for a leg-per-lag union); the window
     partitions per series over the bounded hourly rollup, never over
     raw events."""
     ev = load_table(spark, sf_dir, "events")
@@ -175,24 +177,31 @@ def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hr", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     w = Window.partitionBy("event_type").orderBy("hr")
-    legs = []
-    for lag in _ACF_LAGS:
-        lagged = hourly.withColumn("prev", F.lag("cnt", lag).over(w)).where(
-            F.col("prev").isNotNull()
-        )
-        legs.append(
-            lagged.groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("cnt").alias("sx"),
-                F.sum("prev").alias("sy"),
-                F.sum(F.col("cnt") * F.col("prev")).alias("sxy"),
-                F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
-                F.sum(F.col("prev") * F.col("prev")).alias("syy"),
-            )
-            .withColumn("lag", F.lit(lag))
-        )
-    m = legs[0].unionByName(legs[1])
+    # both lags from ONE window pass over ONE hourly build (a per-lag
+    # leg would rebuild the scaffold+counts lineage per lag), then
+    # stack to (lag, prev) rows and reduce in a single agg
+    lagged = hourly.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", _ACF_LAGS[0]).over(w).alias("prev_a"),
+        F.lag("cnt", _ACF_LAGS[1]).over(w).alias("prev_b"),
+    )
+    stacked = lagged.select(
+        "event_type",
+        "cnt",
+        F.expr(
+            f"stack(2, {_ACF_LAGS[0]}, prev_a, {_ACF_LAGS[1]}, prev_b) "
+            "AS (lag, prev)"
+        ),
+    ).where(F.col("prev").isNotNull())
+    m = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"),
+        F.sum("prev").alias("sy"),
+        F.sum(F.col("cnt") * F.col("prev")).alias("sxy"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+        F.sum(F.col("prev") * F.col("prev")).alias("syy"),
+    )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     acf = (n * sxy - sx * sy).cast("double") / (
