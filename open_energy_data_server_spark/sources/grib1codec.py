@@ -29,11 +29,14 @@ milliseconds inside an executor Arrow batch.
   widths, grouped row-by-row or by an explicit secondary bitmap —
   ``value = (R + (FO_group + SO_point)·2^E) / 10^D``.
 
+  Boustrophedonic (serpentine) point ordering is supported on full
+  rows: alternate rows decode right-to-left and are flipped back to
+  the uniform i-fastest grid order.
+
 Deliberately NOT implemented (raise ValueError; callers inject
 cfgrib/pygrib via ``read_grib(..., decoder=...)``): matrix /
-boustrophedonic / general-extended second-order variants, spherical
-harmonics, grids other than (rotated) lat/lon, j-consecutive
-scanning.
+general-extended second-order variants, spherical harmonics, grids
+other than (rotated) lat/lon, j-consecutive scanning.
 """
 
 from __future__ import annotations
@@ -129,7 +132,12 @@ def unrotate(
 
 
 def _decode_second_order(
-    bds: bytes, e_scale: int, r_ref: float, d_scale: int, n_values: int
+    bds: bytes,
+    e_scale: int,
+    r_ref: float,
+    d_scale: int,
+    n_values: int,
+    ni: int = 0,
 ) -> np.ndarray:
     """GRIB1 grid-point second-order packing (WMO Ed.1 BDS, flag bit 2):
     P1 first-order group values (octet-11 width, starting at pointer
@@ -153,8 +161,14 @@ def _decode_second_order(
             "GRIB1 general extended second-order packing unsupported; "
             "inject a pygrib/cfgrib decoder"
         )
-    if ext & 0x08:
-        raise ValueError("GRIB1 boustrophedonic ordering unsupported")
+    boustrophedonic = bool(ext & 0x08)
+    if boustrophedonic and (ni == 0 or n_values % ni):
+        # serpentine ordering is defined per grid ROW; with a primary
+        # bitmap the stored sequence has irregular row lengths
+        raise ValueError(
+            "GRIB1 boustrophedonic ordering requires full rows "
+            "(no primary bitmap)"
+        )
     has_sec_bitmap = bool(ext & 0x40)
     diff_widths = bool(ext & 0x20)
     n1, n2 = _u(bds, 11, 2), _u(bds, 14, 2)
@@ -219,7 +233,14 @@ def _decode_second_order(
         offs = (ends[idx] - w)[:, None] + np.arange(w)[None, :]
         wts = (1 << np.arange(w - 1, -1, -1)).astype(np.float64)
         so[idx] = raw[offs].astype(np.float64) @ wts
-    return (r_ref + (fo[groups] + so) * (2.0**e_scale)) / (10.0**d_scale)
+    values = (r_ref + (fo[groups] + so) * (2.0**e_scale)) / (10.0**d_scale)
+    if boustrophedonic:
+        # alternate rows are stored right-to-left (gribex serpentine
+        # scan); flip them back to the uniform i-fastest grid order
+        grid = values.reshape(-1, ni)
+        grid[1::2] = grid[1::2, ::-1]
+        values = grid.reshape(-1)
+    return values
 
 
 def _decode_message1(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
@@ -321,7 +342,14 @@ def _decode_message1(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
         int(bitmap[:n_grid].sum()) if bitmap is not None else n_grid
     )
     if flags & 0x4:
-        values = _decode_second_order(bds, e_scale, r_ref, d_scale, n_values)
+        values = _decode_second_order(
+            bds,
+            e_scale,
+            r_ref,
+            d_scale,
+            n_values,
+            ni=ni if bitmap is None else 0,
+        )
     else:
         if nbits > 0:
             avail = (len(bds) - 11) * 8 - unused_bits

@@ -374,6 +374,20 @@ def test_grib1_second_order_matches_simple_packing():
     assert simple["value"].tolist() == so["value"].tolist()
 
 
+def test_grib1_second_order_boustrophedonic():
+    """Serpentine ordering: rows 1, 3, … are stored right-to-left and
+    the decoder flips them back — identical values to the plain
+    row-major message with those rows pre-reversed."""
+    # 3x3 grid, one group, FO=0, SO width 8 → value = f(SO) directly
+    serpentine = [1, 2, 3, 6, 5, 4, 7, 8, 9]  # row 1 stored reversed
+    body = make_so_bds([0], serpentine, [0] * 9, widths=8, ext_extra=0x08)
+    df = decode_grib2(make_grib1([], ni=3, nj=3, bds_body_override=body))
+    expect = [(250.0 + v * 2.0) / 10.0 for v in [1, 2, 3, 4, 5, 6, 7, 8, 9]]
+    assert df["value"].tolist() == expect
+    # and the (lat, lon) pairing is the uniform i-fastest layout
+    assert df["longitude"].tolist()[:3] == df["longitude"].tolist()[3:6]
+
+
 def test_grib1_second_order_unsupported_variants_raise():
     body_m = make_so_bds([0], [1, 2, 3, 4], [0] * 4, ext_extra=0x80)
     with pytest.raises(ValueError, match="matrix"):
@@ -381,9 +395,15 @@ def test_grib1_second_order_unsupported_variants_raise():
     body_g = make_so_bds([0], [1, 2, 3, 4], [0] * 4, ext_extra=0x10)
     with pytest.raises(ValueError, match="general extended"):
         decode_grib2(make_grib1([], ni=2, nj=2, bds_body_override=body_g))
-    body_b = make_so_bds([0], [1, 2, 3, 4], [0] * 4, ext_extra=0x08)
+    # boustrophedonic IS supported on full rows, but not under a
+    # primary bitmap (irregular row lengths)
+    body_b = make_so_bds([10], [0, 5, 20], [0] * 3, widths=5, ext_extra=0x08)
     with pytest.raises(ValueError, match="boustrophedonic"):
-        decode_grib2(make_grib1([], ni=2, nj=2, bds_body_override=body_b))
+        decode_grib2(
+            make_grib1(
+                [], ni=2, nj=2, bitmap=[1, 1, 0, 1], bds_body_override=body_b
+            )
+        )
     # row-by-row with P1 not dividing P2
     body_r = make_so_bds([0, 1, 2], [1, 2, 3, 4], [0, 0, 1, 2])
     with pytest.raises(ValueError, match="P1"):
