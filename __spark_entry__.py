@@ -40,6 +40,8 @@ _DRIVER_PRIORITY = [
     "q_embedding_quantize",
     "q_ks_drift",
     "q_grafana_unixepoch",
+    "q_rolling_median",
+    "q_triangle_count",
     # checked names, stalest latest-green first (as of r07)
     "q_suffix_melt",  # r4
     "q_pivot_event_counts",  # r4

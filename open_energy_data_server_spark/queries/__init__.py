@@ -57,6 +57,7 @@ def _load_all() -> None:
         round7b,
         round8,
         round8b,
+        round8c,
         scalars,
         search_rank,
         windows,
