@@ -69,6 +69,11 @@ NLJ_ALLOWED = {
     # 1-row query-vector broadcast attached keylessly to the corpus
     # scan (the scalar-subquery shape; see q_rrf_hybrid_search doc)
     "q_rrf_hybrid_search",
+    # scaffold grid: |distinct series| × |generated hours| cross join —
+    # bounded metadata by construction (round8b docstring)
+    "q_autocorr_lag",
+    # three 1-row count aggregates combined into the single output row
+    "q_triangle_count",
 }
 
 
