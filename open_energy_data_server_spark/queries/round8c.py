@@ -83,24 +83,24 @@ _TRI_EDGES = 2000  # affinity-shortlist size: the graph is bounded by design
 @query(
     "q_triangle_count",
     oracle=f"""
-    WITH items AS (
+    WITH items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT u, v FROM pairs ORDER BY w DESC, u, v LIMIT {_TRI_EDGES}
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT k, COUNT(*) AS d
       FROM (SELECT u AS k FROM edges UNION ALL SELECT v FROM edges)
       GROUP BY 1
-    ), dir AS (
+    ), dir AS MATERIALIZED (
       SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS s,
              CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS t
       FROM edges e JOIN deg da ON e.u = da.k JOIN deg db ON e.v = db.k
-    ), wedges AS (
+    ), wedges AS MATERIALIZED (
       SELECT e1.s AS a, e1.t AS b, e2.t AS c
       FROM dir e1 JOIN dir e2 ON e1.t = e2.s
     )
