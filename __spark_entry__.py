@@ -42,6 +42,9 @@ _DRIVER_PRIORITY = [
     "q_grafana_unixepoch",
     "q_rolling_median",
     "q_triangle_count",
+    "q_seasonality_strength",
+    "q_cross_correlation",
+    "q_churn_hazard",
     # checked names, stalest latest-green first (as of r07)
     "q_suffix_melt",  # r4
     "q_pivot_event_counts",  # r4

@@ -58,6 +58,7 @@ def _load_all() -> None:
         round8,
         round8b,
         round8c,
+        round8d,
         scalars,
         search_rank,
         windows,

@@ -1,0 +1,277 @@
+"""Round-8 batch 3: seasonality strength, cross-series lead–lag
+correlation, and survival-style churn hazard.
+
+Three analytics genres the monitoring surface did not yet cover: a
+variance-decomposition seasonality score (is the hour-of-day profile
+signal or noise?), cross-correlation between two series at signed
+lags (does one series LEAD the other?), and a lifecycle hazard table
+(of users who reached week w, what fraction stopped there?). Same
+oracle-parity discipline as round8b: exact fixed-point/integer
+reductions, closed forms spelled identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_energy_data_server_spark.constants import SCALE
+from open_energy_data_server_spark.io import load_table
+from open_energy_data_server_spark.queries import query
+from open_energy_data_server_spark.queries._util import fmt_dbl, sql_fmt_dbl
+
+# ---------------------------------------------------------------------------
+# q_seasonality_strength
+
+
+@query(
+    "q_seasonality_strength",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value,
+             CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) OVER
+                    (PARTITION BY event_type, EXTRACT(hour FROM ts))
+                  AS DOUBLE) / {SCALE}.0
+               / COUNT(*) OVER (PARTITION BY event_type, EXTRACT(hour FROM ts))
+               AS s,
+             CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) OVER
+                    (PARTITION BY event_type) AS DOUBLE) / {SCALE}.0
+               / COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_fmt_dbl(
+               "1.0 - CAST(SUM(CAST(ROUND((value - s) * (value - s) * 100, 0)"
+               " AS BIGINT)) AS DOUBLE)"
+               " / CAST(SUM(CAST(ROUND((value - m) * (value - m) * 100, 0)"
+               " AS BIGINT)) AS DOUBLE)"
+           )} AS seasonal_strength
+    FROM base GROUP BY 1
+    """,
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-decomposition seasonality score per series:
+    1 − Var(x − s)/Var(x − m) with s the exact hour-of-day mean and m
+    the series mean (the STL 'strength of seasonality' statistic,
+    computed without STL). Near 0 ⇒ the daily profile is noise; near
+    1 ⇒ the profile explains the series — the statistic that decides
+    whether q_seasonal_profile's output is worth charting. Both
+    means come from exact fixed-point window sums; the squared
+    deviations are rounded per row before the BIGINT sum (×100 keeps
+    dev² · rows inside 2⁶³ at bench scale). One scan, two window
+    passes over the same (type, hod) partitioning, one final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w_hod = Window.partitionBy("event_type", F.hour("ts"))
+    w_all = Window.partitionBy("event_type")
+
+    def exact_mean(w):
+        return (
+            F.sum(F.round(F.col("value") * SCALE, 0).cast("bigint"))
+            .over(w)
+            .cast("double")
+            / F.lit(float(SCALE))
+            / F.count(F.lit(1)).over(w)
+        )
+
+    base = ev.select(
+        "event_type",
+        "value",
+        exact_mean(w_hod).alias("s"),
+        exact_mean(w_all).alias("m"),
+    )
+    dev_s = F.col("value") - F.col("s")
+    dev_m = F.col("value") - F.col("m")
+
+    def ssq(dev):
+        return F.sum(F.round(dev * dev * 100, 0).cast("bigint")).cast("double")
+
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        fmt_dbl(1.0 - ssq(dev_s) / ssq(dev_m)).alias("seasonal_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cross_correlation
+
+_XC_A, _XC_B = "click", "purchase"
+_XC_LAGS = (-2, -1, 0, 1, 2)
+
+
+def _sql_xcorr_leg(lag: int) -> str:
+    shifted = f"LAG(b_cnt, {lag})" if lag >= 0 else f"LEAD(b_cnt, {-lag})"
+    return f"""
+      SELECT {lag} AS lag, COUNT(*) AS n,
+             SUM(a_cnt) AS sx, SUM(b_sh) AS sy, SUM(a_cnt * b_sh) AS sxy,
+             SUM(a_cnt * a_cnt) AS sxx, SUM(b_sh * b_sh) AS syy
+      FROM (
+        SELECT a_cnt, {shifted} OVER (ORDER BY hr) AS b_sh FROM hourly
+      ) WHERE b_sh IS NOT NULL
+    """
+
+
+@query(
+    "q_cross_correlation",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), scaffold AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+    ), hourly AS (
+      SELECT s.hr,
+             COALESCE(a.cnt, 0) AS a_cnt,
+             COALESCE(b.cnt, 0) AS b_cnt
+      FROM scaffold s
+      LEFT JOIN (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+                 FROM events WHERE event_type = '{_XC_A}' GROUP BY 1) a
+        ON s.hr = a.hr
+      LEFT JOIN (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+                 FROM events WHERE event_type = '{_XC_B}' GROUP BY 1) b
+        ON s.hr = b.hr
+    ), moments AS (
+      {" UNION ALL ".join(_sql_xcorr_leg(lag) for lag in _XC_LAGS)}
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n,
+           {sql_fmt_dbl(
+               "CAST(n * sxy - sx * sy AS DOUBLE)"
+               " / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+               "    * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))"
+           )} AS xcorr
+    FROM moments
+    """,
+)
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between two series ({_XC_A} vs {_XC_B}
+    hourly counts) at signed lags −2…+2 — the lead–lag detector
+    (positive-lag peak ⇒ the first series LEADS). Same machinery as
+    q_autocorr_lag: scaffold-densified hourly counts, exact integer
+    moment sums, closed-form r; all five lags come from ONE window
+    pass (lag −k is lead +k over the same ordering, stacked then
+    reduced in a single agg). The single-series window is over the
+    bounded hourly rollup (|hours| rows total)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    scaffold = F.broadcast(bounds).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+
+    def counts(etype):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    hourly = (
+        scaffold.join(counts(_XC_A).withColumnRenamed("cnt", "a_raw"), "hr", "left")
+        .join(counts(_XC_B).withColumnRenamed("cnt", "b_raw"), "hr", "left")
+        .select(
+            "hr",
+            F.coalesce("a_raw", F.lit(0)).alias("a_cnt"),
+            F.coalesce("b_raw", F.lit(0)).alias("b_cnt"),
+        )
+    )
+    w = Window.orderBy("hr")
+    shifted = hourly.select(
+        "a_cnt",
+        *[
+            (
+                F.lag("b_cnt", lag) if lag >= 0 else F.lead("b_cnt", -lag)
+            ).over(w).alias(f"b_{i}")
+            for i, lag in enumerate(_XC_LAGS)
+        ],
+    )
+    stack_args = ", ".join(f"{lag}, b_{i}" for i, lag in enumerate(_XC_LAGS))
+    stacked = shifted.select(
+        "a_cnt",
+        F.expr(f"stack({len(_XC_LAGS)}, {stack_args}) AS (lag, b_sh)"),
+    ).where(F.col("b_sh").isNotNull())
+    m = stacked.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a_cnt").alias("sx"),
+        F.sum("b_sh").alias("sy"),
+        F.sum(F.col("a_cnt") * F.col("b_sh")).alias("sxy"),
+        F.sum(F.col("a_cnt") * F.col("a_cnt")).alias("sxx"),
+        F.sum(F.col("b_sh") * F.col("b_sh")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (n * sxy - sx * sy).cast("double") / (
+        F.sqrt((n * sxx - sx * sx).cast("double"))
+        * F.sqrt((n * syy - sy * sy).cast("double"))
+    )
+    return m.select("lag", n.cast("bigint").alias("n"), fmt_dbl(r).alias("xcorr"))
+
+
+# ---------------------------------------------------------------------------
+# q_churn_hazard
+
+
+@query(
+    "q_churn_hazard",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             CAST((MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE))) // 7
+                  AS BIGINT) AS last_week
+      FROM events GROUP BY 1
+    ), churned AS (
+      SELECT last_week AS week, COUNT(*) AS n_churned
+      FROM life GROUP BY 1
+    ), at_risk AS (
+      SELECT c.week,
+             (SELECT COUNT(*) FROM life l WHERE l.last_week >= c.week)
+               AS n_at_risk
+      FROM churned c
+    )
+    SELECT c.week,
+           CAST(a.n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(c.n_churned AS BIGINT) AS n_churned,
+           ROUND(CAST(c.n_churned AS DOUBLE) / a.n_at_risk, 6) AS hazard
+    FROM churned c JOIN at_risk a ON c.week = a.week
+    """,
+)
+def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival hazard by lifetime week: of the users
+    whose activity span reached week w, what fraction had their LAST
+    event in week w (the churn table behind every retention model;
+    q_retention_cohorts gives the calendar view, this gives the
+    lifecycle view). Per-user first/last reduce in one agg; the
+    at-risk counts come from a cumulative sum over the |weeks|-row
+    week rollup ordered DESCENDING (at_risk(w) = Σ_{{w'≥w}}
+    churned(w') — users exit observation exactly once), so nothing
+    beyond the user agg ever touches data-sized rows. Pure integer
+    arithmetic until the final division."""
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+            / F.lit(7)
+        )
+        .cast("bigint")
+        .alias("last_week")
+    )
+    churned = life.groupBy(F.col("last_week").alias("week")).agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+    w = Window.orderBy(F.col("week").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tab = churned.select(
+        "week",
+        F.sum("n_churned").over(w).alias("n_at_risk"),
+        "n_churned",
+    )
+    return tab.select(
+        "week",
+        "n_at_risk",
+        "n_churned",
+        F.round(
+            F.col("n_churned").cast("double") / F.col("n_at_risk"), 6
+        ).alias("hazard"),
+    )
