@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "q_seasonality_strength",
     "q_cross_correlation",
     "q_churn_hazard",
+    "q_forecast_backtest",
     # checked names, stalest latest-green first (as of r07)
     "q_suffix_melt",  # r4
     "q_pivot_event_counts",  # r4

@@ -275,3 +275,129 @@ def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_churned").cast("double") / F.col("n_at_risk"), 6
         ).alias("hazard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_backtest
+
+_FB_TRAIN_DAYS = 20  # idx 0..19 train, the rest test
+
+
+@query(
+    "q_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * {SCALE}, 0) AS BIGINT)) AS BIGINT) AS sv
+      FROM events GROUP BY 1, 2
+    ), idxd AS (
+      SELECT event_type, sv,
+             CAST(day - MIN(day) OVER (PARTITION BY event_type) AS BIGINT)
+               AS idx
+      FROM daily
+    ), m AS (
+      SELECT event_type,
+             COUNT(*) AS n, SUM(idx) AS sx, SUM(sv) AS sy,
+             SUM(idx * sv) AS sxy, SUM(idx * idx) AS sxx
+      FROM idxd WHERE idx < {_FB_TRAIN_DAYS} GROUP BY 1
+    ), fit AS (
+      SELECT event_type,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             (CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n
+               AS icept
+      FROM m
+    ), err AS (
+      SELECT t.event_type,
+             (CAST(t.sv AS DOUBLE) - (f.icept + f.slope * t.idx))
+               / {SCALE}.0 AS e
+      FROM idxd t JOIN fit f ON t.event_type = f.event_type
+      WHERE t.idx >= {_FB_TRAIN_DAYS}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(e) * {SCALE}, 0) AS BIGINT))
+                      AS DOUBLE) / {SCALE}.0 / COUNT(*), 6) AS mae,
+           ROUND(SQRT(CAST(SUM(CAST(ROUND(e * e * 100, 0) AS BIGINT))
+                           AS DOUBLE) / 100.0 / COUNT(*)), 6) AS rmse
+    FROM err GROUP BY 1
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest per series: OLS trend fit on the first
+    {_FB_TRAIN_DAYS} days of exact daily totals, evaluated on the
+    held-out remainder (MAE + RMSE) — the genre every capacity
+    planner runs before trusting a trend line, and the evaluation
+    loop q_corr_regression's fit feeds. Exactness chain: daily totals
+    are scaled BIGINTs; OLS moments are pure BIGINT sums (bounded:
+    n·Σ(idx·sv) ≲ 5e16 « 2⁶³ at scale10); the closed-form
+    slope/intercept divide identical int64s cast to double, so both
+    engines derive bit-identical predictions; per-row errors are
+    rounded before the fixed-point MAE/RMSE sums. Everything after
+    the one daily rollup runs on |days|-bounded relations with the
+    fit broadcast back."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * SCALE, 0).cast("bigint")).alias("sv"))
+    )
+    idxd = daily.select(
+        "event_type",
+        "sv",
+        F.datediff(
+            "day", F.min("day").over(Window.partitionBy("event_type"))
+        ).cast("bigint").alias("idx"),
+    )
+    m = (
+        idxd.where(F.col("idx") < _FB_TRAIN_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("idx").alias("sx"),
+            F.sum("sv").alias("sy"),
+            F.sum(F.col("idx") * F.col("sv")).alias("sxy"),
+            F.sum(F.col("idx") * F.col("idx")).alias("sxx"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    fit = m.select(
+        "event_type",
+        slope.alias("slope"),
+        ((sy.cast("double") - slope * sx.cast("double")) / n).alias("icept"),
+    )
+    err = (
+        idxd.where(F.col("idx") >= _FB_TRAIN_DAYS)
+        .join(F.broadcast(fit), "event_type")
+        .select(
+            "event_type",
+            (
+                (
+                    F.col("sv").cast("double")
+                    - (F.col("icept") + F.col("slope") * F.col("idx"))
+                )
+                / F.lit(float(SCALE))
+            ).alias("e"),
+        )
+    )
+    e = F.col("e")
+    return err.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(
+            F.sum(F.round(F.abs(e) * SCALE, 0).cast("bigint")).cast("double")
+            / F.lit(float(SCALE))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sqrt(
+                F.sum(F.round(e * e * 100, 0).cast("bigint")).cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("rmse"),
+    )
