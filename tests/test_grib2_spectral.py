@@ -241,3 +241,51 @@ def test_spark_read_grib_spectral(spark, tmp_path):
         if r.variable.endswith("_sh_re") and r.latitude == 0.0 and r.longitude == 0.0
     ]
     assert len(re_00) == 1 and abs(re_00[0].value - 5.5) < 1e-12
+
+
+def test_spectral_roundtrip_property():
+    """Randomized encode→decode round-trips across truncations,
+    sub-truncations, scalings and bit widths (mirrors the property
+    suites of the other codecs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        trunc=st.integers(min_value=1, max_value=6),
+        data=st.data(),
+        e_scale=st.integers(min_value=-3, max_value=3),
+        d_scale=st.integers(min_value=-1, max_value=2),
+        nbits=st.integers(min_value=1, max_value=16),
+        p_mil=st.sampled_from([0, 500_000, 1_000_000, 2_000_000, -500_000]),
+    )
+    def check(trunc, data, e_scale, d_scale, nbits, p_mil):
+        ns, _ = _spectral_wavenumbers(trunc)
+        js = data.draw(st.integers(min_value=0, max_value=trunc - 1))
+        sub = ns <= js
+        n_unp = int(sub.sum()) * 2
+        n_pk = int((~sub).sum()) * 2
+        unpacked = [
+            float(np.float32(data.draw(st.floats(-1e3, 1e3, width=32))))
+            for _ in range(n_unp)
+        ]
+        xs = [data.draw(st.integers(0, (1 << nbits) - 1)) for _ in range(n_pk)]
+        r_ref = float(np.float32(data.draw(st.floats(-100, 100, width=32))))
+        raw = make_grib2_spectral(
+            unpacked, xs, trunc, js,
+            p_millionths=p_mil, r_ref=r_ref,
+            e_scale=e_scale, d_scale=d_scale, nbits=nbits,
+        )
+        df = decode_grib2(raw)
+        assert len(df) == 2 * ns.size
+        got = df["value"].to_numpy()
+        mask2 = np.repeat(sub, 2)
+        np.testing.assert_allclose(got[mask2], unpacked, rtol=0)
+        y = (r_ref + np.array(xs, dtype=float).reshape(-1) * 2.0**e_scale) / (
+            10.0**d_scale
+        )
+        n_of = np.repeat(ns[~sub].astype(float), 2)
+        lam = (n_of * (n_of + 1.0)) ** (p_mil / 1e6)
+        np.testing.assert_allclose(got[~mask2], y / lam, rtol=1e-12)
+
+    check()
