@@ -41,12 +41,24 @@ _HEALTHY_MBPS = 500.0  # healthy boxes probe ~2 GB/s; degraded 6-100 MB/s
 
 
 def _memtouch_mbps() -> float:
-    """First-touch memory-bandwidth probe (MB/s)."""
+    """First-touch memory-bandwidth probe (MB/s), median of three.
+
+    Measures a bulk write into a fresh lazy-zero mapping (page faults
+    + streaming stores). The previous form — ``np.ones(N).sum()`` —
+    under-read by 10-20× depending on allocator/THP state (measured
+    75 vs 1760 MB/s for the two forms back-to-back on the same box),
+    which round 7/8 artifacts recorded as phantom host swings; the
+    zeros-then-touch form is stable run-to-run."""
     import numpy as _np
 
-    t0 = time.perf_counter()
-    _np.ones(25_000_000).sum()
-    return round(200.0 / max(time.perf_counter() - t0, 1e-9), 1)
+    rates = []
+    for _ in range(3):
+        a = _np.zeros(32 * 1024 * 1024, dtype=_np.int64)  # 256 MB lazy
+        t0 = time.perf_counter()
+        a[:] = 1
+        rates.append(256.0 / max(time.perf_counter() - t0, 1e-9))
+        del a
+    return round(sorted(rates)[1], 1)
 
 
 def main() -> None:

@@ -205,11 +205,9 @@ def main() -> None:
 
     # host-health attribution (same probe as bench.py): paired ratios
     # survive a degraded box, absolutes don't — record the conditions.
-    import numpy as _np
+    from bench import _memtouch_mbps
 
-    t_cal = time.perf_counter()
-    _np.ones(25_000_000).sum()
-    cal_mbps = round(200.0 / max(time.perf_counter() - t_cal, 1e-9), 1)
+    cal_mbps = _memtouch_mbps()
 
     total = round(sum(e["spark_sec"] for e in results.values()), 2)
     print(
