@@ -104,3 +104,94 @@ def test_entropy_bounds_and_uniform_limit(spark):
     for r in rows:
         # 5 event types → entropy ∈ [0, log2 5]
         assert 0.0 <= r.entropy_bits <= np.log2(5) + 1e-9
+
+
+def test_cross_correlation_matches_numpy(spark, events_pdf):
+    got = {
+        r.lag: r.xcorr
+        for r in QUERIES["q_cross_correlation"](spark, SF).collect()
+    }
+    hours = pd.date_range(
+        events_pdf["ts"].min().floor("h"),
+        events_pdf["ts"].max().floor("h"),
+        freq="h",
+    )
+
+    def series(et):
+        g = events_pdf[events_pdf["event_type"] == et]
+        return (
+            g.groupby(g["ts"].dt.floor("h"))
+            .size()
+            .reindex(hours, fill_value=0)
+            .to_numpy(dtype=float)
+        )
+
+    a, b = series("click"), series("purchase")
+    for lag in (-2, -1, 0, 1, 2):
+        # engine pairs a_t with b_{t-lag} (LAG of b by `lag`)
+        if lag > 0:
+            x, y = a[lag:], b[:-lag]
+        elif lag < 0:
+            x, y = a[:lag], b[-lag:]
+        else:
+            x, y = a, b
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[lag] == pytest.approx(r, abs=1e-6)
+
+
+def test_churn_hazard_definition(spark, events_pdf):
+    rows = QUERIES["q_churn_hazard"](spark, SF).collect()
+    life = events_pdf.groupby("user_id")["ts"].agg(["min", "max"])
+    weeks = ((life["max"].dt.date - life["min"].dt.date).map(
+        lambda d: d.days
+    ) // 7).to_numpy()
+    for r in rows:
+        churned = int((weeks == r.week).sum())
+        at_risk = int((weeks >= r.week).sum())
+        assert (r.n_churned, r.n_at_risk) == (churned, at_risk)
+        assert r.hazard == pytest.approx(churned / at_risk, abs=1e-6)
+    # every user exits exactly once
+    assert sum(r.n_churned for r in rows) == len(weeks)
+
+
+def test_seasonality_strength_bounds_and_numpy(spark, events_pdf):
+    got = {
+        r.event_type: r.seasonal_strength
+        for r in QUERIES["q_seasonality_strength"](spark, SF).collect()
+    }
+    for etype, g in events_pdf.groupby("event_type"):
+        x = g["value"].to_numpy(dtype=float)
+        hod = g["ts"].dt.hour.to_numpy()
+        s = np.zeros_like(x)
+        for h in np.unique(hod):
+            mask = hod == h
+            s[mask] = x[mask].mean()
+        m = x.mean()
+        strength = 1.0 - ((x - s) ** 2).sum() / ((x - m) ** 2).sum()
+        assert got[etype] == pytest.approx(strength, abs=1e-4)
+        assert got[etype] >= -1e-9  # within-group means never add variance
+
+
+def test_forecast_backtest_matches_numpy(spark, events_pdf):
+    got = {
+        r.event_type: (r.mae, r.rmse)
+        for r in QUERIES["q_forecast_backtest"](spark, SF).collect()
+    }
+    for etype, g in events_pdf.groupby("event_type"):
+        daily = (
+            g.assign(v=(g["value"] * 1_000_000).round())
+            .groupby(g["ts"].dt.date)["v"]
+            .sum()
+            .sort_index()
+        )
+        days = np.array(
+            [(d - daily.index[0]).days for d in daily.index], dtype=float
+        )
+        vals = daily.to_numpy(dtype=float)
+        tr = days < 20
+        slope, icept = np.polyfit(days[tr], vals[tr], 1)
+        err = (vals[~tr] - (icept + slope * days[~tr])) / 1_000_000
+        mae, rmse = np.abs(err).mean(), np.sqrt((err**2).mean())
+        g_mae, g_rmse = got[etype]
+        assert g_mae == pytest.approx(mae, abs=1e-4)
+        assert g_rmse == pytest.approx(rmse, abs=1e-4)
