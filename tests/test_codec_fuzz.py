@@ -80,6 +80,17 @@ def _grib1_bytes() -> bytes:
     )
 
 
+def _grib1_so_bytes() -> bytes:
+    # second-order packing with boustrophedonic row ordering — the
+    # grouped/serpentine decode path has its own pointer arithmetic
+    from tests.test_grib1codec import make_so_bds
+
+    body = make_so_bds(
+        [0], [1, 2, 3, 6, 5, 4, 7, 8, 9], [0] * 9, widths=8, ext_extra=0x08
+    )
+    return make_grib1([], ni=3, nj=3, bds_body_override=body)
+
+
 def _grib2_bytes() -> bytes:
     return make_grib2(list(range(12)), ni=4, nj=3)
 
@@ -178,6 +189,7 @@ def _grib2_spectral_bytes() -> bytes:
 
 CODECS = {
     "grib1": (_grib1_bytes, decode_grib2),
+    "grib1_so": (_grib1_so_bytes, decode_grib2),
     "grib2_j2k": (_grib2_j2k_bytes, decode_grib2),
     "grib2_spectral": (_grib2_spectral_bytes, decode_grib2),
     "j2k": (_j2k_bytes, decode_j2k),
