@@ -46,6 +46,12 @@ _DRIVER_PRIORITY = [
     "q_cross_correlation",
     "q_churn_hazard",
     "q_forecast_backtest",
+    "q_spearman_daily",
+    "q_merit_order",
+    "q_trimmed_mean",
+    "q_first_touch_attribution",
+    "q_url_canonicalize",
+    "q_volume_price_curve",
     # checked names, stalest latest-green first (as of r07)
     "q_suffix_melt",  # r4
     "q_pivot_event_counts",  # r4

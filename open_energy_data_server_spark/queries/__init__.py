@@ -59,6 +59,7 @@ def _load_all() -> None:
         round8b,
         round8c,
         round8d,
+        round8e,
         scalars,
         search_rank,
         windows,
