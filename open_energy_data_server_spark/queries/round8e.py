@@ -404,7 +404,7 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synthesis just manufactures the realistic mess (mixed-case hosts,
 # default ports, utm_* params in different positions, fragments).
 _URL_SPARK = (
-    "CASE CAST(doc_id % 4 AS INT) "
+    "CASE CAST((doc_id DIV 50) % 4 AS INT) "
     "WHEN 0 THEN concat('https://WWW.', upper(source), "
     "'.example.com:443/corpus/', source, '/doc?utm_source=feed&id=', "
     "CAST(doc_id % 50 AS STRING), '#top') "
@@ -418,7 +418,7 @@ _URL_SPARK = (
     "source, '/doc?id=', CAST(doc_id % 50 AS STRING), '#section-2') END"
 )
 _URL_DUCK = (
-    "CASE CAST(doc_id % 4 AS INT) "
+    "CASE CAST((doc_id // 50) % 4 AS INT) "
     "WHEN 0 THEN concat('https://WWW.', upper(source), "
     "'.example.com:443/corpus/', source, '/doc?utm_source=feed&id=', "
     "CAST(doc_id % 50 AS VARCHAR), '#top') "
