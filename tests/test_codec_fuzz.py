@@ -24,6 +24,7 @@ import pytest
 from open_energy_data_server_spark.sources.cfb import read_cfb, write_cfb
 from open_energy_data_server_spark.sources.grib2codec import decode_grib2
 from open_energy_data_server_spark.sources.j2kcodec import decode_j2k
+from open_energy_data_server_spark.sources.netcdf3 import decode_netcdf3
 from open_energy_data_server_spark.sources.pngcodec import decode_png
 from open_energy_data_server_spark.sources.sevenzip import read_7z, write_7z
 from open_energy_data_server_spark.sources.shapefile import parse_dbf, parse_shp
@@ -187,6 +188,12 @@ def _grib2_spectral_bytes() -> bytes:
     )
 
 
+def _netcdf_bytes() -> bytes:
+    from tests.test_netcdf3 import make_weather_file
+
+    return make_weather_file()
+
+
 CODECS = {
     "grib1": (_grib1_bytes, decode_grib2),
     "grib1_so": (_grib1_so_bytes, decode_grib2),
@@ -201,6 +208,7 @@ CODECS = {
     "cfb": (_cfb_bytes, read_cfb),
     "shp": (_shp_bytes, parse_shp),
     "dbf": (_dbf_bytes, parse_dbf),
+    "netcdf": (_netcdf_bytes, decode_netcdf3),
 }
 
 
