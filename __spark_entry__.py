@@ -52,6 +52,9 @@ _DRIVER_PRIORITY = [
     "q_first_touch_attribution",
     "q_url_canonicalize",
     "q_volume_price_curve",
+    "q_interval_coalesce",
+    "q_audience_overlap",
+    "q_window_funnel",
     # checked names, stalest latest-green first (as of r07)
     "q_suffix_melt",  # r4
     "q_pivot_event_counts",  # r4

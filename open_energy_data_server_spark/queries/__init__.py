@@ -60,6 +60,7 @@ def _load_all() -> None:
         round8c,
         round8d,
         round8e,
+        round8f,
         scalars,
         search_rank,
         windows,
