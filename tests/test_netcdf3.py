@@ -322,3 +322,63 @@ def test_distributed_read(spark, tmp_path, weather_file):
     )
     assert hot.n == 12
     assert hot.mx == pytest.approx(310 * 0.01 + 273.15)
+
+
+# --- property round-trip (house pattern: every codec gets one) -------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_NUM_TYPES = [NC_BYTE, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE]
+_RANGES = {NC_BYTE: 127, NC_SHORT: 32_000, NC_INT: 2_000_000,
+           NC_FLOAT: 4096, NC_DOUBLE: 1_000_000}
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_netcdf_roundtrip_property(data):
+    """encode_classic → parse_header/var_data reproduces every payload
+    exactly, for random dim shapes, variable/dim subsets, numeric
+    types, record/fixed mixes, and both CDF versions (integer-valued
+    floats keep the comparison exact)."""
+    version = data.draw(st.sampled_from([1, 2]), label="version")
+    n_fixed_dims = data.draw(st.integers(1, 3), label="n_fixed_dims")
+    has_record = data.draw(st.booleans(), label="has_record")
+    numrecs = data.draw(st.integers(0, 3), label="numrecs") if has_record else 0
+    dims = []
+    if has_record:
+        dims.append(("time", 0))
+    for i in range(n_fixed_dims):
+        dims.append((f"d{i}", data.draw(st.integers(1, 4), label=f"len{i}")))
+    rng_seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.default_rng(rng_seed)
+    n_vars = data.draw(st.integers(1, 3), label="n_vars")
+    variables, specs = [], []
+    for vi in range(n_vars):
+        nc_type = data.draw(st.sampled_from(_NUM_TYPES), label=f"type{vi}")
+        is_rec = has_record and data.draw(st.booleans(), label=f"rec{vi}")
+        fixed_ids = list(range(1 if has_record else 0, len(dims)))
+        nd = data.draw(
+            st.integers(0 if not is_rec else 0, min(2, len(fixed_ids))),
+            label=f"nd{vi}",
+        )
+        chosen = data.draw(
+            st.permutations(fixed_ids), label=f"perm{vi}"
+        )[:nd]
+        dimids = ([0] if is_rec else []) + list(chosen)
+        shape = [numrecs if d == 0 and is_rec else dims[d][1] for d in dimids]
+        hi = _RANGES[nc_type]
+        arr = rng.integers(-hi, hi, size=shape or ())
+        variables.append(
+            {"name": f"v{vi}", "dims": dimids, "nc_type": nc_type,
+             "data": arr, "attrs": {}}
+        )
+        specs.append((f"v{vi}", arr))
+    raw = encode_classic(dims, {}, variables, numrecs=numrecs,
+                         version=version)
+    nc = parse_header(raw)
+    assert nc.version == version
+    for name, arr in specs:
+        got = var_data(nc, raw, name)
+        assert got.shape == tuple(np.shape(arr))
+        assert np.array_equal(got.astype(np.int64), np.asarray(arr))
