@@ -55,6 +55,10 @@ _DRIVER_PRIORITY = [
     "q_interval_coalesce",
     "q_audience_overlap",
     "q_window_funnel",
+    "q_cohort_ltv",
+    "q_rapid_repeat_events",
+    "q_activity_streaks",
+    "q_dr_baseline",
     # checked names, stalest latest-green first (as of r07)
     "q_suffix_melt",  # r4
     "q_pivot_event_counts",  # r4

@@ -61,6 +61,7 @@ def _load_all() -> None:
         round8d,
         round8e,
         round8f,
+        round8g,
         scalars,
         search_rank,
         windows,
