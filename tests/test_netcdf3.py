@@ -382,3 +382,48 @@ def test_netcdf_roundtrip_property(data):
         got = var_data(nc, raw, name)
         assert got.shape == tuple(np.shape(arr))
         assert np.array_equal(got.astype(np.int64), np.asarray(arr))
+
+
+def test_netcdf_to_lake_e2e(spark, tmp_path, weather_file):
+    """The ingest pipeline shape for the NetCDF source: distributed
+    decode → flatten the coords map to typed columns → hypertable
+    write (partitionBy p_date via time_col) → pruned read-back. The
+    'time' coordinate (epoch seconds in the fixture) becomes the
+    partition clock exactly as the GRIB ingest's does."""
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.sinks.writer import write_table
+
+    src = tmp_path / "nc"
+    src.mkdir()
+    (src / "a.nc").write_bytes(weather_file)
+    long_rows = read_netcdf(spark, str(src / "*.nc"), variables=["temp"])
+    typed = long_rows.select(
+        F.timestamp_seconds(
+            F.element_at("coords", "time").cast("long")
+        ).alias("time"),
+        F.element_at("coords", "lat").alias("latitude"),
+        F.element_at("coords", "lon").alias("longitude"),
+        "variable",
+        "value",
+    )
+    lake = str(tmp_path / "lake")
+    write_table(
+        typed, lake, "weather", "nc_temp",
+        mode="overwrite", time_col="time", sort_keys=["latitude"],
+    )
+    back = spark.read.parquet(f"{lake}/weather/nc_temp")
+    assert back.count() == 12
+    pruned = back.where(F.col("p_date") == "1970-01-01")
+    # partition pruning reaches the scan: only the one date directory
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert back.select("p_date").distinct().count() == 1
+    assert pruned.count() == 12
+    assert "PartitionFilters: [isnotnull(p_date" in plan
+    got = pruned.where(
+        (F.col("latitude") == 50.5) & (F.col("longitude") == 6.25)
+    ).orderBy("time").select("value").collect()
+    assert [round(r.value, 2) for r in got] == [
+        round(200 * 0.01 + 273.15, 2),
+        round(210 * 0.01 + 273.15, 2),
+    ]
