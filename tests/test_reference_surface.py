@@ -279,3 +279,72 @@ def test_stored_procedure_sql_verbatim(spark, stub_catalog):
         ]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# --- client_export_examples.md (psql \copy + sqlalchemy export) ------
+
+CLIENT_MD = REF / "docs/source/examples/client_export_examples.md"
+
+
+def _client_md_blocks() -> list[str]:
+    body = CLIENT_MD.read_text()
+    return re.findall(r"```(?:\w*)\n(.*?)```", body, re.S)
+
+
+def test_client_export_psql_copy(spark, stub_catalog, tmp_path):
+    """The psql export: ``\\copy (SELECT ...) TO 'x.csv' WITH CSV
+    HEADER`` — the inner SELECT must run verbatim on the engine
+    (search_path analog: USE londondatastore), and the engine's CSV
+    export mirrors the HEADER contract."""
+    blocks = _client_md_blocks()
+    m = next(
+        re.search(r"\\copy \((.+?)\) TO '(\S+)' WITH CSV HEADER", b)
+        for b in blocks
+        if "\\copy" in b
+    )
+    assert m, "psql \\copy example disappeared from the reference doc"
+    inner_sql = m.group(1)
+    spark.sql("USE londondatastore")
+    try:
+        df = spark.sql(inner_sql)
+        assert df.columns == ["DateTime", "power", "tariff"]
+        out = tmp_path / "londondatastore_csv"
+        df.write.option("header", True).csv(str(out))
+        # stub table is empty -> Spark omits headers for empty parts;
+        # any non-empty part must carry the \copy HEADER contract
+        for p in out.glob("*.csv"):
+            text = p.read_text()
+            if text:
+                assert text.splitlines()[0] == "DateTime,power,tariff"
+    finally:
+        spark.sql("USE default")
+
+
+def test_client_export_sqlalchemy_query(spark, stub_catalog):
+    """The sqlalchemy export example. The md's Python literal
+    ``"SELECT ""DateTime"" ..."`` concatenates (adjacent string
+    literals) to bare identifiers AND selects a non-grouped column
+    next to AVG() — PostgreSQL rejects exactly that, and the engine
+    must too (same grammar judgment); the example's evident intent
+    (the hourly-average resample precursor) must run."""
+    import ast as _ast
+
+    block = next(b for b in _client_md_blocks() if "sqlalchemy" in b)
+    line = next(
+        ln for ln in block.splitlines() if ln.startswith("query = ")
+    )
+    # evaluate the Python string literal exactly as Python would
+    # (adjacent-literal concatenation collapses the doubled quotes)
+    query = _ast.literal_eval(line.removeprefix("query = "))
+    assert 'AVG(power)' in query and '"' not in query
+    spark.sql("USE londondatastore")
+    try:
+        with pytest.raises(Exception, match="GROUP BY|MISSING_AGGREGATION"):
+            spark.sql(query).collect()
+        # the documented intent: group the average by the timestamp
+        fixed = query.replace(
+            " LIMIT 10", " GROUP BY DateTime ORDER BY DateTime LIMIT 10"
+        )
+        assert spark.sql(fixed).collect() == []
+    finally:
+        spark.sql("USE default")
