@@ -102,20 +102,20 @@ def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi")).alias("day")
     )
 
-    def daily_sum(etype, out):
-        return (
-            ev.where(F.col("event_type") == etype)
-            .groupBy(F.to_date("ts").alias("day"))
-            .agg(F.sum(F.round(F.col("value") * SCALE, 0).cast("bigint")).alias(out))
+    # ONE conditional-aggregate scan produces both series (the oracle
+    # keeps its two-subquery formulation — independent plan shapes)
+    sv = F.round(F.col("value") * SCALE, 0).cast("bigint")
+    both = (
+        ev.where(F.col("event_type").isin(_SP_A, _SP_B))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == _SP_A, sv)).alias("a_raw"),
+            F.sum(F.when(F.col("event_type") == _SP_B, sv)).alias("b_raw"),
         )
-
-    daily = (
-        scaffold.join(daily_sum(_SP_A, "a_raw"), "day", "left")
-        .join(daily_sum(_SP_B, "b_raw"), "day", "left")
-        .select(
-            F.coalesce("a_raw", F.lit(0)).alias("a_sv"),
-            F.coalesce("b_raw", F.lit(0)).alias("b_sv"),
-        )
+    )
+    daily = scaffold.join(both, "day", "left").select(
+        F.coalesce("a_raw", F.lit(0)).alias("a_sv"),
+        F.coalesce("b_raw", F.lit(0)).alias("b_sv"),
     )
 
     def rank2(col):
@@ -414,7 +414,10 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = firsts.join(rev, "user_id", "left")
     return joined.groupBy("channel").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.count("sv").cast("bigint").alias("n_converters"),
+        # count the always-non-null aggregate column, not sv: a
+        # converter whose purchase values are all NULL still counts
+        # (matches the oracle's COUNT(r.user_id))
+        F.count("n_purch").cast("bigint").alias("n_converters"),
         F.coalesce(F.sum("n_purch"), F.lit(0)).cast("bigint").alias("n_purchases"),
         fmt_dbl(
             F.coalesce(F.sum("sv"), F.lit(0)).cast("double") / F.lit(float(SCALE))
@@ -459,43 +462,61 @@ _URL_DUCK = (
 )
 
 # The canonicalizer: an ordered chain of RE2-safe rewrites (no
-# lookahead/backrefs — Java regex and RE2 agree on every pattern).
+# lookahead/backrefs — Java regex and RE2 agree on every pattern;
+# replacement syntax differs, hence the ($1, \1) pair per step).
 # Order matters and is part of the operator's contract:
 #   1. drop the fragment;
-#   2. drop utm_* params that have a successor (keeps the separator
-#      of the successor by consuming the trailing '&');
-#   3. drop a trailing/lone utm_* param together with its leading
-#      ? or & separator;
+#   2. drop utm_* params that have a successor, ANCHORED on their
+#      leading ?/& so a param merely CONTAINING "utm_" (myutm_x=1)
+#      survives; the separator is kept for the successor. One regex
+#      pass removes alternate members of a consecutive utm run
+#      (non-overlapping matches), so the step repeats — 3 passes
+#      clear runs up to 8 tracking params;
+#   3. drop a TRAILING utm_* param with its leading separator
+#      (end-anchored — mid-string params were handled by step 2);
 #   4. drop a now-dangling trailing '?';
 #   5. lowercase scheme+authority (host casing is insignificant,
 #      path casing is NOT — only the authority is folded);
-#   6. strip the scheme-default port;
+#   6. strip the port only when it is the SCHEME'S default
+#      (https:443 / http:80 — stripping http:443 would collapse two
+#      distinct origins);
 #   7. collapse a trailing '/' on a non-root path.
+_UTM_MID = ("([?&])utm_[a-z]+=[^&#]*&", "$1", "\\1")
 _CANON_STEPS = [
-    ("#.*", ""),
-    ("utm_[a-z]+=[^&#]*&", ""),
-    ("[?&]utm_[a-z]+=[^&#]*", ""),
-    ("\\?$", ""),
+    ("#.*", "", ""),
+    _UTM_MID,
+    _UTM_MID,
+    _UTM_MID,
+    ("[?&]utm_[a-z]+=[^&#]*$", "", ""),
+    ("\\?$", "", ""),
+]
+_PORT_STEPS = [
+    ("^(https://[^/:]+):443$", "$1", "\\1"),
+    ("^(http://[^/:]+):80$", "$1", "\\1"),
 ]
 
 
 def _canon_spark(col):
     out = col
-    for pat, rep in _CANON_STEPS:
-        out = F.regexp_replace(out, pat, rep)
+    for pat, java_rep, _ in _CANON_STEPS:
+        out = F.regexp_replace(out, pat, java_rep)
     scheme_host = F.lower(F.regexp_extract(out, "^(https?://[^/]+)", 1))
     rest = F.regexp_replace(out, "^https?://[^/]+", "")
-    scheme_host = F.regexp_replace(scheme_host, ":443$|:80$", "")
+    for pat, java_rep, _ in _PORT_STEPS:
+        scheme_host = F.regexp_replace(scheme_host, pat, java_rep)
     rest = F.regexp_replace(rest, "/+(\\?|$)", "$1")
     return F.concat(scheme_host, rest)
 
 
 def _canon_sql(expr: str) -> str:
     out = expr
-    for pat, rep in _CANON_STEPS:
-        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    for pat, _, re2_rep in _CANON_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{re2_rep}', 'g')"
     scheme_host = f"lower(regexp_extract({out}, '^(https?://[^/]+)', 1))"
-    scheme_host = f"regexp_replace({scheme_host}, ':443$|:80$', '')"
+    for pat, _, re2_rep in _PORT_STEPS:
+        scheme_host = (
+            f"regexp_replace({scheme_host}, '{pat}', '{re2_rep}')"
+        )
     rest = f"regexp_replace({out}, '^https?://[^/]+', '')"
     rest = f"regexp_replace({rest}, '/+(\\?|$)', '\\1', 'g')"
     return f"concat({scheme_host}, {rest})"
@@ -562,9 +583,9 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                f"CAST(SUM(sp) AS DOUBLE) / {SCALE}.0 / COUNT(*)"
            )} AS mean_unit_price,
            {sql_fmt_dbl(
-               "SQRT(CAST(SUM(sp2) AS DOUBLE) / 100.0 / COUNT(*)"
+               "SQRT(GREATEST(CAST(SUM(sp2) AS DOUBLE) / 100.0 / COUNT(*)"
                f" - (CAST(SUM(sp) AS DOUBLE) / {SCALE}.0 / COUNT(*))"
-               f" * (CAST(SUM(sp) AS DOUBLE) / {SCALE}.0 / COUNT(*)))"
+               f" * (CAST(SUM(sp) AS DOUBLE) / {SCALE}.0 / COUNT(*)), 0.0))"
            )} AS stddev_unit_price
     FROM pts GROUP BY 1
     """,
@@ -588,7 +609,13 @@ def q_volume_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     mean = F.sum("sp").cast("double") / F.lit(float(SCALE)) / n
-    var = F.sum("sp2").cast("double") / F.lit(100.0) / n - mean * mean
+    # the independently-rounded moments (sp2 at 2 decimals, sp at 6)
+    # can land a hair negative for a near-constant tiny bin — clamp,
+    # since DuckDB's SQRT hard-errors on negatives
+    var = F.greatest(
+        F.sum("sp2").cast("double") / F.lit(100.0) / n - mean * mean,
+        F.lit(0.0),
+    )
     return pts.groupBy("qty_bin").agg(
         n.cast("bigint").alias("n"),
         fmt_dbl(mean).alias("mean_unit_price"),

@@ -230,13 +230,19 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_b"),
     )
     nb, na, n2 = F.col("n_both"), F.col("n_a"), F.col("n_b")
-    return agg.select(
-        "type_a",
-        "type_b",
-        nb.cast("bigint").alias("n_both"),
-        na.cast("bigint").alias("n_a"),
-        n2.cast("bigint").alias("n_b"),
-        F.round(nb.cast("double") / (na + n2 - nb), 6).alias("jaccard"),
+    # the oracle's INNER self-join emits no row for a pair with zero
+    # common users — match that (and avoid 0/0 when both audiences
+    # are empty) by dropping zero-intersection pairs
+    return (
+        agg.where(nb > 0)
+        .select(
+            "type_a",
+            "type_b",
+            nb.cast("bigint").alias("n_both"),
+            na.cast("bigint").alias("n_a"),
+            n2.cast("bigint").alias("n_b"),
+            F.round(nb.cast("double") / (na + n2 - nb), 6).alias("jaccard"),
+        )
     )
 
 

@@ -246,8 +246,17 @@ def var_data(nc: NcFile, buf: bytes, name: str) -> np.ndarray:
             raise NetcdfError(f"netcdf data for {name!r} truncated")
         arr = np.frombuffer(buf, dtype=dt, count=n_fixed, offset=v.begin)
         return arr.reshape(v.shape).astype(dt.newbyteorder("="))
-    recsize, _first, numrecs = _rec_layout(nc, buf)
+    recsize, first, numrecs = _rec_layout(nc, buf)
     slab = n_fixed * dt.itemsize
+    # bound the allocation by what the file can actually hold BEFORE
+    # allocating — a bit-flipped numrecs must raise, not OOM
+    if recsize > 0:
+        fit = max(0, (len(buf) - first)) // recsize + 1
+        if numrecs > fit:
+            raise NetcdfError(
+                f"netcdf numrecs {numrecs} exceeds file capacity "
+                f"({len(buf)} bytes, recsize {recsize})"
+            )
     out = np.empty((numrecs, n_fixed), dtype=dt)
     for r in range(numrecs):
         off = v.begin + r * recsize
@@ -261,18 +270,26 @@ def var_data(nc: NcFile, buf: bytes, name: str) -> np.ndarray:
 
 
 def _mask_and_scale(v: NcVar, arr: np.ndarray) -> np.ndarray:
-    """CF unpacking: fill → NaN, then value·scale_factor + add_offset."""
+    """CF unpacking: fill → NaN, then value·scale_factor + add_offset.
+    missing_value may legally carry SEVERAL sentinels (CF §2.5.1) —
+    each is masked; a non-scalar scale/offset is malformed and raises
+    the typed error rather than crashing."""
     out = arr.astype(np.float64)
     for key in ("_FillValue", "missing_value"):
         fv = v.attrs.get(key)
-        if fv is not None and not isinstance(fv, str):
-            out[arr == fv] = np.nan
-    scale = v.attrs.get("scale_factor")
-    offset = v.attrs.get("add_offset")
-    if scale is not None:
-        out = out * float(scale)
-    if offset is not None:
-        out = out + float(offset)
+        if fv is None or isinstance(fv, str):
+            continue
+        for sentinel in fv if isinstance(fv, list) else [fv]:
+            out[arr == sentinel] = np.nan
+    for key in ("scale_factor", "add_offset"):
+        val = v.attrs.get(key)
+        if val is None:
+            continue
+        if isinstance(val, (list, str)):
+            raise NetcdfError(
+                f"netcdf {key} attribute of {v.name!r} must be a scalar"
+            )
+        out = out * float(val) if key == "scale_factor" else out + float(val)
     return out
 
 

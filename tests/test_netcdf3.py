@@ -131,7 +131,12 @@ def encode_classic(dims, gattrs, variables, numrecs, version=1):
         if v in rec_vars:
             for r in range(numrecs):
                 o = begins[v["name"]] + r * recsize
-                buf[o : o + v["__rawslab"]] = arr[r].tobytes()
+                # ascontiguousarray keeps the big-endian dtype even
+                # when arr[r] degrades to a native-order numpy scalar
+                # (1-D record variables)
+                buf[o : o + v["__rawslab"]] = np.ascontiguousarray(
+                    arr[r], dtype=_NPDT[v["nc_type"]]
+                ).tobytes()
         else:
             o = begins[v["name"]]
             buf[o : o + v["__rawslab"]] = arr.tobytes()
@@ -427,3 +432,30 @@ def test_netcdf_to_lake_e2e(spark, tmp_path, weather_file):
         round(200 * 0.01 + 273.15, 2),
         round(210 * 0.01 + 273.15, 2),
     ]
+
+
+def test_numrecs_bitflip_raises_not_oom(weather_file):
+    """A corrupted numrecs must raise NetcdfError BEFORE any
+    allocation sized by it (review finding: np.empty from an
+    untrusted header)."""
+    buf = bytearray(weather_file)
+    buf[4:8] = (0x7FFFFFFE).to_bytes(4, "big")
+    with pytest.raises(NetcdfError, match="exceeds file capacity"):
+        decode_netcdf3(bytes(buf))
+
+
+def test_multi_sentinel_missing_value_and_bad_scale():
+    dims = [("x", 3)]
+    variables = [{"name": "v", "dims": [0], "nc_type": NC_INT,
+                  "data": np.array([7, -9, 5]),
+                  "attrs": {"missing_value": (NC_INT, [7, 5])}}]
+    raw = encode_classic(dims, {}, variables, numrecs=0)
+    pdf = decode_netcdf3(raw)
+    vals = pdf["value"].tolist()
+    assert np.isnan(vals[0]) and vals[1] == -9.0 and np.isnan(vals[2])
+    variables = [{"name": "v", "dims": [0], "nc_type": NC_INT,
+                  "data": np.array([1, 2, 3]),
+                  "attrs": {"scale_factor": (NC_DOUBLE, [0.1, 0.2])}}]
+    raw = encode_classic(dims, {}, variables, numrecs=0)
+    with pytest.raises(NetcdfError, match="must be a scalar"):
+        decode_netcdf3(raw)

@@ -147,9 +147,10 @@ def _canon_urllib(url: str) -> str:
     the contract q_url_canonicalize's regex chain promises."""
     parts = urlsplit(url)
     host = parts.netloc.lower()
-    for default in (":443", ":80"):
-        if host.endswith(default):
-            host = host[: -len(default)]
+    # strip the port only when it is the scheme's OWN default
+    default = {"https": ":443", "http": ":80"}.get(parts.scheme.lower())
+    if default and host.endswith(default):
+        host = host[: -len(default)]
     params = [
         (k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
         if not k.startswith("utm_")
@@ -211,3 +212,29 @@ def test_volume_price_curve_matches_numpy(spark, lineitem_pdf):
         assert n == v.size
         assert mean == pytest.approx(v.mean(), abs=1e-5)
         assert std == pytest.approx(v.std(ddof=0), abs=1e-4)
+
+
+def test_canonicalizer_edge_cases(spark):
+    """Review-finding pins: params merely CONTAINING 'utm_' survive,
+    non-default ports survive (http:443 is a DIFFERENT origin), long
+    tracking runs clear, and the urllib reference agrees on each."""
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.queries.round8e import _canon_spark
+
+    cases = [
+        ("https://H/p?myutm_x=1&id=2", "https://h/p?myutm_x=1&id=2"),
+        ("http://api.Example.com:443/v1", "http://api.example.com:443/v1"),
+        ("http://api.example.com:80/v1", "http://api.example.com/v1"),
+        ("https://h/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&id=5",
+         "https://h/p?id=5"),
+        ("https://h/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4", "https://h/p"),
+        ("https://h:443/p/?id=1#f", "https://h/p?id=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["raw"])
+    got = [
+        r.c for r in df.select(_canon_spark(F.col("raw")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    for (raw, want) in cases:
+        assert _canon_urllib(raw) == want

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -32,8 +33,9 @@ def test_interval_coalesce_matches_pandas(spark, events_pdf):
     row = QUERIES["q_interval_coalesce"](spark, SF).collect()[0]
     err = events_pdf[events_pdf["event_type"] == "error"].copy()
     err["s"] = err["ts"]
+    # FLOOR semantics (engine/oracle), not truncation-toward-zero
     err["e"] = err["ts"] + pd.to_timedelta(
-        err["value"].astype(int) * 300, unit="s"
+        np.floor(err["value"]).astype(int) * 300, unit="s"
     )
     n_users, n_raw, n_merged, covered, longest = 0, 0, 0, 0, 0
     for _uid, g in err.groupby("user_id"):
