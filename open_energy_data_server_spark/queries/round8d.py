@@ -160,21 +160,20 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
     )
 
-    def counts(etype):
-        return (
-            ev.where(F.col("event_type") == etype)
-            .groupBy(F.date_trunc("hour", "ts").alias("hr"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE conditional-aggregate scan yields both series (the oracle
+    # keeps its two-subquery formulation — independent plan shapes)
+    both = (
+        ev.where(F.col("event_type").isin(_XC_A, _XC_B))
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.count(F.when(F.col("event_type") == _XC_A, 1)).alias("a_raw"),
+            F.count(F.when(F.col("event_type") == _XC_B, 1)).alias("b_raw"),
         )
-
-    hourly = (
-        scaffold.join(counts(_XC_A).withColumnRenamed("cnt", "a_raw"), "hr", "left")
-        .join(counts(_XC_B).withColumnRenamed("cnt", "b_raw"), "hr", "left")
-        .select(
-            "hr",
-            F.coalesce("a_raw", F.lit(0)).alias("a_cnt"),
-            F.coalesce("b_raw", F.lit(0)).alias("b_cnt"),
-        )
+    )
+    hourly = scaffold.join(both, "hr", "left").select(
+        "hr",
+        F.coalesce("a_raw", F.lit(0)).alias("a_cnt"),
+        F.coalesce("b_raw", F.lit(0)).alias("b_cnt"),
     )
     w = Window.orderBy("hr")
     shifted = hourly.select(
