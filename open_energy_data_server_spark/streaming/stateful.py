@@ -135,3 +135,94 @@ def _interval_ms(interval: str) -> int:
         "hour": 3_600_000, "day": 86_400_000,
     }[unit.rstrip("s").lower()]
     return int(float(qty) * scale)
+
+
+COALESCE_OUTPUT = (
+    "user_id bigint, window_start timestamp, window_end timestamp, "
+    "n_raw bigint, closed_by string"
+)
+COALESCE_STATE = "start_ms bigint, end_ms bigint, n_raw bigint"
+
+
+def interval_coalescer(intervals: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming interval coalescing — the stream form of the batch
+    q_interval_coalesce: per key, overlapping/touching incident
+    windows ``[s, e)`` merge into one open window held in state; a
+    CLOSED (maximal) window is emitted either when a later interval
+    starts beyond the running end (``closed_by='new_window'``) or when
+    the watermark passes the open window's end
+    (``closed_by='timeout'`` — the incident is over and no
+    in-lateness-bound interval can still extend it). This is the
+    open/close outage-record emitter behind alerting pipelines.
+
+    State per key is three scalars (start, running max end, raw
+    count) → O(keys), independent of stream volume; EventTimeTimeout
+    keys finalization to the WATERMARK, so replays are deterministic
+    and lateness tolerance equals the watermark delay. Intervals that
+    arrive AFTER their window was closed (beyond the watermark) start
+    a new window rather than retro-merging — the standard streaming
+    trade, bounded exactly by ``watermark``.
+
+    ``intervals`` needs columns (user_id, s timestamp, e timestamp);
+    the watermark is applied here on ``s``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _emit(key, st, closed_by):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "window_start": [pd.Timestamp(st[0], unit="ms")],
+                "window_end": [pd.Timestamp(st[1], unit="ms")],
+                "n_raw": [st[2]],
+                "closed_by": [closed_by],
+            }
+        )
+
+    def update(
+        key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            st = state.get
+            state.remove()
+            yield _emit(key, st, "timeout")
+            return
+        pdfs = [p for p in batches if not p.empty]
+        cur = list(state.get) if state.exists else None
+        closed = []
+        if pdfs:
+            allp = pd.concat(pdfs).sort_values(["s", "e"])
+            for s, e in zip(allp["s"], allp["e"]):
+                sm = int(s.timestamp() * 1000)
+                em = int(e.timestamp() * 1000)
+                if cur is None:
+                    cur = [sm, em, 1]
+                elif sm <= cur[1]:
+                    # extends (or is contained in) the open window
+                    cur[1] = max(cur[1], em)
+                    cur[2] += 1
+                else:
+                    closed.append(tuple(cur))
+                    cur = [sm, em, 1]
+        for st in closed:
+            yield _emit(key, st, "new_window")
+        if cur is not None:
+            state.update(tuple(cur))
+            # close once the watermark passes the open window's end
+            # (floored above the current watermark — Spark rejects
+            # timeouts at/below it)
+            state.setTimeoutTimestamp(
+                max(cur[1], state.getCurrentWatermarkMs() + 1)
+            )
+
+    return (
+        intervals.withWatermark("s", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            COALESCE_OUTPUT,
+            COALESCE_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

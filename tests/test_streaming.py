@@ -547,3 +547,73 @@ def test_ledger_sink_time_travel(spark, tmp_path):
     assert sink.read(spark, as_of_batch=99).count() == 6
     ids = {r["batch_id"] for r in sink.read(spark, as_of_batch=1).collect()}
     assert ids == {0, 1}
+
+
+def test_stream_interval_coalescer(spark, tmp_path):
+    """Streaming interval coalescing: overlapping incident windows
+    merge in state; a window closes when a later interval jumps past
+    it (new_window) or when the watermark passes its end (timeout)."""
+    from open_energy_data_server_spark.streaming.stateful import interval_coalescer
+
+    IV_DDL = "user_id long, s timestamp, e timestamp"
+    src = str(tmp_path / "iv_src")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iv(uid, start_min, end_min):
+        return (
+            uid,
+            t0 + dt.timedelta(minutes=start_min),
+            t0 + dt.timedelta(minutes=end_min),
+        )
+
+    # batch 1: user 1 has two overlapping windows + one contained one
+    spark.createDataFrame(
+        [iv(1, 0, 30), iv(1, 20, 50), iv(1, 25, 28)], IV_DDL
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(IV_DDL).parquet(src)
+    out = interval_coalescer(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("coalesce_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # the merged window is still OPEN: nothing emitted yet
+        assert spark.sql("SELECT * FROM coalesce_out").count() == 0
+
+        # batch 2: a later window for user 1 closes the merged one
+        spark.createDataFrame([iv(1, 120, 130)], IV_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM coalesce_out").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (
+            r.user_id,
+            str(r.window_start),
+            str(r.window_end),
+            r.n_raw,
+            r.closed_by,
+        ) == (1, "2024-01-01 00:00:00", "2024-01-01 00:50:00", 3, "new_window")
+
+        # batch 3: another user far in the future drags the watermark
+        # past user 1's open window end -> timeout closure
+        spark.createDataFrame([iv(2, 600, 610)], IV_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # one more (possibly empty) trigger lets the timeout fire
+        spark.createDataFrame([iv(2, 620, 630)], IV_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        closed = {
+            (r.user_id, str(r.window_start), r.n_raw, r.closed_by)
+            for r in spark.sql("SELECT * FROM coalesce_out").collect()
+        }
+        assert (1, "2024-01-01 02:00:00", 1, "timeout") in closed
+    finally:
+        q.stop()
