@@ -617,3 +617,62 @@ def test_stream_interval_coalescer(spark, tmp_path):
         assert (1, "2024-01-01 02:00:00", 1, "timeout") in closed
     finally:
         q.stop()
+
+
+def test_stream_interval_coalescer_checkpoint_restart(spark, tmp_path):
+    """Crash-replay: stop the coalescer mid-incident, restart from the
+    checkpoint, and the OPEN window state survives — the closing
+    interval after restart emits the same merged window a continuous
+    run would."""
+    from open_energy_data_server_spark.streaming.stateful import interval_coalescer
+
+    IV_DDL = "user_id long, s timestamp, e timestamp"
+    src = str(tmp_path / "iv_src2")
+    ckpt = str(tmp_path / "iv_ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iv(uid, start_min, end_min):
+        return (
+            uid,
+            t0 + dt.timedelta(minutes=start_min),
+            t0 + dt.timedelta(minutes=end_min),
+        )
+
+    out_dir = str(tmp_path / "iv_out")
+
+    def start():
+        # memory sink cannot recover from a checkpoint; the file sink
+        # is the fault-tolerant one
+        stream = spark.readStream.schema(IV_DDL).parquet(src)
+        return (
+            interval_coalescer(stream, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    spark.createDataFrame([iv(1, 0, 30), iv(1, 10, 45)], IV_DDL).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out_dir).count() == 0
+    finally:
+        q.stop()  # crash point: the merged window [0, 45) is open state
+
+    spark.createDataFrame([iv(1, 200, 210)], IV_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+        rows = spark.read.parquet(out_dir).collect()
+        assert [
+            (r.user_id, str(r.window_start), str(r.window_end), r.n_raw, r.closed_by)
+            for r in rows
+        ] == [(1, "2024-01-01 00:00:00", "2024-01-01 00:45:00", 2, "new_window")]
+    finally:
+        q.stop()
