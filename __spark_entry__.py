@@ -59,6 +59,8 @@ _DRIVER_PRIORITY = [
     "q_rapid_repeat_events",
     "q_activity_streaks",
     "q_dr_baseline",
+    "q_local_supplier_volume",
+    "q_large_orders",
     # checked names, stalest latest-green first (as of r07)
     "q_suffix_melt",  # r4
     "q_pivot_event_counts",  # r4

@@ -62,6 +62,7 @@ def _load_all() -> None:
         round8e,
         round8f,
         round8g,
+        round8h,
         scalars,
         search_rank,
         windows,
