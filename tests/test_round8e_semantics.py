@@ -238,3 +238,45 @@ def test_canonicalizer_edge_cases(spark):
     assert got == [want for _, want in cases]
     for (raw, want) in cases:
         assert _canon_urllib(raw) == want
+
+
+def test_canonicalizer_randomized_sweep(spark):
+    """Randomized contract sweep: 200 seeded URLs across the generator
+    space (mixed-case hosts, default/odd ports, utm_* and NEAR-utm
+    param names in any position, slash runs, fragments) — the Spark
+    regex chain must agree with the urllib reference on every one.
+    Generator stays inside the canonicalizer's documented domain:
+    percent-free, '+'-free, k=v-only queries (urlencode would re-code
+    escapes the rewrite chain deliberately leaves untouched)."""
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.queries.round8e import _canon_spark
+
+    rng = np.random.default_rng(88)
+    hosts = ["Api.Example.COM", "www.test.de", "H.io"]
+    ports = ["", ":443", ":80", ":8080"]
+    keys = ["utm_source", "utm_campaign", "utm_medium", "myutm_x",
+            "id", "q", "xutm_y"]
+    urls = []
+    for _ in range(200):
+        scheme = ["http", "https"][rng.integers(2)]
+        host = hosts[rng.integers(len(hosts))]
+        port = ports[rng.integers(len(ports))]
+        segs = ["Seg%d" % rng.integers(10) for _ in range(rng.integers(1, 4))]
+        path = "/" + "/".join(segs) + "/" * rng.integers(0, 3)
+        n_params = rng.integers(0, 5)
+        chosen = list(rng.choice(keys, size=n_params, replace=False))
+        query = "&".join(f"{k}=v{rng.integers(100)}" for k in chosen)
+        frag = ["", "#frag"][rng.integers(2)]
+        urls.append(
+            f"{scheme}://{host}{port}{path}"
+            + (f"?{query}" if query else "")
+            + frag
+        )
+    df = spark.createDataFrame([(u,) for u in urls], ["raw"])
+    got = [
+        r.c for r in df.select(_canon_spark(F.col("raw")).alias("c")).collect()
+    ]
+    want = [_canon_urllib(u) for u in urls]
+    mismatches = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
+    assert not mismatches, mismatches[:5]
