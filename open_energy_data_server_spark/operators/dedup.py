@@ -22,7 +22,14 @@ def keep_first(df: DataFrame, keys: list[str], order_by: list[Column | str]) -> 
     partial aggregation does not apply to row_number, so for
     massively-duplicated data prefer ``keep_min`` below.
     """
-    w = Window.partitionBy(*keys).orderBy(*order_by)
+    # string orderings normalize to ASC NULLS LAST — the SQL-standard
+    # (and DuckDB/PostgreSQL) default, where Spark's ASC puts NULLS
+    # FIRST and would keep a NULL-ordered row over a real one
+    order = [
+        F.col(c).asc_nulls_last() if isinstance(c, str) else c
+        for c in order_by
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -33,15 +33,19 @@ def interpolate_linear(
     x_col: str,
     partition_by: list[str] | None = None,
     out_col: str | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Fill null ``value_col`` by linear interpolation along ``x_col``
-    (numeric or timestamp) within each series."""
+    (numeric or timestamp) within each series. Pass ``tiebreak`` (a
+    unique column) when ``x_col`` can carry duplicates — the ROWS
+    frames' last/first values are peer-order-dependent otherwise."""
     out_col = out_col or value_col
     parts = partition_by or []
     x = F.col(x_col)
     xd = x.cast("double")
 
-    base = Window.partitionBy(*parts).orderBy(x_col)
+    order = [x_col] + ([tiebreak] if tiebreak else [])
+    base = Window.partitionBy(*parts).orderBy(*order)
     wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 

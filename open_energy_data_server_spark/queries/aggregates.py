@@ -284,7 +284,8 @@ def q_union_cte_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_json_extract_agg",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+    SELECT CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                AS BIGINT) % 10 AS k_mod,
            COUNT(*) AS n
     FROM events GROUP BY 1
     """,
@@ -292,9 +293,14 @@ def q_union_cte_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: JSON-API payload flattening — extract a typed field from a
     JSON string column (the reference flattens nested API JSON at
-    ingest, /root/reference/crawler/e2watch.py:131-152)."""
+    ingest, /root/reference/crawler/e2watch.py:131-152). The numeric
+    parse goes through DOUBLE + FLOOR on both engines: a direct
+    string→INTEGER cast ROUNDS in DuckDB ('3.7'→4) but NULLs in
+    non-ANSI Spark, and errors on non-numeric payloads — the
+    double-then-floor form gives both engines identical truncation
+    and NULL-on-garbage semantics."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.floor(F.get_json_object("props", "$.k").cast("double")).cast("bigint")
     return ev.groupBy((k % 10).alias("k_mod")).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -419,7 +425,8 @@ _PSUM = "CAST(SUM(CAST(ROUND(({expr}) * {s}, 0) AS BIGINT)) AS BIGINT)"
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+           (n * sxy - sx * sy) / (SQRT(GREATEST(n * sxx - sx * sx, 0))
+                                  * SQRT(GREATEST(n * syy - sy * sy, 0)))
              AS corr_price_qty,
            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
            (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
@@ -452,9 +459,14 @@ def q_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy, sxy, sxx, syy = [F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
     cov_n = n * sxy - sx * sy
     slope = cov_n / (n * sxx - sx * sx)
+    # clamp the variance terms at 0: independently-rounded moments can
+    # land a hair negative for a near-constant group, and DuckDB's
+    # SQRT hard-errors on negatives (Spark would yield NaN)
+    var_x = F.greatest(n * sxx - sx * sx, F.lit(0.0))
+    var_y = F.greatest(n * syy - sy * sy, F.lit(0.0))
     return m.select(
         "l_returnflag",
-        (cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+        (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias(
             "corr_price_qty"
         ),
         slope.alias("slope"),

@@ -562,7 +562,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = tagged.groupBy("event_type", "value").agg(
         F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
     )
-    wcum = Window.partitionBy("event_type").orderBy("value")
+    # nulls_last matches DuckDB's ASC default (a NULL-value bin
+    # must not shift every cumulative count)
+    wcum = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last()
+    )
     wall = Window.partitionBy("event_type")
     stepped = binned.select(
         "event_type",

@@ -201,7 +201,13 @@ def q_merit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_stack = (
         Window.partitionBy("day")
-        .orderBy("unit_price", "l_orderkey", "l_linenumber")
+        # nulls_last matches DuckDB's ASC default (a NULL-price
+        # offer must not shift every real offer's cumulative)
+        .orderBy(
+            F.col("unit_price").asc_nulls_last(),
+            "l_orderkey",
+            "l_linenumber",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_day = Window.partitionBy("day")
@@ -306,7 +312,7 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
     w_below = (
         Window.partitionBy("event_type")
-        .orderBy("sv")
+        .orderBy(F.col("sv").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_all = Window.partitionBy("event_type")

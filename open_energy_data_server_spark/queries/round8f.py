@@ -151,6 +151,7 @@ _AO_TYPES = ("click", "error", "purchase", "signup", "view")  # sorted
     WITH membership AS (
       SELECT DISTINCT user_id, event_type FROM events
       WHERE event_type IN ({", ".join(f"'{t}'" for t in _AO_TYPES)})
+        AND user_id IS NOT NULL
     )
     SELECT a.event_type AS type_a, b.event_type AS type_b,
            CAST(COUNT(*) AS BIGINT) AS n_both,
@@ -190,9 +191,14 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = bit + F.when(F.col("event_type") == t, F.lit(1 << i)).otherwise(
             F.lit(0)
         )
-    # bit_or over per-(user, type) pre-distinct rows = the user's mask
+    # bit_or over per-(user, type) pre-distinct rows = the user's mask.
+    # An unidentified (NULL) user is no audience member — and the
+    # oracle's equi-self-join could never match it anyway
     masks = (
-        ev.where(F.col("event_type").isin(*_AO_TYPES))
+        ev.where(
+            F.col("event_type").isin(*_AO_TYPES)
+            & F.col("user_id").isNotNull()
+        )
         .select("user_id", bit.alias("b"))
         .groupBy("user_id")
         .agg(F.bit_or("b").alias("mask"))

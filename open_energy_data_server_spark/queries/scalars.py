@@ -127,7 +127,7 @@ def q_case_when_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_string_kit",
     oracle=r"""
-    SELECT CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
+    SELECT TRY_CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
            split_part(p_type, ' ', 1) AS type_head,
            UPPER(split_part(p_name, ' ', 1)) AS name_head,
            COUNT(*) AS n
@@ -267,9 +267,9 @@ def q_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
              first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(ts) AS DOUBLE) END
                IGNORE NULLS) OVER wf AS next_x
       FROM sparse
-      WINDOW wb AS (PARTITION BY user_id ORDER BY ts
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             wf AS (PARTITION BY user_id ORDER BY ts
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_id, user_id,
@@ -297,7 +297,10 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("x_us"),
         F.when(F.col("event_id") % 4 == 0, None).otherwise(F.col("value")).alias("v"),
     )
-    out = interpolate_linear(sparse, "v", "x_us", partition_by=["user_id"], out_col="v_interp")
+    out = interpolate_linear(
+        sparse, "v", "x_us", partition_by=["user_id"],
+        out_col="v_interp", tiebreak="event_id",
+    )
     return out.select("event_id", "user_id", "v_interp")
 
 

@@ -502,7 +502,11 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw rows."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    w = Window.partitionBy("user_id").orderBy(
+        # asc_nulls_last matches DuckDB's ASC default on the
+        # tie-break column
+        F.col("n").desc(), F.col("event_type").asc_nulls_last()
+    )
     return (
         c.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)

@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # PostgreSQL/DuckDB semantics, not ANSI-strict: division by
+        # zero and invalid casts propagate NULL instead of raising
+        # (Spark 4 defaults ANSI on; the oracle comparison and the
+        # reference's SQL surface both assume NULL propagation)
+        .config("spark.sql.ansi.enabled", "false")
+        # coupled legacy flag: with ANSI off, size(NULL) reverts to -1
+        # unless sizeOfNull is un-legacied — pin the sane NULL
+        .config("spark.sql.legacy.sizeOfNull", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_OEDS_DRIVER_MEM", "48g"))
@@ -103,6 +111,12 @@ def register_engine_functions(spark: SparkSession) -> None:
     # confs our queries depend on (oracle comparison assumes UTC; the
     # coalescing floor keeps small window stages parallel, see get_spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # NULL-propagating division/cast semantics (DuckDB/PostgreSQL
+    # match) — Spark 4's ANSI default would THROW on a zero
+    # denominator the oracle answers with NULL
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    # with ANSI off, size(NULL) legacy-defaults to -1 — pin NULL
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
     # pure integer bucket math: unix_seconds + floor-div stays in long
     # arithmetic end-to-end (the double floor(x/y) form costs a

@@ -269,3 +269,17 @@ def test_rpc_parameterized_arguments(spark):
     )
     status, _, body = f.handle("/rpc/nations_named", "name=NATION_3'; DROP--")
     assert status == 200 and json.loads(body) == []
+
+
+def test_engine_pins_null_propagating_division(spark):
+    """register_engine_functions pins ANSI off: a zero denominator
+    yields NULL (the DuckDB/PostgreSQL semantics every oracle assumes)
+    instead of Spark 4's default DIVIDE_BY_ZERO error."""
+    from open_energy_data_server_spark.session import register_engine_functions
+
+    register_engine_functions(spark)
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    row = spark.sql(
+        "SELECT 1.0D / 0.0D AS fd, CAST('' AS INT) AS bad_cast"
+    ).collect()[0]
+    assert row.fd is None and row.bad_cast is None
