@@ -29,58 +29,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registering them (the tool folds them in on the next rotation) —
 # or rerun the tool immediately if they must be checked this round.
 _DRIVER_PRIORITY = [
-    # never driver-checked (no CORRECTNESS_r* row)
-    "q_grafana_flow_rate",
-    "q_theil_sen_trend",
-    "q_autocorr_lag",
-    "q_entropy_daily",
-    "q_mad_outliers",
-    "q_seasonal_profile",
-    "q_bollinger_breach",
-    "q_embedding_quantize",
-    "q_ks_drift",
-    "q_grafana_unixepoch",
-    "q_rolling_median",
-    "q_triangle_count",
-    "q_seasonality_strength",
-    "q_cross_correlation",
-    "q_churn_hazard",
-    "q_forecast_backtest",
-    "q_spearman_daily",
-    "q_merit_order",
-    "q_trimmed_mean",
-    "q_first_touch_attribution",
-    "q_url_canonicalize",
-    "q_volume_price_curve",
-    "q_interval_coalesce",
-    "q_audience_overlap",
-    "q_window_funnel",
-    "q_cohort_ltv",
-    "q_rapid_repeat_events",
-    "q_activity_streaks",
-    "q_dr_baseline",
-    "q_local_supplier_volume",
-    "q_large_orders",
-    # checked names, stalest latest-green first (as of r07)
-    "q_suffix_melt",  # r4
-    "q_pivot_event_counts",  # r4
-    "q_asof_rate_join",  # r4
-    "q_sanitize_columns",  # r4
-    "q_locale_number_parse",  # r4
-    "q_case_when_classify",  # r4
-    "q_string_kit",  # r4
-    "q_date_arithmetic",  # r4
-    "q_tz_roundtrip",  # r4
-    "q_unit_conversions",  # r4
-    "q_interpolate_cubic",  # r4
-    "q_null_handling",  # r4
-    "q_tfidf_topk",  # r4
-    "q_bm25_search",  # r4
-    "q_familiarity_buckets",  # r4
-    "q_quality_classifier",  # r4
-    "q_lag_diff_decumulate",  # r4
-    "q_latest_per_user",  # r4
-    "q_ffill_bfill",  # r4
+    # checked names, stalest latest-green first (as of r08)
     "q_running_sum",  # r4
     "q_snapshot_at_latest",  # r4
     "q_cms_heavy_hitters",  # r5
@@ -233,6 +182,56 @@ _DRIVER_PRIORITY = [
     "q_timestamp_assembly",  # r7
     "q_interpolate_linear",  # r7
     "q_rolling_1h_window",  # r7
+    "q_suffix_melt",  # r8
+    "q_pivot_event_counts",  # r8
+    "q_asof_rate_join",  # r8
+    "q_grafana_flow_rate",  # r8
+    "q_theil_sen_trend",  # r8
+    "q_autocorr_lag",  # r8
+    "q_entropy_daily",  # r8
+    "q_mad_outliers",  # r8
+    "q_seasonal_profile",  # r8
+    "q_bollinger_breach",  # r8
+    "q_embedding_quantize",  # r8
+    "q_ks_drift",  # r8
+    "q_grafana_unixepoch",  # r8
+    "q_rolling_median",  # r8
+    "q_triangle_count",  # r8
+    "q_seasonality_strength",  # r8
+    "q_cross_correlation",  # r8
+    "q_churn_hazard",  # r8
+    "q_forecast_backtest",  # r8
+    "q_spearman_daily",  # r8
+    "q_merit_order",  # r8
+    "q_trimmed_mean",  # r8
+    "q_first_touch_attribution",  # r8
+    "q_url_canonicalize",  # r8
+    "q_volume_price_curve",  # r8
+    "q_interval_coalesce",  # r8
+    "q_audience_overlap",  # r8
+    "q_window_funnel",  # r8
+    "q_cohort_ltv",  # r8
+    "q_rapid_repeat_events",  # r8
+    "q_activity_streaks",  # r8
+    "q_dr_baseline",  # r8
+    "q_local_supplier_volume",  # r8
+    "q_large_orders",  # r8
+    "q_sanitize_columns",  # r8
+    "q_locale_number_parse",  # r8
+    "q_case_when_classify",  # r8
+    "q_string_kit",  # r8
+    "q_date_arithmetic",  # r8
+    "q_tz_roundtrip",  # r8
+    "q_unit_conversions",  # r8
+    "q_interpolate_cubic",  # r8
+    "q_null_handling",  # r8
+    "q_tfidf_topk",  # r8
+    "q_bm25_search",  # r8
+    "q_familiarity_buckets",  # r8
+    "q_quality_classifier",  # r8
+    "q_lag_diff_decumulate",  # r8
+    "q_latest_per_user",  # r8
+    "q_ffill_bfill",  # r8
 ]
 
 
