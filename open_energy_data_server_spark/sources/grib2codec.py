@@ -449,11 +449,15 @@ def _decode_message(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
             if template in (2, 3):
                 complex_meta = _parse_complex_drs(body, template)
             elif template == 40:
-                # octet 22: compression type (0 lossless / 1 lossy)
-                if len(body) >= 22 and body[21] not in (0, 255):
+                # octet 22: compression type (0 lossless / 1 lossy) —
+                # both decode through sources.j2kcodec (the lossy path
+                # carries the 9/7 transform + scalar quantization in
+                # the codestream's own COD/QCD markers, so no extra
+                # metadata is needed here)
+                if len(body) >= 22 and body[21] not in (0, 1, 255):
                     raise ValueError(
-                        "GRIB2 template 5.40 lossy JPEG2000 unsupported "
-                        "(lossless only)"
+                        f"GRIB2 template 5.40 compression type {body[21]} "
+                        "unknown (0 lossless / 1 lossy)"
                     )
             elif template == 42:
                 if len(body) < 25:

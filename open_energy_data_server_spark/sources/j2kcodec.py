@@ -11,7 +11,10 @@ encoders actually emit:
 
 - single tile at the image origin, single component,
 - reversible 5/3 wavelet (lossless — GRIB2 octet 22 compression
-  type 0), no quantization,
+  type 0) with no quantization, OR the irreversible 9/7 wavelet
+  (lossy — octet 22 type 1) with Annex-E scalar quantization in
+  either the derived or the expounded QCD form (midpoint
+  reconstruction, r = 0.5),
 - one quality layer, LRCP/RLCP progression, default precincts
   (one per resolution), no SOP/EPH markers,
 - default code-block style (no bypass / reset / termall /
@@ -752,6 +755,99 @@ def _fdwt53(a: np.ndarray, levels: int):
 
 
 # ---------------------------------------------------------------------------
+# Irreversible 9/7 lifting (Annex F.4.8), float64, same whole-sample
+# symmetric extension convention as the 5/3 code above. Scaling follows
+# the spec / JJ2000: analysis multiplies the low band by 1/K and the
+# high band by K; synthesis undoes both then the four lifting steps in
+# reverse with the same constants.
+
+_A97 = -1.586134342059924  # α (first analysis lift, on odd)
+_B97 = -0.052980118572961  # β (on even)
+_G97 = 0.882911075530934  # γ (on odd)
+_D97 = 0.443506852043971  # δ (on even)
+_K97 = 1.230174104914001  # K (band normalization)
+
+
+def _inv_lift97_axis(x: np.ndarray) -> np.ndarray:
+    """1D_SR for the 9/7 filter along the last axis (low at even)."""
+    n = x.shape[-1]
+    if n < 2:
+        return x.astype(np.float64)
+    even = x[..., 0::2].astype(np.float64) * _K97
+    odd = x[..., 1::2].astype(np.float64) * (1.0 / _K97)
+    ne, no = even.shape[-1], odd.shape[-1]
+    op = np.concatenate([odd[..., :1], odd, odd[..., -1:]], axis=-1)
+    even = even - _D97 * (op[..., :ne] + op[..., 1 : ne + 1])
+    ep = np.concatenate([even, even[..., -1:]], axis=-1)
+    odd = odd - _G97 * (ep[..., :no] + ep[..., 1 : no + 1])
+    op = np.concatenate([odd[..., :1], odd, odd[..., -1:]], axis=-1)
+    even = even - _B97 * (op[..., :ne] + op[..., 1 : ne + 1])
+    ep = np.concatenate([even, even[..., -1:]], axis=-1)
+    odd = odd - _A97 * (ep[..., :no] + ep[..., 1 : no + 1])
+    out = np.empty(x.shape, np.float64)
+    out[..., 0::2] = even
+    out[..., 1::2] = odd
+    return out
+
+
+def _fwd_lift97_axis(x: np.ndarray) -> np.ndarray:
+    """1D_SD for the 9/7 filter along the last axis (tests only)."""
+    n = x.shape[-1]
+    if n < 2:
+        return x.astype(np.float64)
+    even = x[..., 0::2].astype(np.float64)
+    odd = x[..., 1::2].astype(np.float64)
+    ne, no = even.shape[-1], odd.shape[-1]
+    ep = np.concatenate([even, even[..., -1:]], axis=-1)
+    odd = odd + _A97 * (ep[..., :no] + ep[..., 1 : no + 1])
+    op = np.concatenate([odd[..., :1], odd, odd[..., -1:]], axis=-1)
+    even = even + _B97 * (op[..., :ne] + op[..., 1 : ne + 1])
+    ep = np.concatenate([even, even[..., -1:]], axis=-1)
+    odd = odd + _G97 * (ep[..., :no] + ep[..., 1 : no + 1])
+    op = np.concatenate([odd[..., :1], odd, odd[..., -1:]], axis=-1)
+    even = even + _D97 * (op[..., :ne] + op[..., 1 : ne + 1])
+    out = np.empty(x.shape, np.float64)
+    out[..., 0::2] = even * (1.0 / _K97)
+    out[..., 1::2] = odd * _K97
+    return out
+
+
+def _interleave_f(ll, hl, lh, hh) -> np.ndarray:
+    h = ll.shape[0] + lh.shape[0]
+    w = ll.shape[1] + hl.shape[1]
+    a = np.zeros((h, w), np.float64)
+    a[0::2, 0::2] = ll
+    a[0::2, 1::2] = hl
+    a[1::2, 0::2] = lh
+    a[1::2, 1::2] = hh
+    return a
+
+
+def _idwt97(ll: np.ndarray, bands: list[tuple[np.ndarray, np.ndarray, np.ndarray]]):
+    """2D_SR for the irreversible transform, coarsest→finest."""
+    cur = ll.astype(np.float64)
+    for hl, lh, hh in bands:
+        a = _interleave_f(cur, hl, lh, hh)
+        a = _inv_lift97_axis(a)  # rows
+        a = _inv_lift97_axis(a.T).T  # columns
+        cur = a
+    return cur
+
+
+def _fdwt97(a: np.ndarray, levels: int):
+    """→ (ll, [(HL, LH, HH)] coarsest→finest), float64 (tests only)."""
+    bands: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    cur = a.astype(np.float64)
+    for _ in range(levels):
+        cur = _fwd_lift97_axis(cur.T).T
+        cur = _fwd_lift97_axis(cur)
+        bands.append((cur[0::2, 1::2], cur[1::2, 0::2], cur[1::2, 1::2]))
+        cur = cur[0::2, 0::2]
+    bands.reverse()
+    return cur, bands
+
+
+# ---------------------------------------------------------------------------
 # Codestream structure
 
 _SOC = 0xFF4F
@@ -861,6 +957,8 @@ def decode_j2k(raw: bytes) -> np.ndarray:
     transform = None
     guard = 2
     exps: list[int] = []
+    quant_pairs: list[tuple[int, int]] | None = None
+    quant_derived = False
     sot_at = None
     psot = None
 
@@ -941,19 +1039,37 @@ def decode_j2k(raw: bytes) -> np.ndarray:
                     "segmark) unsupported"
                 )
             transform = body[9]
-            if transform != 1:
+            if transform not in (0, 1):
                 raise ValueError(
-                    "JPEG2000 9/7 irreversible transform unsupported "
-                    "(GRIB2 lossless uses 5/3)"
+                    f"JPEG2000 wavelet transform {transform} unknown "
+                    "(0 = 9/7 irreversible, 1 = 5/3 reversible)"
                 )
         elif marker == _QCD:
             sqcd = body[0]
             guard = sqcd >> 5
-            if sqcd & 0x1F != 0:
+            qstyle = sqcd & 0x1F
+            if qstyle == 0:
+                # no quantization: 8-bit entries, exponent in bits 3-7
+                exps = [b >> 3 for b in body[1:]]
+            elif qstyle in (1, 2):
+                # scalar derived (one 16-bit ε/μ pair, Annex E Eq E-5)
+                # or scalar expounded (one pair per subband): ε in the
+                # top 5 bits, 11-bit mantissa μ below
+                if len(body) < 3 or (len(body) - 1) % 2:
+                    raise ValueError("JPEG2000 QCD truncated")
+                quant_pairs = [
+                    (v >> 11, v & 0x7FF)
+                    for (v,) in struct.iter_unpack(">H", body[1:])
+                ]
+                quant_derived = qstyle == 1
+                if quant_derived and len(quant_pairs) != 1:
+                    raise ValueError(
+                        "JPEG2000 derived QCD must carry exactly one pair"
+                    )
+            else:
                 raise ValueError(
-                    "JPEG2000 scalar quantization unsupported (lossless only)"
+                    f"JPEG2000 quantization style {qstyle} unsupported"
                 )
-            exps = [b >> 3 for b in body[1:]]
         elif marker in (_COC, _QCC, _POC):
             raise ValueError(
                 f"JPEG2000 marker 0x{marker:04X} (per-component overrides / "
@@ -965,10 +1081,22 @@ def decode_j2k(raw: bytes) -> np.ndarray:
             raise ValueError(f"JPEG2000 unknown marker 0x{marker:04X}")
         pos += ln
 
-    if width is None or transform is None or not exps:
+    if width is None or transform is None or not (exps or quant_pairs):
         raise ValueError("JPEG2000 missing SIZ/COD/QCD before tile data")
-    if len(exps) < 3 * levels + 1:
-        raise ValueError("JPEG2000 QCD exponent count mismatch")
+    if transform == 1:
+        if not exps:
+            raise ValueError(
+                "JPEG2000 reversible 5/3 stream carries scalar quantization"
+            )
+        if len(exps) < 3 * levels + 1:
+            raise ValueError("JPEG2000 QCD exponent count mismatch")
+    else:
+        if not quant_pairs:
+            raise ValueError(
+                "JPEG2000 irreversible 9/7 stream lacks scalar quantization"
+            )
+        if not quant_derived and len(quant_pairs) < 3 * levels + 1:
+            raise ValueError("JPEG2000 QCD step-size count mismatch")
     if layers == 0 or layers > 64:
         raise ValueError(f"implausible JPEG2000 layer count {layers}")
 
@@ -996,12 +1124,28 @@ def decode_j2k(raw: bytes) -> np.ndarray:
                 for y in range(gy)
             ]
             exp_idx = 0 if r == 0 else 1 + 3 * (r - 1) + bi
-            mb = guard + exps[exp_idx] - 1
+            if transform == 1:
+                eps_b, mu_b = exps[exp_idx], 0
+                delta = 1.0
+            elif quant_derived:
+                # Annex E Eq E-5: ε_b = ε₀ − N_L + n_b with n_b the
+                # band's decomposition level (LL sits at level N_L)
+                n_b = levels if r == 0 else levels - r + 1
+                eps_b = quant_pairs[0][0] - levels + n_b
+                mu_b = quant_pairs[0][1]
+            else:
+                eps_b, mu_b = quant_pairs[exp_idx]
+            if transform == 0:
+                # Annex E Eq E-3: Δ_b = 2^(R_b−ε_b)·(1 + μ_b/2^11),
+                # R_b the band's nominal dynamic range
+                r_b = precision + _GAIN[name]
+                delta = (2.0 ** (r_b - eps_b)) * (1.0 + mu_b / 2048.0)
+            mb = guard + eps_b - 1
             if not 0 < mb <= 38:
                 raise ValueError(f"implausible JPEG2000 bit-plane count {mb}")
             rbands.append({
                 "name": name, "w": bw, "h": bh, "grid": (gx, gy),
-                "cbs": cbs, "mb": mb,
+                "cbs": cbs, "mb": mb, "delta": delta,
                 "incl": _TagTree(max(gx, 1), max(gy, 1)),
                 "imsb": _TagTree(max(gx, 1), max(gy, 1)),
             })
@@ -1082,10 +1226,31 @@ def decode_j2k(raw: bytes) -> np.ndarray:
                         cb.numbps, band["name"],
                     )
                     arr[cb.y0 : cb.y0 + cb.h, cb.x0 : cb.x0 + cb.w] = coeffs
-            rplanes.append(arr)
+            if transform == 0:
+                # Annex E dequantization with midpoint reconstruction
+                # (r = 0.5): every coding pass is decoded, so the T1
+                # output IS the quantizer index q = sign·⌊|x|/Δ_b⌋
+                farr = arr.astype(np.float64)
+                farr = np.where(
+                    arr > 0, farr + 0.5, np.where(arr < 0, farr - 0.5, 0.0)
+                ) * band["delta"]
+                rplanes.append(farr)
+            else:
+                rplanes.append(arr)
         planes.append(rplanes)
 
     ll = planes[0][0]
+    if transform == 0:
+        fimg = _idwt97(ll, [tuple(p) for p in planes[1:]])
+        if fimg.shape != (height, width):
+            raise ValueError("JPEG2000 reconstruction shape mismatch")
+        if not signed:
+            fimg = fimg + float(1 << (precision - 1))
+        lo = -(1 << (precision - 1)) if signed else 0
+        hi = (1 << (precision - 1)) - 1 if signed else (1 << precision) - 1
+        # clip in the float domain: corrupt streams can decode huge
+        # coefficients and a float→int64 overflow must not warn/crash
+        return np.rint(np.clip(fimg, lo, hi)).astype(np.int64)
     img = _idwt53(ll, [tuple(p) for p in planes[1:]])
     if img.shape != (height, width):
         raise ValueError("JPEG2000 reconstruction shape mismatch")
@@ -1100,10 +1265,21 @@ def encode_j2k(
     levels: int = 2,
     cb_size: tuple[int, int] = (64, 64),
     signed: bool = False,
+    irreversible: bool = False,
+    quant_style: str = "expounded",
+    eps_shift: int = 0,
+    mantissa: int = 0,
 ) -> bytes:
-    """Encode (h, w) integers as a lossless JPEG 2000 codestream in
-    the decoder's profile (tests only — no rate control, every coding
-    pass in the single layer)."""
+    """Encode (h, w) integers as a JPEG 2000 codestream in the
+    decoder's profile (tests only — no rate control, every coding
+    pass in the single layer).
+
+    ``irreversible=True`` selects the 9/7 float transform with Annex-E
+    scalar quantization: ``quant_style`` picks the QCD form
+    ("expounded" = one 16-bit ε/μ per subband, "derived" = a single
+    pair the decoder expands via Eq E-5), ``eps_shift`` coarsens every
+    step size by 2^eps_shift (0 → Δ_b = 2^0·(1+μ/2^11), near-lossless)
+    and ``mantissa`` is the 11-bit μ applied to every band."""
     arr = np.asarray(samples, dtype=np.int64)
     if arr.ndim != 2:
         raise ValueError("encode_j2k expects a 2-D array")
@@ -1121,19 +1297,66 @@ def encode_j2k(
     if not 0 <= levels <= 32:
         raise ValueError("levels out of range")
 
+    if irreversible and quant_style not in ("expounded", "derived"):
+        raise ValueError(f"unknown quant_style {quant_style!r}")
+    if not 0 <= mantissa <= 0x7FF:
+        raise ValueError("mantissa must fit 11 bits")
+    if eps_shift < 0:
+        raise ValueError("eps_shift must be non-negative")
+
     shifted = arr if signed else arr - (1 << (precision - 1))
-    ll, dwt_bands = _fdwt53(shifted, levels)
     geometry = _band_geometry(w, h, levels)
     guard = 2
 
-    exps = []
-    band_arrays: list[list[np.ndarray]] = [[ll]]
-    exps.append(precision + _GAIN["LL"])
-    for r in range(1, levels + 1):
-        hl, lh, hh = dwt_bands[r - 1]
-        band_arrays.append([hl, lh, hh])
-        for name in ("HL", "LH", "HH"):
-            exps.append(precision + _GAIN[name])
+    exps = []  # per-band ε_b, QCD order (LL, then per-res HL/LH/HH)
+    if irreversible:
+        llf, dwt_bands_f = _fdwt97(shifted, levels)
+        fbands: list[list[np.ndarray]] = [[llf]]
+        names_by_band: list[str] = ["LL"]
+        for r in range(1, levels + 1):
+            fbands.append(list(dwt_bands_f[r - 1]))
+            names_by_band += ["HL", "LH", "HH"]
+        for i, name in enumerate(names_by_band):
+            if quant_style == "derived":
+                # decoder derives ε_b = ε₀ − N_L + n_b from the LL pair
+                # (ε₀ = precision + gain_LL − eps_shift); replicate that
+                # expansion here so both sides quantize identically
+                e0 = precision + _GAIN["LL"] - eps_shift
+                n_b = levels if i == 0 else levels - (i - 1) // 3
+                exps.append(e0 - levels + n_b)
+            else:
+                exps.append(precision + _GAIN[name] - eps_shift)
+        if min(exps) < 1 or max(exps) > 31:
+            raise ValueError(
+                "quantization exponent out of the 5-bit range; reduce "
+                "eps_shift or levels"
+            )
+        band_arrays = []
+        bi_flat = 0
+        for r in range(levels + 1):
+            row = []
+            for fb in fbands[r]:
+                name = names_by_band[bi_flat]
+                r_b = precision + _GAIN[name]
+                delta = (2.0 ** (r_b - exps[bi_flat])) * (
+                    1.0 + mantissa / 2048.0
+                )
+                row.append(
+                    (np.sign(fb) * np.floor(np.abs(fb) / delta)).astype(
+                        np.int64
+                    )
+                )
+                bi_flat += 1
+            band_arrays.append(row)
+    else:
+        ll, dwt_bands = _fdwt53(shifted, levels)
+        band_arrays = [[ll]]
+        exps.append(precision + _GAIN["LL"])
+        for r in range(1, levels + 1):
+            hl, lh, hh = dwt_bands[r - 1]
+            band_arrays.append([hl, lh, hh])
+            for name in ("HL", "LH", "HH"):
+                exps.append(precision + _GAIN[name])
 
     # markers ----------------------------------------------------------
     def seg(marker: int, body: bytes) -> bytes:
@@ -1144,9 +1367,20 @@ def encode_j2k(
     ) + bytes([(precision - 1) | (0x80 if signed else 0), 1, 1])
     cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes([
         0, levels,
-        int(math.log2(cbw)) - 2, int(math.log2(cbh)) - 2, 0, 1,
+        int(math.log2(cbw)) - 2, int(math.log2(cbh)) - 2, 0,
+        0 if irreversible else 1,
     ])
-    qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
+    if not irreversible:
+        qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
+    elif quant_style == "derived":
+        e0 = precision + _GAIN["LL"] - eps_shift  # ε₀ (the LL pair)
+        qcd = bytes([(guard << 5) | 1]) + struct.pack(
+            ">H", (e0 << 11) | mantissa
+        )
+    else:
+        qcd = bytes([(guard << 5) | 2]) + b"".join(
+            struct.pack(">H", (e << 11) | mantissa) for e in exps
+        )
 
     # packets (LRCP, 1 layer) -------------------------------------------
     packets = bytearray()

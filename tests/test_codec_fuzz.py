@@ -177,6 +177,30 @@ def _j2k_bytes() -> bytes:
     )
 
 
+def _j2k_lossy_bytes() -> bytes:
+    import numpy as np
+
+    from open_energy_data_server_spark.sources.j2kcodec import encode_j2k
+
+    rng = np.random.default_rng(29)
+    return encode_j2k(
+        rng.integers(0, 2048, size=(11, 9), dtype=np.int64), 11, 2, (8, 8),
+        irreversible=True, quant_style="expounded", mantissa=300,
+    )
+
+
+def _j2k_lossy_derived_bytes() -> bytes:
+    import numpy as np
+
+    from open_energy_data_server_spark.sources.j2kcodec import encode_j2k
+
+    rng = np.random.default_rng(31)
+    return encode_j2k(
+        rng.integers(0, 2048, size=(9, 13), dtype=np.int64), 11, 2, (8, 8),
+        irreversible=True, quant_style="derived",
+    )
+
+
 def _grib2_spectral_bytes() -> bytes:
     from tests.test_grib2_spectral import make_grib2_spectral
 
@@ -200,6 +224,8 @@ CODECS = {
     "grib2_j2k": (_grib2_j2k_bytes, decode_grib2),
     "grib2_spectral": (_grib2_spectral_bytes, decode_grib2),
     "j2k": (_j2k_bytes, decode_j2k),
+    "j2k_lossy": (_j2k_lossy_bytes, decode_j2k),
+    "j2k_lossy_derived": (_j2k_lossy_derived_bytes, decode_j2k),
     "png": (_png_bytes, decode_png),
     "grib2": (_grib2_bytes, decode_grib2),
     "grib2_aec": (_grib2_aec_bytes, decode_grib2),

@@ -207,12 +207,22 @@ def test_unsupported_profiles_raise():
     a = np.zeros((4, 4), np.int64)
     enc = bytearray(encode_j2k(a, 8, 1, (8, 8)))
     # flip the transform byte (last SPcod octet) to 0 → 9/7 irreversible
+    # with a style-0 (no-quantization) QCD: an inconsistent stream
     cod_at = bytes(enc).find(b"\xff\x52")
     ln = struct.unpack(">H", enc[cod_at + 2 : cod_at + 4])[0]
     bad = bytearray(enc)
     bad[cod_at + 2 + ln - 1] = 0
-    with pytest.raises(ValueError, match="9/7"):
+    with pytest.raises(ValueError, match="scalar quantization"):
         decode_j2k(bytes(bad))
+    # and the reverse mismatch: a lossy stream relabelled reversible
+    lossy = bytearray(
+        encode_j2k(a + 3, 8, 1, (8, 8), irreversible=True)
+    )
+    cod_at = bytes(lossy).find(b"\xff\x52")
+    ln = struct.unpack(">H", lossy[cod_at + 2 : cod_at + 4])[0]
+    lossy[cod_at + 2 + ln - 1] = 1
+    with pytest.raises(ValueError, match="scalar quantization"):
+        decode_j2k(bytes(lossy))
     with pytest.raises(ValueError, match="SOC"):
         decode_j2k(b"\x00\x00" + bytes(enc[2:]))
     with pytest.raises(ValueError, match="truncated|JPEG2000"):
@@ -265,16 +275,44 @@ def test_grib2_jpeg2000_matches_simple_packing():
         )
 
 
-def test_grib2_jpeg2000_lossy_flag_raises():
+def test_grib2_jpeg2000_lossy_decodes():
+    """Template 5.40 compression type 1 (lossy 9/7): values land
+    within the quantization step of the exact scaled integers."""
+    from open_energy_data_server_spark.sources.grib2codec import decode_grib2
+
+    rng = np.random.default_rng(17)
+    ni, nj = 16, 12
+    walk = np.cumsum(rng.integers(-6, 7, size=ni * nj)) + 800
+    xs = np.clip(walk, 0, 2047).astype(np.int64)
+    payload = encode_j2k(
+        xs.reshape(nj, ni), 11, levels=2, cb_size=(64, 64),
+        irreversible=True,
+    )
+    msg = make_grib2(
+        list(xs), ni, nj, nbits=11, drs_template=40,
+        data_override=payload,
+        sec5_extra=bytes([1, 50]),  # lossy compression type + ratio
+        r_ref=100.0, e_scale=0, d_scale=1,
+    )
+    df = decode_grib2(msg)
+    assert len(df) == ni * nj
+    expect = (100.0 + xs.astype(np.float64)) / 10.0
+    # near-lossless config: scaled-integer error ≤ 3 → ≤ 0.3 in units
+    got = np.sort(df["value"].values)
+    np.testing.assert_allclose(got, np.sort(expect), atol=0.3)
+    assert np.abs(got - np.sort(expect)).max() > 0  # genuinely lossy path
+
+
+def test_grib2_jpeg2000_unknown_compression_type_raises():
     from open_energy_data_server_spark.sources.grib2codec import decode_grib2
 
     xs = [1, 2, 3, 4]
     msg = make_grib2(
         xs, ni=2, nj=2, nbits=8, drs_template=40,
         data_override=encode_j2k(np.array(xs, np.int64).reshape(2, 2), 8, 0, (8, 8)),
-        sec5_extra=bytes([1, 50]),  # lossy compression type
+        sec5_extra=bytes([7, 50]),  # compression type 7: not a thing
     )
-    with pytest.raises(ValueError, match="lossy"):
+    with pytest.raises(ValueError, match="compression type"):
         decode_grib2(msg)
 
 
@@ -319,3 +357,165 @@ def test_spark_read_grib_jpeg2000_distributed(spark, tmp_path):
         np.testing.assert_allclose(
             np.sort(by_time[3 + hour]), np.sort(expect)
         )
+
+
+# ------------------------------------------------- 9/7 irreversible path
+
+
+def test_lift97_constant_signal():
+    """CDF 9/7 analysis of a constant: low band carries the constant
+    exactly (after the 1/K normalization), high band vanishes."""
+    from open_energy_data_server_spark.sources.j2kcodec import (
+        _fwd_lift97_axis,
+    )
+
+    f = _fwd_lift97_axis(np.full((1, 16), 7.0))
+    np.testing.assert_allclose(f[..., 0::2], 7.0, atol=1e-12)
+    np.testing.assert_allclose(f[..., 1::2], 0.0, atol=1e-12)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(2, 40),
+    levels=st.integers(0, 3),
+    seed=st.integers(0, 2**31),
+)
+def test_dwt97_roundtrip_property(h, w, levels, seed):
+    from open_energy_data_server_spark.sources.j2kcodec import (
+        _fdwt97,
+        _idwt97,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = rng.normal(scale=200.0, size=(h, w))
+    ll, bands = _fdwt97(a, levels)
+    np.testing.assert_allclose(_idwt97(ll, bands), a, atol=1e-8)
+
+
+@pytest.mark.parametrize("style", ["expounded", "derived"])
+def test_lossy_roundtrip_near_lossless(style):
+    """eps_shift=0 puts every step at Δ_b = 2^gain·(1+μ/2048): the
+    reconstruction error is a few integer steps at most."""
+    rng = np.random.default_rng(3)
+    img = np.clip(
+        np.cumsum(rng.integers(-4, 5, size=(24, 31)), axis=1) + 512,
+        0, 1023,
+    ).astype(np.int64)
+    enc = encode_j2k(
+        img, 10, levels=2, irreversible=True, quant_style=style,
+    )
+    dec = decode_j2k(enc)
+    assert dec.shape == img.shape
+    bound = 3 if style == "expounded" else 6  # derived coarsens per level
+    assert np.abs(dec - img).max() <= bound
+
+
+def test_lossy_quantization_error_scales_with_step():
+    """Coarser steps (eps_shift) shrink the stream and bound the error
+    by the synthesis-propagated step size."""
+    rng = np.random.default_rng(11)
+    img = np.clip(
+        np.cumsum(rng.integers(-4, 5, size=(24, 31)), axis=1) + 512,
+        0, 1023,
+    ).astype(np.int64)
+    sizes, errs = [], []
+    for shift in (0, 2, 4):
+        enc = encode_j2k(
+            img, 10, levels=2, irreversible=True, eps_shift=shift,
+        )
+        sizes.append(len(enc))
+        errs.append(int(np.abs(decode_j2k(enc) - img).max()))
+    assert sizes[0] > sizes[1] > sizes[2]
+    # error grows with Δ = 2^shift but stays within a few steps
+    assert errs[2] <= (1 << 4) * 3
+    assert errs[1] <= (1 << 2) * 3
+    assert errs[0] <= 3
+
+
+def test_lossy_mantissa_step():
+    """A non-zero 11-bit mantissa widens Δ_b by (1 + μ/2048) on both
+    sides identically — the round-trip stays within the same bound."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 4096, size=(17, 13), dtype=np.int64)
+    enc = encode_j2k(
+        img, 12, levels=1, irreversible=True, mantissa=1024,  # Δ ×1.5
+    )
+    dec = decode_j2k(enc)
+    assert np.abs(dec - img).max() <= 5
+
+
+def test_lossy_signed_component():
+    rng = np.random.default_rng(7)
+    img = rng.integers(-500, 500, size=(12, 19), dtype=np.int64)
+    enc = encode_j2k(img, 11, levels=2, signed=True, irreversible=True)
+    dec = decode_j2k(enc)
+    assert np.abs(dec - img).max() <= 3
+
+
+def test_lossy_marker_layout():
+    """COD transform byte 0 and the QCD style bits per Annex A."""
+    img = np.arange(64, dtype=np.int64).reshape(8, 8)
+    for style, want_style, pairs in (
+        ("expounded", 2, 3 * 1 + 1),
+        ("derived", 1, 1),
+    ):
+        enc = encode_j2k(
+            img, 8, levels=1, irreversible=True, quant_style=style,
+        )
+        cod_at = enc.find(b"\xff\x52")
+        ln = struct.unpack(">H", enc[cod_at + 2 : cod_at + 4])[0]
+        assert enc[cod_at + 2 + ln - 1] == 0  # 9/7 transform
+        qcd_at = enc.find(b"\xff\x5c")
+        qln = struct.unpack(">H", enc[qcd_at + 2 : qcd_at + 4])[0]
+        sqcd = enc[qcd_at + 4]
+        assert sqcd & 0x1F == want_style
+        assert qln - 2 - 1 == 2 * pairs  # 16-bit ε/μ entries
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    levels=st.integers(0, 2),
+    prec=st.integers(4, 14),
+    seed=st.integers(0, 2**31),
+)
+def test_lossy_roundtrip_property(h, w, levels, prec, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 1 << prec, size=(h, w), dtype=np.int64)
+    enc = encode_j2k(
+        img, prec, levels=levels, cb_size=(32, 32), irreversible=True,
+    )
+    dec = decode_j2k(enc)
+    assert dec.shape == img.shape
+    assert np.abs(dec - img).max() <= 4
+
+
+def test_spark_read_grib_jpeg2000_lossy_distributed(spark, tmp_path):
+    """Template 5.40 compression type 1 (lossy 9/7) through
+    read_grib's distributed path: values within the documented
+    near-lossless tolerance of the exact field."""
+    from open_energy_data_server_spark.sources.grib import read_grib
+
+    rng = np.random.default_rng(41)
+    ni, nj = 14, 10
+    d = tmp_path / "j2k_lossy"
+    d.mkdir()
+    xs = np.clip(
+        np.cumsum(rng.integers(-5, 6, size=ni * nj)) + 1000, 0, 2047
+    ).astype(np.int64)
+    payload = encode_j2k(
+        xs.reshape(nj, ni), 11, levels=2, cb_size=(64, 64),
+        irreversible=True,
+    )
+    msg = make_grib2(
+        list(xs), ni, nj, nbits=11, drs_template=40,
+        data_override=payload, sec5_extra=bytes([1, 40]),
+        r_ref=0.0, e_scale=0, d_scale=0,
+    )
+    (d / "lossy.grib2").write_bytes(msg)
+    rows = read_grib(spark, str(d / "*.grib2")).collect()
+    assert len(rows) == ni * nj
+    got = np.sort(np.array([r.value for r in rows]))
+    np.testing.assert_allclose(got, np.sort(xs.astype(np.float64)), atol=3)
