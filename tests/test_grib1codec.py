@@ -408,3 +408,49 @@ def test_grib1_second_order_unsupported_variants_raise():
     body_r = make_so_bds([0, 1, 2], [1, 2, 3, 4], [0, 0, 1, 2])
     with pytest.raises(ValueError, match="P1"):
         decode_grib2(make_grib1([], ni=2, nj=2, bds_body_override=body_r))
+
+
+def test_grib1_general_extended_injection_example(spark, tmp_path):
+    """The general-extended second-order variant (extended flag 0x10,
+    the gribex/ECMWF layout with group-width/length tables and
+    spatial differencing) stays at the documented injection seam: the
+    pure decoder refuses it LOUDLY, and the same file decodes through
+    ``read_grib(..., decoder=...)`` with a pygrib/cfgrib-style adapter
+    — the exact wiring an operator would use
+    (``sources/grib.py`` module docstring). The fake below stands in
+    for ``pygrib.open(...)``/``cfgrib`` since native GRIB libs are
+    not in this container; its output contract (long frame of
+    time/lat/lon/variable/value) is the real adapter contract."""
+    import pandas as pd
+
+    from open_energy_data_server_spark.sources.grib import read_grib
+
+    body = make_so_bds([0], [1, 2, 3, 4], [0] * 4, ext_extra=0x10)
+    msg = make_grib1([], ni=2, nj=2, bds_body_override=body)
+    d = tmp_path / "gx"
+    d.mkdir()
+    (d / "genext.grib").write_bytes(msg)
+
+    # pure path: loud, cause-naming refusal (not a wrong decode)
+    with pytest.raises(Exception, match="general extended"):
+        read_grib(spark, str(d / "*.grib")).collect()
+
+    # injected adapter: what `lambda raw: pygrib_frame(raw)` would
+    # return for this 2x2 field
+    expect = np.array([11.0, 12.0, 13.0, 14.0])
+
+    def pygrib_like(raw: bytes) -> pd.DataFrame:
+        assert raw[:4] == b"GRIB" and raw[7] == 1  # edition-1 message
+        return pd.DataFrame(
+            {
+                "time": [pd.Timestamp("2020-07-01 03:00")] * 4,
+                "latitude": [50.0, 50.0, 49.0, 49.0],
+                "longitude": [6.0, 7.0, 6.0, 7.0],
+                "variable": ["temp_air"] * 4,
+                "value": expect,
+            }
+        )
+
+    rows = read_grib(spark, str(d / "*.grib"), decoder=pygrib_like).collect()
+    assert sorted(r.value for r in rows) == expect.tolist()
+    assert all(r.variable == "temp_air" for r in rows)
