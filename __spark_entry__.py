@@ -29,6 +29,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registering them (the tool folds them in on the next rotation) —
 # or rerun the tool immediately if they must be checked this round.
 _DRIVER_PRIORITY = [
+    # never driver-checked (no CORRECTNESS_r* row)
+    "q_stream_dedup_batch_twin",
+    "q_small_quantity_revenue",
+    "q_last_shipper",
+    "q_order_count_distribution",
+    "q_top_revenue_suppliers",
+    "q_idle_rich_customers",
     # checked names, stalest latest-green first (as of r08)
     "q_running_sum",  # r4
     "q_snapshot_at_latest",  # r4

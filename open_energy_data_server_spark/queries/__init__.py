@@ -63,6 +63,8 @@ def _load_all() -> None:
         round8f,
         round8g,
         round8h,
+        round9,
+        round9b,
         scalars,
         search_rank,
         windows,

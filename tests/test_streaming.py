@@ -676,3 +676,276 @@ def test_stream_interval_coalescer_checkpoint_restart(spark, tmp_path):
         ] == [(1, "2024-01-01 00:00:00", "2024-01-01 00:45:00", 2, "new_window")]
     finally:
         q.stop()
+
+
+DOC_DDL = "doc_id string, ts timestamp, text string"
+
+
+def _doc(doc_id, minute, text):
+    return (doc_id, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute), text)
+
+
+_LOREM = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill with great interest today"
+)
+
+
+def test_stream_minhash_dedup_and_eviction(spark, tmp_path):
+    """Streaming minhash dedup: an identical re-delivery inside the
+    watermark horizon is dropped; beyond the horizon the signature
+    state has been EVICTED and the same content passes again —
+    bounded state, the property plain dropDuplicates cannot give."""
+    from open_energy_data_server_spark.streaming.dedup import stream_minhash_dedup
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [
+            _doc("a1", 0, _LOREM),
+            _doc("a2", 1, _LOREM),  # verbatim duplicate, in horizon
+            _doc("b1", 2, "completely different short corpus of words here"),
+        ],
+        DOC_DDL,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOC_DDL).parquet(src)
+    out = stream_minhash_dedup(stream, "text", "ts", watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mh_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM mh_dedup_out").collect()}
+        assert ids == {"a1", "b1"}
+
+        # advance the watermark far past the horizon, then re-deliver
+        spark.createDataFrame(
+            [_doc("wm", 300, "watermark mover event text")], DOC_DDL
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [_doc("a3", 301, _LOREM)], DOC_DDL
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM mh_dedup_out").collect()}
+        assert "a3" in ids  # state evicted → old content admissible again
+    finally:
+        q.stop()
+
+
+def test_stream_minhash_signature_matches_batch(spark):
+    """A document's streaming signature IS its batch signature (same
+    base hash, same affine maps) — the two pipelines agree on what a
+    near-dup is."""
+    from open_energy_data_server_spark.operators.dedup_text import minhash_wide
+    from open_energy_data_server_spark.streaming.dedup import (
+        _minhash_sig_col,
+        _with_minhash,
+    )
+
+    df = spark.createDataFrame(
+        [_doc("d1", 0, _LOREM), _doc("d2", 1, "tiny")], DOC_DDL
+    )
+    got = {
+        r.doc_id: r.sig
+        for r in _with_minhash(df, "text", 16, 3)
+        .withColumn("sig", _minhash_sig_col("text", 16))
+        .select("doc_id", "sig")
+        .collect()
+    }
+    wide = minhash_wide(df, "doc_id", "text", 16).collect()
+    batch_sig = {
+        r.doc: ",".join(str(r[f"mh{i}"]) for i in range(16)) for r in wide
+    }
+    assert got["d1"] == batch_sig["d1"]
+    assert got["d2"].startswith("raw:")  # <3 tokens: content-hash fallback
+    assert "d2" not in batch_sig  # batch path drops unshingleable docs
+
+
+def test_stream_content_dedup_exact(spark, tmp_path):
+    from open_energy_data_server_spark.streaming.dedup import stream_content_dedup
+
+    src = str(tmp_path / "cd_src")
+    spark.createDataFrame(
+        [
+            _doc("x1", 0, "Same   Text"),
+            _doc("x2", 1, "same text"),  # normalized-equal → dropped
+            _doc("y1", 2, "other text"),
+        ],
+        DOC_DDL,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOC_DDL).parquet(src)
+    q = (
+        stream_content_dedup(stream, "text", "ts", "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cd_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM cd_out").collect()}
+        assert ids == {"x1", "y1"}
+    finally:
+        q.stop()
+
+
+def test_stream_lsh_candidates_and_owner_eviction(spark, tmp_path):
+    """Band-bucket owners emit candidates for later near-dup arrivals
+    (≥1 shared band), unrelated docs emit nothing, and owners age out
+    by event-time timeout — a beyond-horizon re-arrival becomes the
+    new owner instead of emitting against a stale one."""
+    from open_energy_data_server_spark.streaming.dedup import stream_lsh_candidates
+
+    src = str(tmp_path / "lsh_src")
+    near = _LOREM.replace("today", "tonight")  # one token changed
+    spark.createDataFrame(
+        [_doc("own", 0, _LOREM), _doc("dup", 1, near)],
+        DOC_DDL,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOC_DDL).parquet(src)
+    out = stream_lsh_candidates(
+        stream, "doc_id", "text", "ts", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM lsh_out").collect()
+        assert rows, "near-dup shares no band with its template"
+        assert {(r.doc, r.owner_doc) for r in rows} == {("dup", "own")}
+        n_bands_hit = len({r.band for r in rows})
+        assert 1 <= n_bands_hit <= 8
+
+        # unrelated doc: no candidates
+        spark.createDataFrame(
+            [_doc("solo", 2, "entirely unrelated words about marine biology")],
+            DOC_DDL,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert {
+            (r.doc, r.owner_doc)
+            for r in spark.sql("SELECT * FROM lsh_out").collect()
+        } == {("dup", "own")}
+
+        # advance the watermark far past the horizon (owner evicted),
+        # then replay the template: it becomes the new owner silently
+        spark.createDataFrame(
+            [_doc("wm", 300, "watermark mover for the lsh stream")], DOC_DDL
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [_doc("own2", 301, _LOREM)], DOC_DDL
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        cands = {
+            (r.doc, r.owner_doc)
+            for r in spark.sql("SELECT * FROM lsh_out").collect()
+        }
+        assert ("own2", "own") not in cands  # stale owner was evicted
+        # and a fresh near-dup pairs against the NEW owner
+        spark.createDataFrame(
+            [_doc("dup2", 302, near)], DOC_DDL
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        cands = {
+            (r.doc, r.owner_doc)
+            for r in spark.sql("SELECT * FROM lsh_out").collect()
+        }
+        assert ("dup2", "own2") in cands
+    finally:
+        q.stop()
+
+
+def test_stream_minhash_dedup_checkpoint_restart(spark, tmp_path):
+    """Crash-replay: signature state survives a checkpoint restart —
+    a duplicate delivered AFTER the restart is still dropped (file
+    sink; the memory sink cannot recover)."""
+    from open_energy_data_server_spark.streaming.dedup import stream_minhash_dedup
+
+    src = str(tmp_path / "mh_src2")
+    ckpt = str(tmp_path / "mh_ckpt")
+    out_dir = str(tmp_path / "mh_out")
+
+    def start():
+        stream = spark.readStream.schema(DOC_DDL).parquet(src)
+        return (
+            stream_minhash_dedup(stream, "text", "ts", watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    spark.createDataFrame([_doc("a1", 0, _LOREM)], DOC_DDL).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # crash point: a1's signature is in state
+
+    spark.createDataFrame(
+        [_doc("a2", 1, _LOREM), _doc("b1", 2, "fresh content after restart")],
+        DOC_DDL,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+        ids = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+        assert ids == ["a1", "b1"]  # a2 deduped against recovered state
+    finally:
+        q.stop()
+
+
+def test_stream_lsh_candidates_checkpoint_restart(spark, tmp_path):
+    """Crash-replay: bucket-owner state survives a restart — a
+    near-dup delivered after the crash still pairs against the
+    pre-crash owner."""
+    from open_energy_data_server_spark.streaming.dedup import stream_lsh_candidates
+
+    src = str(tmp_path / "lsh_src2")
+    ckpt = str(tmp_path / "lsh_ckpt")
+    out_dir = str(tmp_path / "lsh_out2")
+    near = _LOREM.replace("today", "tonight")
+
+    def start():
+        stream = spark.readStream.schema(DOC_DDL).parquet(src)
+        return (
+            stream_lsh_candidates(
+                stream, "doc_id", "text", "ts", watermark="10 minutes"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    spark.createDataFrame([_doc("own", 0, _LOREM)], DOC_DDL).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # crash point: 'own' holds all its band buckets
+
+    spark.createDataFrame([_doc("dup", 1, near)], DOC_DDL).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+        rows = spark.read.parquet(out_dir).collect()
+        assert rows and {(r.doc, r.owner_doc) for r in rows} == {("dup", "own")}
+    finally:
+        q.stop()
