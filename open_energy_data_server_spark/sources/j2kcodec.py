@@ -15,8 +15,10 @@ encoders actually emit:
   (lossy — octet 22 type 1) with Annex-E scalar quantization in
   either the derived or the expounded QCD form (midpoint
   reconstruction, r = 0.5),
-- one quality layer, LRCP/RLCP progression, default precincts
-  (one per resolution), no SOP/EPH markers,
+- any number of quality layers (per-code-block pass sequences split
+  across packets; incremental tag-tree inclusion), LRCP/RLCP
+  progression, default precincts (one per resolution), no SOP/EPH
+  markers,
 - default code-block style (no bypass / reset / termall /
   vertical-causal / segmentation symbols).
 
@@ -576,9 +578,13 @@ def _t1_decode(
 
 
 def _t1_encode(coeffs: np.ndarray, band: str, numbps: int):
-    """Encode one code-block; → (bytes, npasses, msb_planes_used) or
-    None when all coefficients are zero. All passes go into one
-    layer/segment (single MQ termination)."""
+    """Encode one code-block; → (bytes, npasses, msb_planes_used,
+    rates) or None when all coefficients are zero. All passes form one
+    MQ codeword (single termination); ``rates[p]`` is a safe stream
+    length through which passes 0..p decode correctly (position after
+    the pass plus the MQ register's maximum pending bytes — the
+    standard truncation-point estimate), so a multi-layer caller can
+    slice the codeword into per-layer segments at pass boundaries."""
     h, w = coeffs.shape
     absmag = np.abs(coeffs)
     maxmag = int(absmag.max(initial=0))
@@ -665,14 +671,22 @@ def _t1_encode(coeffs: np.ndarray, band: str, numbps: int):
     npasses = 3 * used - 2
     plane = used - 1
     kind = 2
+    rates: list[int] = []
     for _ in range(npasses):
         (spp, mrp, cln)[kind](plane)
+        # position after this pass + max pending register bytes (the
+        # C register flushes ≤ 2 byteouts of ≤ 2 bytes each at
+        # termination) — a safe prefix length for passes so far
+        rates.append(len(mq.buf) - 1 + 6)
         if kind == 2:
             plane -= 1
             kind = 0
         else:
             kind += 1
-    return mq.flush(), npasses, used
+    data = mq.flush()
+    rates = [min(r, len(data)) for r in rates]
+    rates[-1] = len(data)
+    return data, npasses, used, rates
 
 
 # ---------------------------------------------------------------------------
@@ -1269,10 +1283,13 @@ def encode_j2k(
     quant_style: str = "expounded",
     eps_shift: int = 0,
     mantissa: int = 0,
+    layers: int = 1,
+    progression: str = "lrcp",
 ) -> bytes:
     """Encode (h, w) integers as a JPEG 2000 codestream in the
-    decoder's profile (tests only — no rate control, every coding
-    pass in the single layer).
+    decoder's profile (tests only — no rate control; every coding
+    pass ships, split across ``layers`` quality layers at pass
+    boundaries, in ``progression`` order ("lrcp" or "rlcp")).
 
     ``irreversible=True`` selects the 9/7 float transform with Annex-E
     scalar quantization: ``quant_style`` picks the QCD form
@@ -1303,6 +1320,10 @@ def encode_j2k(
         raise ValueError("mantissa must fit 11 bits")
     if eps_shift < 0:
         raise ValueError("eps_shift must be non-negative")
+    if not 1 <= layers <= 64:
+        raise ValueError("layers out of range [1, 64]")
+    if progression not in ("lrcp", "rlcp"):
+        raise ValueError(f"unknown progression {progression!r}")
 
     shifted = arr if signed else arr - (1 << (precision - 1))
     geometry = _band_geometry(w, h, levels)
@@ -1365,7 +1386,9 @@ def encode_j2k(
     siz = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1
     ) + bytes([(precision - 1) | (0x80 if signed else 0), 1, 1])
-    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes([
+    cod = bytes([0, 0 if progression == "lrcp" else 1]) + struct.pack(
+        ">H", layers
+    ) + bytes([
         0, levels,
         int(math.log2(cbw)) - 2, int(math.log2(cbh)) - 2, 0,
         0 if irreversible else 1,
@@ -1382,63 +1405,117 @@ def encode_j2k(
             struct.pack(">H", (e << 11) | mantissa) for e in exps
         )
 
-    # packets (LRCP, 1 layer) -------------------------------------------
-    packets = bytearray()
+    # packets -----------------------------------------------------------
+    # T1-encode every code block ONCE; its single MQ codeword is
+    # sliced into per-layer segments at pass boundaries (the decoder
+    # concatenates a block's segments before decoding, so the slice
+    # positions only choose how many passes ship per layer — the
+    # rate-estimate boundaries from _t1_encode are the realistic ones)
+    res_bands = []
     for r, bands in enumerate(geometry):
-        wr = _HeaderBitWriter()
-        bodies = bytearray()
-        encoded = []
-        any_contrib = False
+        blist = []
         for bi, (name, bw, bh) in enumerate(bands):
             gx, gy = _cb_grid(bw, bh, cbw, cbh)
             arr_b = band_arrays[r][bi]
             mb = guard + exps[0 if r == 0 else 1 + 3 * (r - 1) + bi] - 1
             results = np.empty((gy, gx), object)
-            incl_vals = np.full((max(gy, 1), max(gx, 1)), 1, np.int32)
+            # inclusion tag-tree value = first contributing layer
+            # (``layers`` = never contributes, beyond every threshold)
+            incl_vals = np.full((max(gy, 1), max(gx, 1)), layers, np.int32)
             zbp_vals = np.zeros((max(gy, 1), max(gx, 1)), np.int32)
             for gyi in range(gy):
                 for gxi in range(gx):
                     x0, y0 = gxi * cbw, gyi * cbh
                     blk = arr_b[y0 : min(y0 + cbh, bh), x0 : min(x0 + cbw, bw)]
                     res = _t1_encode(blk, name, mb)
-                    results[gyi, gxi] = res
-                    if res is not None:
-                        incl_vals[gyi, gxi] = 0
-                        zbp_vals[gyi, gxi] = mb - res[2]
-                        any_contrib = True
+                    if res is None:
+                        continue
+                    data, npasses, used, rates = res
+                    cums = [
+                        min(int(round(npasses * (j + 1) / layers)), npasses)
+                        for j in range(layers)
+                    ]
+                    cums[-1] = npasses
+                    segs: list[tuple[int, bytes]] = []
+                    prev_c = prev_pos = 0
+                    first_layer = None
+                    for j, cj in enumerate(cums):
+                        np_new = cj - prev_c
+                        pos = max(rates[cj - 1] if cj else 0, prev_pos)
+                        segs.append((np_new, data[prev_pos:pos]))
+                        if np_new and first_layer is None:
+                            first_layer = j
+                        prev_c, prev_pos = cj, pos
+                    incl_vals[gyi, gxi] = first_layer
+                    zbp_vals[gyi, gxi] = mb - used
+                    results[gyi, gxi] = segs
             incl = _TagTree(max(gx, 1), max(gy, 1))
             imsb = _TagTree(max(gx, 1), max(gy, 1))
             incl.set_values(incl_vals)
             imsb.set_values(zbp_vals)
-            encoded.append((name, bw, bh, gx, gy, results, incl, imsb))
+            blist.append({
+                "bw": bw, "bh": bh, "gx": gx, "gy": gy,
+                "results": results, "incl": incl, "imsb": imsb,
+                "lblocks": np.full((max(gy, 1), max(gx, 1)), 3, np.int32),
+                "included": np.zeros((max(gy, 1), max(gx, 1)), bool),
+            })
+        res_bands.append(blist)
+
+    if progression == "lrcp":
+        order = [(l, r) for l in range(layers) for r in range(levels + 1)]
+    else:  # rlcp
+        order = [(l, r) for r in range(levels + 1) for l in range(layers)]
+    packets = bytearray()
+    for l, r in order:
+        blist = res_bands[r]
+        any_contrib = any(
+            band["results"][gyi, gxi] is not None
+            and band["results"][gyi, gxi][l][0] > 0
+            for band in blist
+            for gyi in range(band["gy"])
+            for gxi in range(band["gx"])
+        )
+        wr = _HeaderBitWriter()
         if not any_contrib:
+            # empty packet: single 0 bit, tag-tree state untouched
+            # (the decoder skips all signaling for it)
             wr.bit(0)
             packets += wr.tobytes()
             continue
         wr.bit(1)
-        for name, bw, bh, gx, gy, results, incl, imsb in encoded:
-            if bw == 0 or bh == 0:
+        bodies = bytearray()
+        for band in blist:
+            if band["bw"] == 0 or band["bh"] == 0:
                 continue
-            for gyi in range(gy):
-                for gxi in range(gx):
-                    incl.encode(gxi, gyi, 1, wr)
-                    res = results[gyi, gxi]
-                    if res is None:
-                        continue
-                    data, npasses, _used = res
-                    # resolve the zero-bit-plane count fully (the huge
-                    # threshold stops at the leaf value, openjpeg-style)
-                    imsb.encode(gxi, gyi, 1 << 20, wr)
-                    _write_npasses(wr, npasses)
-                    lblock = 3
-                    nbits = lblock + int(math.floor(math.log2(npasses)))
-                    while len(data) >= (1 << nbits):
+            for gyi in range(band["gy"]):
+                for gxi in range(band["gx"]):
+                    res = band["results"][gyi, gxi]
+                    if band["included"][gyi, gxi]:
+                        np_new, segbytes = res[l]
+                        wr.bit(1 if np_new else 0)
+                        if not np_new:
+                            continue
+                    else:
+                        band["incl"].encode(gxi, gyi, l + 1, wr)
+                        if res is None or res[l][0] == 0:
+                            continue  # not included by this layer
+                        band["included"][gyi, gxi] = True
+                        # resolve the zero-bit-plane count fully (the
+                        # huge threshold stops at the leaf value,
+                        # openjpeg-style)
+                        band["imsb"].encode(gxi, gyi, 1 << 20, wr)
+                        np_new, segbytes = res[l]
+                    _write_npasses(wr, np_new)
+                    nbits = int(band["lblocks"][gyi, gxi]) + int(
+                        math.floor(math.log2(np_new))
+                    )
+                    while len(segbytes) >= (1 << nbits):
                         wr.bit(1)
-                        lblock += 1
+                        band["lblocks"][gyi, gxi] += 1
                         nbits += 1
                     wr.bit(0)
-                    wr.bits(len(data), nbits)
-                    bodies += data
+                    wr.bits(len(segbytes), nbits)
+                    bodies += segbytes
         packets += wr.tobytes() + bodies
 
     sot_body = struct.pack(">HIBB", 0, 0, 0, 1)  # Psot patched below

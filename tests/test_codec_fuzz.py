@@ -201,6 +201,18 @@ def _j2k_lossy_derived_bytes() -> bytes:
     )
 
 
+def _j2k_multilayer_bytes() -> bytes:
+    import numpy as np
+
+    from open_energy_data_server_spark.sources.j2kcodec import encode_j2k
+
+    rng = np.random.default_rng(37)
+    return encode_j2k(
+        rng.integers(0, 1024, size=(13, 10), dtype=np.int64), 10, 2, (8, 8),
+        layers=3, progression="rlcp",
+    )
+
+
 def _grib2_spectral_bytes() -> bytes:
     from tests.test_grib2_spectral import make_grib2_spectral
 
@@ -225,6 +237,7 @@ CODECS = {
     "grib2_spectral": (_grib2_spectral_bytes, decode_grib2),
     "j2k": (_j2k_bytes, decode_j2k),
     "j2k_lossy": (_j2k_lossy_bytes, decode_j2k),
+    "j2k_multilayer": (_j2k_multilayer_bytes, decode_j2k),
     "j2k_lossy_derived": (_j2k_lossy_derived_bytes, decode_j2k),
     "png": (_png_bytes, decode_png),
     "grib2": (_grib2_bytes, decode_grib2),

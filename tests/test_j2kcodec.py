@@ -519,3 +519,61 @@ def test_spark_read_grib_jpeg2000_lossy_distributed(spark, tmp_path):
     assert len(rows) == ni * nj
     got = np.sort(np.array([r.value for r in rows]))
     np.testing.assert_allclose(got, np.sort(xs.astype(np.float64)), atol=3)
+
+
+# ----------------------------------------------- multi-layer codestreams
+
+
+@pytest.mark.parametrize("layers", [2, 3, 5])
+@pytest.mark.parametrize("prog", ["lrcp", "rlcp"])
+def test_multilayer_lossless_roundtrip(layers, prog):
+    """Quality layers split each code-block's pass sequence across
+    packets — the decoder's incremental-inclusion, per-layer npasses
+    and lblock-growth paths (untested before the encoder could emit
+    layers). Reassembly must be bit-exact."""
+    rng = np.random.default_rng(layers * 7 + (prog == "rlcp"))
+    img = rng.integers(0, 4096, size=(33, 27), dtype=np.int64)
+    enc = encode_j2k(
+        img, 12, levels=2, cb_size=(16, 16), layers=layers, progression=prog
+    )
+    assert np.array_equal(decode_j2k(enc), img)
+
+
+def test_multilayer_deferred_inclusion():
+    """A code block with a single coding pass lands in a LATE layer
+    (prefix split gives early layers zero passes): the inclusion tag
+    tree must defer across packets and resolve at the right layer."""
+    img = np.zeros((20, 20), np.int64)
+    img[17, 3] = 1  # one nonzero in the last code-block row
+    enc = encode_j2k(img, 8, levels=1, cb_size=(8, 8), layers=4)
+    assert np.array_equal(decode_j2k(enc), img)
+
+
+def test_multilayer_lossy_roundtrip():
+    rng = np.random.default_rng(13)
+    img = np.clip(
+        np.cumsum(rng.integers(-4, 5, size=(24, 31)), axis=1) + 512,
+        0, 1023,
+    ).astype(np.int64)
+    for layers in (2, 4):
+        enc = encode_j2k(
+            img, 10, levels=2, irreversible=True, layers=layers,
+        )
+        assert np.abs(decode_j2k(enc) - img).max() <= 3
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    levels=st.integers(0, 2),
+    layers=st.integers(1, 6),
+    seed=st.integers(0, 2**31),
+)
+def test_multilayer_roundtrip_property(h, w, levels, layers, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 1 << 10, size=(h, w), dtype=np.int64)
+    enc = encode_j2k(
+        img, 10, levels=levels, cb_size=(8, 8), layers=layers,
+    )
+    assert np.array_equal(decode_j2k(enc), img)
