@@ -74,6 +74,10 @@ NLJ_ALLOWED = {
     "q_autocorr_lag",
     # three 1-row count aggregates combined into the single output row
     "q_triangle_count",
+    # 1-row global-average broadcast gating the anti-join (the Q22
+    # uncorrelated scalar-subquery shape; round9b docstring) — the
+    # nested-loop side is a single row by construction
+    "q_idle_rich_customers",
 }
 
 
