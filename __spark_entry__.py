@@ -36,6 +36,8 @@ _DRIVER_PRIORITY = [
     "q_order_count_distribution",
     "q_top_revenue_suppliers",
     "q_idle_rich_customers",
+    "q_recursive_soc",
+    "q_lateral_topk",
     # checked names, stalest latest-green first (as of r08)
     "q_running_sum",  # r4
     "q_snapshot_at_latest",  # r4

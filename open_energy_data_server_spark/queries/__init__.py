@@ -65,6 +65,7 @@ def _load_all() -> None:
         round8h,
         round9,
         round9b,
+        round9c,
         scalars,
         search_rank,
         windows,
