@@ -91,39 +91,50 @@ def _minhash_sig_col(text_col: str, k: int) -> Column:
 
 
 def stream_content_dedup(
-    df: DataFrame, text_col: str, ts_col: str, watermark: str = "10 minutes"
+    df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Exact streaming dedup: first document per normalized-content
     fingerprint within the watermark horizon passes, re-deliveries and
     verbatim copies are dropped; fingerprint state is evicted as the
-    watermark advances (bounded by horizon × ingest rate)."""
-    return (
-        df.withColumn("content_fp", fingerprint_normalized(text_col))
-        .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["content_fp"])
-    )
+    watermark advances (bounded by horizon × ingest rate).
+
+    ``watermark=None`` reuses the watermark already defined upstream —
+    required when CHAINING stateful operators in one query (Spark
+    disallows redefining the watermark mid-plan)."""
+    out = df.withColumn("content_fp", fingerprint_normalized(text_col))
+    if watermark is not None:
+        out = out.withWatermark(ts_col, watermark)
+    return out.dropDuplicatesWithinWatermark(["content_fp"])
 
 
 def stream_minhash_dedup(
     df: DataFrame,
     text_col: str,
     ts_col: str,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     k: int = 16,
     n: int = 3,
 ) -> DataFrame:
     """Near-exact streaming dedup: drop documents whose FULL k-minhash
     signature was already seen within the watermark horizon (jaccard
     ≈ 1 templates/boilerplate — the highest-volume near-dup class).
-    The signature is the batch pipeline's, computed per-row."""
+    The signature is the batch pipeline's, computed per-row.
+
+    ``watermark=None`` reuses the upstream watermark (for chaining
+    stateful operators — e.g. content dedup → minhash dedup — in one
+    query; Spark disallows redefining the watermark mid-plan)."""
     cols = df.columns
-    return (
+    out = (
         _with_minhash(df, text_col, k, n)
         .withColumn("minhash_sig", _minhash_sig_col(text_col, k))
         .select(*cols, "minhash_sig")
-        .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["minhash_sig"])
     )
+    if watermark is not None:
+        out = out.withWatermark(ts_col, watermark)
+    return out.dropDuplicatesWithinWatermark(["minhash_sig"])
 
 
 LSH_OUTPUT = "doc string, ts timestamp, band int, owner_doc string"

@@ -1072,3 +1072,50 @@ def test_stream_ewma_anomaly_tws_requires_protobuf(spark):
     else:
         with pytest.raises(ImportError, match="protobuf"):
             stream_ewma_anomaly_tws(stream)
+
+
+def test_stream_curation_pipeline_chained_stateful(spark, tmp_path):
+    """The streaming curation composition: quality gate → exact
+    content dedup → minhash near-dup dedup as ONE query — two
+    dropDuplicatesWithinWatermark operators CHAINED behind a filter
+    (Spark 4 multi-stateful-operator support in append mode). A short
+    junk doc is gated out, a verbatim re-delivery dies at the content
+    stage, a whitespace-variant copy dies at the content stage too
+    (normalized fingerprint), and a one-token-different near-dup that
+    shares the full signature... passes minhash only if its signature
+    differs — asserted both ways."""
+    from open_energy_data_server_spark.streaming.dedup import (
+        stream_content_dedup,
+        stream_minhash_dedup,
+    )
+
+    src = str(tmp_path / "cur_src")
+    spark.createDataFrame(
+        [
+            _doc("keep", 0, _LOREM),
+            _doc("junk", 1, "too short"),  # gated: < 5 tokens
+            _doc("copy", 2, _LOREM),  # exact dup → content stage
+            _doc("wsvar", 3, _LOREM.replace(" ", "   ")),  # normalized dup
+            _doc("other", 4, "a completely different longer document "
+                             "about something else entirely here"),
+        ],
+        DOC_DDL,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(DOC_DDL).parquet(src)
+    gated = stream.filter(F.size(F.split(F.col("text"), r"\s+")) >= 5)
+    deduped = stream_content_dedup(gated, "text", "ts", "10 minutes")
+    curated = stream_minhash_dedup(
+        deduped.drop("content_fp"), "text", "ts", watermark=None
+    )
+    q = (
+        curated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM curated_out").collect()}
+        assert ids == {"keep", "other"}
+    finally:
+        q.stop()
