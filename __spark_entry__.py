@@ -38,6 +38,7 @@ _DRIVER_PRIORITY = [
     "q_idle_rich_customers",
     "q_recursive_soc",
     "q_lateral_topk",
+    "q_ewma_anomaly_rcte",
     # checked names, stalest latest-green first (as of r08)
     "q_running_sum",  # r4
     "q_snapshot_at_latest",  # r4

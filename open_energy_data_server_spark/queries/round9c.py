@@ -93,3 +93,49 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+_ANOM_STEPS = 40
+_ANOM_SQL = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS step
+  FROM events
+),
+bounded AS (SELECT * FROM seq WHERE step <= {_ANOM_STEPS}),
+st(user_id, step, n, ewma, ewvar, z, is_anomaly) AS (
+  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE), FALSE
+  FROM (SELECT DISTINCT user_id FROM bounded) u
+  UNION ALL
+  SELECT b.user_id, CAST(s.step + 1 AS INT), s.n + 1,
+         s.ewma + 0.125 * (b.value - s.ewma),
+         (1.0 - 0.125)
+           * (s.ewvar + 0.125 * (b.value - s.ewma) * (b.value - s.ewma)),
+         CASE WHEN s.n >= 8 AND s.ewvar > 0
+              THEN (b.value - s.ewma) / SQRT(s.ewvar) END,
+         CASE WHEN s.n >= 8 AND s.ewvar > 0
+              THEN ABS((b.value - s.ewma) / SQRT(s.ewvar)) > 3.0
+              ELSE FALSE END
+  FROM st s JOIN bounded b ON b.user_id = s.user_id AND b.step = s.step + 1
+)
+SELECT user_id, CAST(step AS BIGINT) AS step, ewma, ewvar, z, is_anomaly
+FROM st WHERE step > 0
+"""
+
+
+@query("q_ewma_anomaly_rcte", oracle=_ANOM_SQL)
+def q_ewma_anomaly_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.anomaly.stream_ewma_anomaly`` via
+    ``WITH RECURSIVE``: the exact EWMA/EW-variance recurrence
+    (α = 0.125, warmup 8, |z| > 3) over each user's first
+    {_ANOM_STEPS} events — each point scored against the state built
+    from its PAST, then absorbed, exactly like the streaming fold
+    (tests pin the two implementations row-for-row). Like
+    q_recursive_soc this is a non-associative per-row fold no window
+    frame expresses; the identical statement is the DuckDB oracle, so
+    the streaming operator's arithmetic sits under the full hash
+    gate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ANOM_SQL)
