@@ -9,7 +9,8 @@ eccodes/openjpeg binding (/root/reference/crawler/ecmwf.py:135-141);
 this module removes that native dependency for the profile those
 encoders actually emit:
 
-- single tile at the image origin, single component,
+- single component; single- OR multi-tile grids anchored at the
+  origin (one or more SOT tile-parts per tile, tpsot-ordered),
 - reversible 5/3 wavelet (lossless — GRIB2 octet 22 compression
   type 0) with no quantization, OR the irreversible 9/7 wavelet
   (lossy — octet 22 type 1) with Annex-E scalar quantization in
@@ -23,7 +24,9 @@ encoders actually emit:
   vertical-causal / segmentation symbols).
 
 Anything outside that profile raises ValueError — the ``decoder=``
-injection seam of sources.grib stays available for exotic streams.
+injection seam of sources.grib stays available for exotic streams
+(POC progression changes, per-component COC/QCC overrides, precincts,
+SOP/EPH, subsampling, multi-component).
 
 Format knowledge is the public ISO/IEC 15444-1 specification
 (ITU-T T.800): Annex A markers, Annex B codestream/packet-header
@@ -973,8 +976,7 @@ def decode_j2k(raw: bytes) -> np.ndarray:
     exps: list[int] = []
     quant_pairs: list[tuple[int, int]] | None = None
     quant_derived = False
-    sot_at = None
-    psot = None
+    tile_w = tile_h = None
 
     while True:
         if pos + 2 > len(raw):
@@ -982,21 +984,7 @@ def decode_j2k(raw: bytes) -> np.ndarray:
         marker = struct.unpack(">H", raw[pos : pos + 2])[0]
         pos += 2
         if marker == _SOT:
-            if pos + 10 > len(raw):
-                raise ValueError("JPEG2000 SOT truncated")
-            lsot, isot, psot, tpsot, tnsot = struct.unpack(
-                ">HHIBB", raw[pos : pos + 10]
-            )
-            if isot != 0 or tpsot != 0 or tnsot not in (0, 1):
-                raise ValueError(
-                    "multi-tile / multi-tile-part JPEG2000 unsupported"
-                )
-            sot_at = pos - 2
-            pos += lsot
-            marker = struct.unpack(">H", raw[pos : pos + 2])[0]
-            if marker != _SOD:
-                raise ValueError("JPEG2000 tile-part headers unsupported")
-            pos += 2
+            pos -= 2  # tile-part loop below re-reads the marker
             break
         if pos + 2 > len(raw):
             raise ValueError("JPEG2000 marker segment truncated")
@@ -1015,8 +1003,9 @@ def decode_j2k(raw: bytes) -> np.ndarray:
                 )
             if xosiz or yosiz or xtosiz or ytosiz:
                 raise ValueError("JPEG2000 non-zero image/tile offsets unsupported")
-            if xtsiz < xsiz or ytsiz < ysiz:
-                raise ValueError("multi-tile JPEG2000 unsupported")
+            if xtsiz == 0 or ytsiz == 0:
+                raise ValueError("JPEG2000 zero tile size")
+            tile_w, tile_h = xtsiz, ytsiz
             ssiz, xr, yr = body[36], body[37], body[38]
             if xr != 1 or yr != 1:
                 raise ValueError("JPEG2000 subsampled component unsupported")
@@ -1114,12 +1103,126 @@ def decode_j2k(raw: bytes) -> np.ndarray:
     if layers == 0 or layers > 64:
         raise ValueError(f"implausible JPEG2000 layer count {layers}")
 
-    data_end = len(raw)
-    if psot:
-        data_end = min(data_end, sot_at + psot)
-    if raw[-2:] == struct.pack(">H", _EOC) and data_end > len(raw) - 2:
-        data_end = len(raw) - 2
+    # tile grid (tiles anchored at the origin; offsets rejected above)
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    n_tiles = ntx * nty
+    if n_tiles > 65535:
+        raise ValueError(f"implausible JPEG2000 tile count {n_tiles}")
 
+    # collect tile-parts: SOT(isot, tpsot, tnsot, psot) + SOD + data,
+    # possibly several per tile (concatenated in tpsot order — with
+    # LRCP/RLCP and no POC the packet stream is sequential across a
+    # tile's parts)
+    tile_parts: dict[int, list[tuple[int, bytes]]] = {}
+    while pos + 2 <= len(raw):
+        marker = struct.unpack(">H", raw[pos : pos + 2])[0]
+        if marker == _EOC:
+            break
+        if marker != _SOT:
+            raise ValueError(
+                f"JPEG2000 expected SOT/EOC in tile stream, got 0x{marker:04X}"
+            )
+        if pos + 12 > len(raw):
+            raise ValueError("JPEG2000 SOT truncated")
+        lsot, isot, psot, tpsot, tnsot = struct.unpack(
+            ">HHIBB", raw[pos + 2 : pos + 12]
+        )
+        if lsot != 10:
+            raise ValueError("JPEG2000 SOT length must be 10")
+        if isot >= n_tiles:
+            raise ValueError(
+                f"JPEG2000 tile index {isot} outside the {ntx}x{nty} grid"
+            )
+        sot_at = pos
+        hdr_end = pos + 2 + lsot
+        if hdr_end + 2 > len(raw) or struct.unpack(
+            ">H", raw[hdr_end : hdr_end + 2]
+        )[0] != _SOD:
+            raise ValueError("JPEG2000 tile-part headers unsupported")
+        body_start = hdr_end + 2
+        if psot == 0:  # last tile-part: runs to EOC (Annex A.4.2)
+            part_end = len(raw)
+            if raw[-2:] == struct.pack(">H", _EOC):
+                part_end -= 2
+        else:
+            part_end = sot_at + psot
+            if part_end > len(raw) or part_end < body_start:
+                raise ValueError("JPEG2000 Psot overruns the codestream")
+        tile_parts.setdefault(isot, []).append(
+            (tpsot, raw[body_start:part_end])
+        )
+        pos = part_end
+        if psot == 0:
+            break
+    if not tile_parts:
+        raise ValueError("JPEG2000 codestream carries no tile-parts")
+    for isot in range(n_tiles):
+        if isot not in tile_parts:
+            raise ValueError(f"JPEG2000 tile {isot} has no tile-part")
+
+    # decode each tile independently and paste into the image grid
+    out_f = np.zeros((height, width), np.float64) if transform == 0 else None
+    out_i = np.zeros((height, width), np.int64) if transform == 1 else None
+    for isot, parts in tile_parts.items():
+        order_seen = sorted(p[0] for p in parts)
+        if order_seen != list(range(len(parts))):
+            raise ValueError(
+                f"JPEG2000 tile {isot} tile-part indices {order_seen} "
+                "not contiguous from 0"
+            )
+        tdata = b"".join(d for _, d in sorted(parts, key=lambda p: p[0]))
+        ty, tx = divmod(isot, ntx)
+        x0, y0 = tx * tile_w, ty * tile_h
+        tw = min(tile_w, width - x0)
+        th = min(tile_h, height - y0)
+        tile = _decode_tile(
+            tdata, tw, th, levels=levels, layers=layers,
+            progression=progression, cbw=cbw, cbh=cbh,
+            transform=transform, exps=exps, quant_pairs=quant_pairs,
+            quant_derived=quant_derived, guard=guard, precision=precision,
+        )
+        if transform == 0:
+            out_f[y0 : y0 + th, x0 : x0 + tw] = tile
+        else:
+            out_i[y0 : y0 + th, x0 : x0 + tw] = tile
+
+    if transform == 0:
+        if not signed:
+            out_f = out_f + float(1 << (precision - 1))
+        lo = -(1 << (precision - 1)) if signed else 0
+        hi = (1 << (precision - 1)) - 1 if signed else (1 << precision) - 1
+        # clip in the float domain: corrupt streams can decode huge
+        # coefficients and a float→int64 overflow must not warn/crash
+        return np.rint(np.clip(out_f, lo, hi)).astype(np.int64)
+    if not signed:
+        out_i = out_i + (1 << (precision - 1))  # undo DC level shift
+    return out_i
+
+
+def _decode_tile(
+    raw: bytes,
+    width: int,
+    height: int,
+    *,
+    levels: int,
+    layers: int,
+    progression: int,
+    cbw: int,
+    cbh: int,
+    transform: int,
+    exps: list[int],
+    quant_pairs,
+    quant_derived: bool,
+    guard: int,
+    precision: int,
+) -> np.ndarray:
+    """Decode ONE tile's packet stream (its tile-parts concatenated)
+    → (height, width) samples: int64 coefficients for the reversible
+    path, dequantized+synthesized float64 (pre-DC-shift) for the
+    irreversible path. Tag trees / code-block state are tile-scoped
+    per Annex B."""
+    data_end = len(raw)
     geometry = _band_geometry(width, height, levels)
     # per-band code-block bookkeeping + per-resolution tag trees
     resolutions = []
@@ -1171,7 +1274,7 @@ def decode_j2k(raw: bytes) -> np.ndarray:
         order = [(l, r) for l in range(layers) for r in range(levels + 1)]
     else:  # RLCP
         order = [(l, r) for r in range(levels + 1) for l in range(layers)]
-    pos_body = pos
+    pos_body = 0
     for _l, _r in order:
         for rbands in (resolutions[_r],):
             rd = _HeaderBitReader(raw[:data_end], pos_body)
@@ -1258,18 +1361,10 @@ def decode_j2k(raw: bytes) -> np.ndarray:
         fimg = _idwt97(ll, [tuple(p) for p in planes[1:]])
         if fimg.shape != (height, width):
             raise ValueError("JPEG2000 reconstruction shape mismatch")
-        if not signed:
-            fimg = fimg + float(1 << (precision - 1))
-        lo = -(1 << (precision - 1)) if signed else 0
-        hi = (1 << (precision - 1)) - 1 if signed else (1 << precision) - 1
-        # clip in the float domain: corrupt streams can decode huge
-        # coefficients and a float→int64 overflow must not warn/crash
-        return np.rint(np.clip(fimg, lo, hi)).astype(np.int64)
+        return fimg
     img = _idwt53(ll, [tuple(p) for p in planes[1:]])
     if img.shape != (height, width):
         raise ValueError("JPEG2000 reconstruction shape mismatch")
-    if not signed:
-        img = img + (1 << (precision - 1))  # undo DC level shift
     return img
 
 
@@ -1285,11 +1380,19 @@ def encode_j2k(
     mantissa: int = 0,
     layers: int = 1,
     progression: str = "lrcp",
+    tile_size: tuple[int, int] | None = None,
+    tile_parts: int = 1,
 ) -> bytes:
     """Encode (h, w) integers as a JPEG 2000 codestream in the
     decoder's profile (tests only — no rate control; every coding
     pass ships, split across ``layers`` quality layers at pass
     boundaries, in ``progression`` order ("lrcp" or "rlcp")).
+
+    ``tile_size=(tw, th)`` tiles the image on an origin-anchored grid
+    (one SOT tile segment per tile, raster order); ``tile_parts``
+    additionally splits each tile's packet sequence into that many
+    SOT tile-part segments (contiguous packet runs, tpsot 0..n-1) —
+    the layout large-image encoders emit.
 
     ``irreversible=True`` selects the 9/7 float transform with Annex-E
     scalar quantization: ``quant_style`` picks the QCD form
@@ -1325,66 +1428,76 @@ def encode_j2k(
     if progression not in ("lrcp", "rlcp"):
         raise ValueError(f"unknown progression {progression!r}")
 
+    tsw, tsh = tile_size if tile_size is not None else (w, h)
+    if tsw < 1 or tsh < 1:
+        raise ValueError("tile_size dims must be positive")
+    ntx, nty = -(-w // tsw), -(-h // tsh)
+    if not 1 <= tile_parts <= 255:
+        raise ValueError("tile_parts out of range [1, 255]")
+
     shifted = arr if signed else arr - (1 << (precision - 1))
-    geometry = _band_geometry(w, h, levels)
     guard = 2
 
-    exps = []  # per-band ε_b, QCD order (LL, then per-res HL/LH/HH)
-    if irreversible:
-        llf, dwt_bands_f = _fdwt97(shifted, levels)
-        fbands: list[list[np.ndarray]] = [[llf]]
-        names_by_band: list[str] = ["LL"]
-        for r in range(1, levels + 1):
-            fbands.append(list(dwt_bands_f[r - 1]))
-            names_by_band += ["HL", "LH", "HH"]
-        for i, name in enumerate(names_by_band):
-            if quant_style == "derived":
-                # decoder derives ε_b = ε₀ − N_L + n_b from the LL pair
-                # (ε₀ = precision + gain_LL − eps_shift); replicate that
-                # expansion here so both sides quantize identically
-                e0 = precision + _GAIN["LL"] - eps_shift
-                n_b = levels if i == 0 else levels - (i - 1) // 3
-                exps.append(e0 - levels + n_b)
-            else:
-                exps.append(precision + _GAIN[name] - eps_shift)
-        if min(exps) < 1 or max(exps) > 31:
-            raise ValueError(
-                "quantization exponent out of the 5-bit range; reduce "
-                "eps_shift or levels"
-            )
-        band_arrays = []
-        bi_flat = 0
-        for r in range(levels + 1):
-            row = []
-            for fb in fbands[r]:
-                name = names_by_band[bi_flat]
-                r_b = precision + _GAIN[name]
-                delta = (2.0 ** (r_b - exps[bi_flat])) * (
-                    1.0 + mantissa / 2048.0
-                )
-                row.append(
-                    (np.sign(fb) * np.floor(np.abs(fb) / delta)).astype(
-                        np.int64
+    # per-band ε_b, QCD order (LL, then per-res HL/LH/HH) — data-
+    # independent, shared by every tile
+    names_by_band: list[str] = ["LL"]
+    for _r in range(1, levels + 1):
+        names_by_band += ["HL", "LH", "HH"]
+    exps = []
+    for i, name in enumerate(names_by_band):
+        if not irreversible:
+            exps.append(precision + _GAIN[name])
+        elif quant_style == "derived":
+            # decoder derives ε_b = ε₀ − N_L + n_b from the LL pair
+            # (ε₀ = precision + gain_LL − eps_shift); replicate that
+            # expansion here so both sides quantize identically
+            e0 = precision + _GAIN["LL"] - eps_shift
+            n_b = levels if i == 0 else levels - (i - 1) // 3
+            exps.append(e0 - levels + n_b)
+        else:
+            exps.append(precision + _GAIN[name] - eps_shift)
+    if irreversible and (min(exps) < 1 or max(exps) > 31):
+        raise ValueError(
+            "quantization exponent out of the 5-bit range; reduce "
+            "eps_shift or levels"
+        )
+
+    def _tile_band_arrays(tile_shifted: np.ndarray):
+        if irreversible:
+            llf, dwt_bands_f = _fdwt97(tile_shifted, levels)
+            fbands: list[list[np.ndarray]] = [[llf]]
+            for r in range(1, levels + 1):
+                fbands.append(list(dwt_bands_f[r - 1]))
+            band_arrays = []
+            bi_flat = 0
+            for r in range(levels + 1):
+                row = []
+                for fb in fbands[r]:
+                    name = names_by_band[bi_flat]
+                    r_b = precision + _GAIN[name]
+                    delta = (2.0 ** (r_b - exps[bi_flat])) * (
+                        1.0 + mantissa / 2048.0
                     )
-                )
-                bi_flat += 1
-            band_arrays.append(row)
-    else:
-        ll, dwt_bands = _fdwt53(shifted, levels)
+                    row.append(
+                        (np.sign(fb) * np.floor(np.abs(fb) / delta)).astype(
+                            np.int64
+                        )
+                    )
+                    bi_flat += 1
+                band_arrays.append(row)
+            return band_arrays
+        ll, dwt_bands = _fdwt53(tile_shifted, levels)
         band_arrays = [[ll]]
-        exps.append(precision + _GAIN["LL"])
         for r in range(1, levels + 1):
-            hl, lh, hh = dwt_bands[r - 1]
-            band_arrays.append([hl, lh, hh])
-            for name in ("HL", "LH", "HH"):
-                exps.append(precision + _GAIN[name])
+            band_arrays.append(list(dwt_bands[r - 1]))
+        return band_arrays
 
     # markers ----------------------------------------------------------
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1
+        ">HIIIIIIIIH", 0, w, h, 0, 0, tsw, tsh, 0, 0, 1
     ) + bytes([(precision - 1) | (0x80 if signed else 0), 1, 1])
     cod = bytes([0, 0 if progression == "lrcp" else 1]) + struct.pack(
         ">H", layers
@@ -1411,6 +1524,50 @@ def encode_j2k(
     # concatenates a block's segments before decoding, so the slice
     # positions only choose how many passes ship per layer — the
     # rate-estimate boundaries from _t1_encode are the realistic ones)
+    def _tile_packets(band_arrays, tw: int, th: int) -> list[bytes]:
+        geometry = _band_geometry(tw, th, levels)
+        res_bands = _encode_res_bands(
+            geometry, band_arrays, cbw, cbh, guard, exps, layers
+        )
+        if progression == "lrcp":
+            order = [
+                (l, r) for l in range(layers) for r in range(levels + 1)
+            ]
+        else:  # rlcp
+            order = [
+                (l, r) for r in range(levels + 1) for l in range(layers)
+            ]
+        return [_emit_packet(res_bands[r], l) for l, r in order]
+
+    stream = bytearray(
+        struct.pack(">H", _SOC) + seg(_SIZ, siz) + seg(_COD, cod)
+        + seg(_QCD, qcd)
+    )
+    for isot in range(ntx * nty):
+        ty, tx = divmod(isot, ntx)
+        x0, y0 = tx * tsw, ty * tsh
+        tw, th = min(tsw, w - x0), min(tsh, h - y0)
+        pkts = _tile_packets(
+            _tile_band_arrays(shifted[y0 : y0 + th, x0 : x0 + tw]), tw, th
+        )
+        # split the tile's packet sequence into contiguous tile-parts
+        n_parts = max(1, min(tile_parts, len(pkts)))
+        bounds = [round(len(pkts) * j / n_parts) for j in range(n_parts + 1)]
+        for tpsot in range(n_parts):
+            body = b"".join(pkts[bounds[tpsot] : bounds[tpsot + 1]])
+            psot = 12 + 2 + len(body)
+            stream += (
+                struct.pack(">HH", _SOT, 10)
+                + struct.pack(">HIBB", isot, psot, tpsot, n_parts)
+                + struct.pack(">H", _SOD)
+                + body
+            )
+    return bytes(stream + struct.pack(">H", _EOC))
+
+
+def _encode_res_bands(geometry, band_arrays, cbw, cbh, guard, exps, layers):
+    """T1-encode one tile's code blocks and build its per-resolution
+    band state (segments per layer, tag trees, lblock/included)."""
     res_bands = []
     for r, bands in enumerate(geometry):
         blist = []
@@ -1460,78 +1617,56 @@ def encode_j2k(
                 "included": np.zeros((max(gy, 1), max(gx, 1)), bool),
             })
         res_bands.append(blist)
+    return res_bands
 
-    if progression == "lrcp":
-        order = [(l, r) for l in range(layers) for r in range(levels + 1)]
-    else:  # rlcp
-        order = [(l, r) for r in range(levels + 1) for l in range(layers)]
-    packets = bytearray()
-    for l, r in order:
-        blist = res_bands[r]
-        any_contrib = any(
-            band["results"][gyi, gxi] is not None
-            and band["results"][gyi, gxi][l][0] > 0
-            for band in blist
-            for gyi in range(band["gy"])
-            for gxi in range(band["gx"])
-        )
-        wr = _HeaderBitWriter()
-        if not any_contrib:
-            # empty packet: single 0 bit, tag-tree state untouched
-            # (the decoder skips all signaling for it)
-            wr.bit(0)
-            packets += wr.tobytes()
+
+def _emit_packet(blist, l: int) -> bytes:
+    """Emit one (layer, resolution) packet from the band state."""
+    any_contrib = any(
+        band["results"][gyi, gxi] is not None
+        and band["results"][gyi, gxi][l][0] > 0
+        for band in blist
+        for gyi in range(band["gy"])
+        for gxi in range(band["gx"])
+    )
+    wr = _HeaderBitWriter()
+    if not any_contrib:
+        # empty packet: single 0 bit, tag-tree state untouched
+        # (the decoder skips all signaling for it)
+        wr.bit(0)
+        return wr.tobytes()
+    wr.bit(1)
+    bodies = bytearray()
+    for band in blist:
+        if band["bw"] == 0 or band["bh"] == 0:
             continue
-        wr.bit(1)
-        bodies = bytearray()
-        for band in blist:
-            if band["bw"] == 0 or band["bh"] == 0:
-                continue
-            for gyi in range(band["gy"]):
-                for gxi in range(band["gx"]):
-                    res = band["results"][gyi, gxi]
-                    if band["included"][gyi, gxi]:
-                        np_new, segbytes = res[l]
-                        wr.bit(1 if np_new else 0)
-                        if not np_new:
-                            continue
-                    else:
-                        band["incl"].encode(gxi, gyi, l + 1, wr)
-                        if res is None or res[l][0] == 0:
-                            continue  # not included by this layer
-                        band["included"][gyi, gxi] = True
-                        # resolve the zero-bit-plane count fully (the
-                        # huge threshold stops at the leaf value,
-                        # openjpeg-style)
-                        band["imsb"].encode(gxi, gyi, 1 << 20, wr)
-                        np_new, segbytes = res[l]
-                    _write_npasses(wr, np_new)
-                    nbits = int(band["lblocks"][gyi, gxi]) + int(
-                        math.floor(math.log2(np_new))
-                    )
-                    while len(segbytes) >= (1 << nbits):
-                        wr.bit(1)
-                        band["lblocks"][gyi, gxi] += 1
-                        nbits += 1
-                    wr.bit(0)
-                    wr.bits(len(segbytes), nbits)
-                    bodies += segbytes
-        packets += wr.tobytes() + bodies
-
-    sot_body = struct.pack(">HIBB", 0, 0, 0, 1)  # Psot patched below
-    tile = struct.pack(">HH", _SOT, 10) + sot_body + struct.pack(">H", _SOD) + packets
-    psot = len(tile)
-    tile = (
-        struct.pack(">HH", _SOT, 10)
-        + struct.pack(">HIBB", 0, psot, 0, 1)
-        + struct.pack(">H", _SOD)
-        + packets
-    )
-    return (
-        struct.pack(">H", _SOC)
-        + seg(_SIZ, siz)
-        + seg(_COD, cod)
-        + seg(_QCD, qcd)
-        + tile
-        + struct.pack(">H", _EOC)
-    )
+        for gyi in range(band["gy"]):
+            for gxi in range(band["gx"]):
+                res = band["results"][gyi, gxi]
+                if band["included"][gyi, gxi]:
+                    np_new, segbytes = res[l]
+                    wr.bit(1 if np_new else 0)
+                    if not np_new:
+                        continue
+                else:
+                    band["incl"].encode(gxi, gyi, l + 1, wr)
+                    if res is None or res[l][0] == 0:
+                        continue  # not included by this layer
+                    band["included"][gyi, gxi] = True
+                    # resolve the zero-bit-plane count fully (the
+                    # huge threshold stops at the leaf value,
+                    # openjpeg-style)
+                    band["imsb"].encode(gxi, gyi, 1 << 20, wr)
+                    np_new, segbytes = res[l]
+                _write_npasses(wr, np_new)
+                nbits = int(band["lblocks"][gyi, gxi]) + int(
+                    math.floor(math.log2(np_new))
+                )
+                while len(segbytes) >= (1 << nbits):
+                    wr.bit(1)
+                    band["lblocks"][gyi, gxi] += 1
+                    nbits += 1
+                wr.bit(0)
+                wr.bits(len(segbytes), nbits)
+                bodies += segbytes
+    return wr.tobytes() + bodies

@@ -213,6 +213,18 @@ def _j2k_multilayer_bytes() -> bytes:
     )
 
 
+def _j2k_multitile_bytes() -> bytes:
+    import numpy as np
+
+    from open_energy_data_server_spark.sources.j2kcodec import encode_j2k
+
+    rng = np.random.default_rng(41)
+    return encode_j2k(
+        rng.integers(0, 1024, size=(14, 22), dtype=np.int64), 10, 1, (8, 8),
+        tile_size=(10, 10), tile_parts=2,
+    )
+
+
 def _grib2_spectral_bytes() -> bytes:
     from tests.test_grib2_spectral import make_grib2_spectral
 
@@ -238,6 +250,7 @@ CODECS = {
     "j2k": (_j2k_bytes, decode_j2k),
     "j2k_lossy": (_j2k_lossy_bytes, decode_j2k),
     "j2k_multilayer": (_j2k_multilayer_bytes, decode_j2k),
+    "j2k_multitile": (_j2k_multitile_bytes, decode_j2k),
     "j2k_lossy_derived": (_j2k_lossy_derived_bytes, decode_j2k),
     "png": (_png_bytes, decode_png),
     "grib2": (_grib2_bytes, decode_grib2),

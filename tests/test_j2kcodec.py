@@ -577,3 +577,74 @@ def test_multilayer_roundtrip_property(h, w, levels, layers, seed):
         img, 10, levels=levels, cb_size=(8, 8), layers=layers,
     )
     assert np.array_equal(decode_j2k(enc), img)
+
+
+# -------------------------------------------------- multi-tile codestreams
+
+
+@pytest.mark.parametrize(
+    ("tile", "parts"),
+    [((16, 16), 1), ((32, 20), 1), ((20, 40), 3), ((16, 16), 3)],
+)
+def test_multitile_lossless_roundtrip(tile, parts):
+    """Origin-anchored tile grids (SOT per tile, raster order) with
+    optional tile-part splitting: each tile decodes independently
+    (tile-scoped tag trees / code-block state) and reassembles
+    bit-exactly, including ragged edge tiles."""
+    rng = np.random.default_rng(tile[0] * 100 + parts)
+    img = rng.integers(0, 4096, size=(37, 53), dtype=np.int64)
+    enc = encode_j2k(
+        img, 12, 2, (16, 16), tile_size=tile, tile_parts=parts,
+    )
+    assert np.array_equal(decode_j2k(enc), img)
+
+
+def test_multitile_layers_rlcp_and_lossy():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 4096, size=(37, 53), dtype=np.int64)
+    enc = encode_j2k(
+        img, 12, 2, (16, 16), tile_size=(20, 20), layers=3,
+        progression="rlcp", tile_parts=2,
+    )
+    assert np.array_equal(decode_j2k(enc), img)
+    smooth = np.clip(
+        np.cumsum(rng.integers(-4, 5, size=(30, 41)), axis=1) + 512, 0, 1023
+    ).astype(np.int64)
+    enc = encode_j2k(
+        smooth, 10, 2, irreversible=True, tile_size=(16, 24), tile_parts=2,
+    )
+    assert np.abs(decode_j2k(enc) - smooth).max() <= 3
+
+
+def test_multitile_marker_layout():
+    """SIZ carries the tile grid; one SOT per (tile, tile-part) with
+    correct isot/tpsot/tnsot and self-consistent Psot."""
+    img = np.arange(24 * 40, dtype=np.int64).reshape(24, 40) % 256
+    enc = encode_j2k(img, 8, 1, (8, 8), tile_size=(20, 20), tile_parts=2)
+    xtsiz, ytsiz = struct.unpack(">II", enc[24:32])
+    assert (xtsiz, ytsiz) == (20, 20)
+    sots = []
+    pos = enc.find(b"\xff\x90")
+    while pos != -1:
+        lsot, isot, psot, tpsot, tnsot = struct.unpack(
+            ">HHIBB", enc[pos + 2 : pos + 12]
+        )
+        sots.append((isot, tpsot, tnsot))
+        pos = enc.find(b"\xff\x90", pos + psot)
+    # 2x2 tile grid (40x24 at 20x20) × 2 tile-parts each
+    assert sots == [
+        (t, p, 2) for t in range(4) for p in range(2)
+    ]
+
+
+def test_multitile_missing_tile_raises():
+    """A codestream whose tile grid promises more tiles than its
+    SOT segments deliver must fail loudly."""
+    img = np.arange(64, dtype=np.int64).reshape(8, 8)
+    enc = bytearray(encode_j2k(img, 8, 1, (8, 8), tile_size=(4, 8)))
+    # drop the second tile: truncate after the first tile's Psot + EOC
+    first_sot = bytes(enc).find(b"\xff\x90")
+    psot = struct.unpack(">I", enc[first_sot + 6 : first_sot + 10])[0]
+    bad = bytes(enc[: first_sot + psot]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="has no tile-part"):
+        decode_j2k(bad)
