@@ -1119,3 +1119,46 @@ def test_stream_curation_pipeline_chained_stateful(spark, tmp_path):
         assert ids == {"keep", "other"}
     finally:
         q.stop()
+
+
+def test_stream_dedup_into_ledger_sink_e2e(spark, tmp_path):
+    """The production ingest shape end-to-end: minhash-deduped stream
+    → BatchIdLedgerSink (foreachBatch exactly-once). The dedup state
+    lives in the streaming checkpoint, the sink's ledger makes the
+    lake idempotent — a full restart with the same checkpoint
+    delivers each surviving document exactly once to the lake."""
+    from open_energy_data_server_spark.streaming.dedup import stream_minhash_dedup
+    from open_energy_data_server_spark.streaming.sinks import BatchIdLedgerSink
+
+    src = str(tmp_path / "dl_src")
+    ckpt = str(tmp_path / "dl_ck")
+    sink = BatchIdLedgerSink(str(tmp_path / "dl_lake"))
+
+    def run_once():
+        stream = spark.readStream.schema(DOC_DDL).parquet(src)
+        q = (
+            stream_minhash_dedup(stream, "text", "ts", "10 minutes")
+            .writeStream.foreachBatch(sink.apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [_doc("a1", 0, _LOREM), _doc("a2", 1, _LOREM)], DOC_DDL
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    lake = sink.read(spark)
+    assert [r.doc_id for r in lake.collect()] == ["a1"]  # dup dropped pre-sink
+
+    # batch 2 after a full restart: a re-delivery (state-recovered
+    # drop) plus fresh content
+    spark.createDataFrame(
+        [_doc("a3", 2, _LOREM), _doc("b1", 3, "completely different words")],
+        DOC_DDL,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    ids = sorted(r.doc_id for r in sink.read(spark).collect())
+    assert ids == ["a1", "b1"]
+    assert len(sink.committed()) >= 2
