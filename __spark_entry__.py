@@ -29,58 +29,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registering them (the tool folds them in on the next rotation) —
 # or rerun the tool immediately if they must be checked this round.
 _DRIVER_PRIORITY = [
-    # never driver-checked (no CORRECTNESS_r* row)
-    "q_stream_dedup_batch_twin",
-    "q_small_quantity_revenue",
-    "q_last_shipper",
-    "q_order_count_distribution",
-    "q_top_revenue_suppliers",
-    "q_idle_rich_customers",
-    "q_recursive_soc",
-    "q_lateral_topk",
-    "q_ewma_anomaly_rcte",
-    # checked names, stalest latest-green first (as of r08)
-    "q_running_sum",  # r4
-    "q_snapshot_at_latest",  # r4
-    "q_cms_heavy_hitters",  # r5
-    "q_grouping_sets",  # r5
-    "q_heatmap_dow_hour",  # r5
-    "q_week_over_week",  # r5
-    "q_fuzzy_dedup_names",  # r5
-    "q_load_duration_curve",  # r5
-    "q_anomaly_outliers",  # r5
-    "q_pagerank",  # r5
-    "q_capacity_factor",  # r5
-    "q_ramp_rate",  # r5
-    "q_funnel_steps",  # r5
-    "q_retention_cohorts",  # r5
-    "q_data_gaps",  # r5
-    "q_seasonal_naive_error",  # r5
-    "q_event_transitions",  # r5
-    "q_referential_audit",  # r5
-    "q_share_of_total",  # r5
-    "q_session_entry_paths",  # r5
-    "q_rolling_correlation",  # r5
-    "q_peak_offpeak",  # r5
-    "q_degree_days",  # r5
-    "q_vwap",  # r5
-    "q_max_drawdown",  # r5
-    "q_keyset_pagination",  # r5
-    "q_market_hhi",  # r5
-    "q_abc_classification",  # r5
-    "q_benford_audit",  # r5
-    "q_calendar_scaffold",  # r5
-    "q_gini_coefficient",  # r5
-    "q_nearest_station",  # r5
-    "q_polygon_area",  # r5
-    "q_pq_encode",  # r5
-    "q_pq_adc_topk",  # r5
-    "q_bigram_lm_score",  # r5
-    "q_shuffle_shards",  # r5
-    "q_train_val_test_split",  # r5
-    "q_weighted_sample",  # r5
-    "q_top_ngrams",  # r5
-    "q_vocab_overlap",  # r5
+    # checked names, stalest latest-green first (as of r09)
     "q_chunk_documents",  # r5
     "q_char_diversity",  # r5
     "q_snapshot_diff",  # r5
@@ -242,6 +191,56 @@ _DRIVER_PRIORITY = [
     "q_lag_diff_decumulate",  # r8
     "q_latest_per_user",  # r8
     "q_ffill_bfill",  # r8
+    "q_cms_heavy_hitters",  # r9
+    "q_grouping_sets",  # r9
+    "q_heatmap_dow_hour",  # r9
+    "q_week_over_week",  # r9
+    "q_fuzzy_dedup_names",  # r9
+    "q_load_duration_curve",  # r9
+    "q_anomaly_outliers",  # r9
+    "q_pagerank",  # r9
+    "q_capacity_factor",  # r9
+    "q_ramp_rate",  # r9
+    "q_funnel_steps",  # r9
+    "q_retention_cohorts",  # r9
+    "q_data_gaps",  # r9
+    "q_seasonal_naive_error",  # r9
+    "q_event_transitions",  # r9
+    "q_referential_audit",  # r9
+    "q_share_of_total",  # r9
+    "q_session_entry_paths",  # r9
+    "q_rolling_correlation",  # r9
+    "q_peak_offpeak",  # r9
+    "q_degree_days",  # r9
+    "q_vwap",  # r9
+    "q_max_drawdown",  # r9
+    "q_keyset_pagination",  # r9
+    "q_market_hhi",  # r9
+    "q_abc_classification",  # r9
+    "q_benford_audit",  # r9
+    "q_calendar_scaffold",  # r9
+    "q_gini_coefficient",  # r9
+    "q_nearest_station",  # r9
+    "q_polygon_area",  # r9
+    "q_pq_encode",  # r9
+    "q_pq_adc_topk",  # r9
+    "q_bigram_lm_score",  # r9
+    "q_shuffle_shards",  # r9
+    "q_train_val_test_split",  # r9
+    "q_weighted_sample",  # r9
+    "q_top_ngrams",  # r9
+    "q_vocab_overlap",  # r9
+    "q_stream_dedup_batch_twin",  # r9
+    "q_small_quantity_revenue",  # r9
+    "q_last_shipper",  # r9
+    "q_order_count_distribution",  # r9
+    "q_top_revenue_suppliers",  # r9
+    "q_idle_rich_customers",  # r9
+    "q_recursive_soc",  # r9
+    "q_lateral_topk",  # r9
+    "q_ewma_anomaly_rcte",  # r9
+    "q_running_sum",  # r9
+    "q_snapshot_at_latest",  # r9
 ]
 
 

@@ -54,6 +54,25 @@ from open_energy_data_server_spark.operators.textops import (
 from open_energy_data_server_spark.streaming.stateful import _interval_ms
 
 
+def _null_text_passthrough(key: Column, text_col: str, id_col: str | None) -> Column:
+    """NULL-text documents must PASS THROUGH dedup, not collapse.
+
+    ``concat``/``md5`` over a NULL text column yields a NULL key, and
+    ``dropDuplicatesWithinWatermark`` treats NULL as one value — every
+    null-text row after the first would be silently dropped (round-9
+    ADVICE). Coalesce the key to a per-row-unique token instead:
+    ``null:<id>`` when the caller names an id column (deterministic
+    under micro-batch replay, so exactly-once holds), else a uuid
+    (unique, but a crash-replayed null-text row re-passes —
+    at-least-once for that class only; pass ``id_col`` to avoid)."""
+    unique = (
+        F.concat(F.lit("null:"), F.col(id_col).cast("string"))
+        if id_col is not None
+        else F.concat(F.lit("null:"), F.expr("uuid()"))
+    )
+    return F.when(F.col(text_col).isNull(), unique).otherwise(key)
+
+
 def _with_minhash(df: DataFrame, text_col: str, k: int, n: int) -> DataFrame:
     """Append ``_hp`` (mod-P shingle-hash array) to every row as a pure
     per-row projection — zero shuffles, streaming-safe.
@@ -95,16 +114,21 @@ def stream_content_dedup(
     text_col: str,
     ts_col: str,
     watermark: str | None = "10 minutes",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Exact streaming dedup: first document per normalized-content
     fingerprint within the watermark horizon passes, re-deliveries and
     verbatim copies are dropped; fingerprint state is evicted as the
-    watermark advances (bounded by horizon × ingest rate).
+    watermark advances (bounded by horizon × ingest rate). NULL-text
+    rows pass through untouched (see ``_null_text_passthrough``).
 
     ``watermark=None`` reuses the watermark already defined upstream —
     required when CHAINING stateful operators in one query (Spark
     disallows redefining the watermark mid-plan)."""
-    out = df.withColumn("content_fp", fingerprint_normalized(text_col))
+    out = df.withColumn(
+        "content_fp",
+        _null_text_passthrough(fingerprint_normalized(text_col), text_col, id_col),
+    )
     if watermark is not None:
         out = out.withWatermark(ts_col, watermark)
     return out.dropDuplicatesWithinWatermark(["content_fp"])
@@ -117,11 +141,13 @@ def stream_minhash_dedup(
     watermark: str | None = "10 minutes",
     k: int = 16,
     n: int = 3,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Near-exact streaming dedup: drop documents whose FULL k-minhash
     signature was already seen within the watermark horizon (jaccard
     ≈ 1 templates/boilerplate — the highest-volume near-dup class).
-    The signature is the batch pipeline's, computed per-row.
+    The signature is the batch pipeline's, computed per-row. NULL-text
+    rows pass through untouched (see ``_null_text_passthrough``).
 
     ``watermark=None`` reuses the upstream watermark (for chaining
     stateful operators — e.g. content dedup → minhash dedup — in one
@@ -129,7 +155,10 @@ def stream_minhash_dedup(
     cols = df.columns
     out = (
         _with_minhash(df, text_col, k, n)
-        .withColumn("minhash_sig", _minhash_sig_col(text_col, k))
+        .withColumn(
+            "minhash_sig",
+            _null_text_passthrough(_minhash_sig_col(text_col, k), text_col, id_col),
+        )
         .select(*cols, "minhash_sig")
     )
     if watermark is not None:

@@ -792,6 +792,47 @@ def test_stream_content_dedup_exact(spark, tmp_path):
         q.stop()
 
 
+def test_stream_dedup_null_text_passes_through(spark, tmp_path):
+    """NULL-text rows must NOT collapse into one survivor: a NULL key
+    concat yields NULL and dropDuplicatesWithinWatermark treats NULL
+    as a single value (round-9 ADVICE). Both dedup operators coalesce
+    the key to a per-row token — all null-text rows survive, while
+    real duplicates still drop."""
+    from open_energy_data_server_spark.streaming.dedup import (
+        stream_content_dedup,
+        stream_minhash_dedup,
+    )
+
+    rows = [
+        _doc("n1", 0, None),
+        _doc("n2", 1, None),  # second null-text row: must ALSO survive
+        _doc("x1", 2, "same text"),
+        _doc("x2", 3, "same   TEXT"),  # real dup: dropped
+    ]
+    for tag, op in (
+        ("cdnull", lambda s: stream_content_dedup(s, "text", "ts", "10 minutes", id_col="doc_id")),
+        ("mhnull", lambda s: stream_minhash_dedup(s, "text", "ts", "10 minutes", id_col="doc_id")),
+    ):
+        src = str(tmp_path / f"{tag}_src")
+        spark.createDataFrame(rows, DOC_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(DOC_DDL).parquet(src)
+        q = (
+            op(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"{tag}_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            ids = {r.doc_id for r in spark.sql(f"SELECT * FROM {tag}_out").collect()}
+            assert ids == {"n1", "n2", "x1"}, (tag, ids)
+        finally:
+            q.stop()
+
+
 def test_stream_lsh_candidates_and_owner_eviction(spark, tmp_path):
     """Band-bucket owners emit candidates for later near-dup arrivals
     (≥1 shared band), unrelated docs emit nothing, and owners age out
