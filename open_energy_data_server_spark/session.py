@@ -29,6 +29,13 @@ def get_spark(
     over-split tiny data. On a real cluster both would be set by the
     deployment, not here — everything else carries over unchanged.
     """
+    # vendor-path setup must precede JVM launch: Python workers build
+    # their sys.path from the PYTHONPATH the JVM inherits, and the
+    # transformWithState protocol needs google.protobuf worker-side
+    from open_energy_data_server_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
         master = f"local[{cpus}]"

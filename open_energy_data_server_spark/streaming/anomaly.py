@@ -146,19 +146,28 @@ def stream_ewma_anomaly_tws(
 ):
     """Same operator on the Spark-4 arbitrary-state API
     (``transformWithStateInPandas``): one ValueState per key plus an
-    event-time eviction timer re-armed each batch. Requires the
-    ``protobuf`` package (the API's Python↔JVM state protocol) and
-    the RocksDB state-store provider on the session; raises
-    ImportError naming the dependency when protobuf is missing."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
+    event-time eviction timer re-armed each batch. The API's
+    Python↔JVM state protocol needs ``google.protobuf``: when the real
+    package is absent the vendored mini runtime (``vendor/google/
+    protobuf``, wire-format-from-spec) is used, on the driver AND
+    pushed to the session's Python workers; raises ImportError only if
+    neither is importable. Needs the RocksDB state-store provider on
+    the session (the only provider implementing the TWS column
+    families)."""
+    from open_energy_data_server_spark.vendor import (
+        ensure_protobuf,
+        propagate_to_workers,
+    )
+
+    if not ensure_protobuf():  # pragma: no cover - env-dependent
         raise ImportError(
             "transformWithStateInPandas needs the 'protobuf' package "
-            "(pyspark.sql.streaming.proto); install protobuf or use "
+            "(pyspark.sql.streaming.proto) and the vendored fallback "
+            "failed to import; install protobuf or use "
             "stream_ewma_anomaly (applyInPandasWithState, same "
             "semantics)"
-        ) from exc
+        )
+    propagate_to_workers(events.sparkSession)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

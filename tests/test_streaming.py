@@ -1087,32 +1087,182 @@ def test_stream_ewma_anomaly_checkpoint_restart(spark, tmp_path):
         q.stop()
 
 
-def test_stream_ewma_anomaly_tws_requires_protobuf(spark):
-    """The transformWithState variant is gated on protobuf (the
-    API's state protocol); absent protobuf it must raise a clear
-    ImportError naming the dependency — with protobuf present it
-    builds the plan (skipped environment-dependently)."""
+@pytest.fixture()
+def rocksdb_state(spark):
+    """transformWithState needs the RocksDB provider (the only one
+    implementing TWS column families); restore the default after."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    yield
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
+def test_stream_ewma_anomaly_tws_executes_and_matches_apws(
+    spark, tmp_path, rocksdb_state
+):
+    """The transformWithStateInPandas variant EXECUTES (vendored
+    mini-protobuf runtime drives the Python↔JVM state protocol when
+    the real package is absent) and its output is row-for-row equal to
+    the applyInPandasWithState variant — same scoring fold, two state
+    APIs."""
+    from open_energy_data_server_spark.streaming.anomaly import (
+        stream_ewma_anomaly,
+        stream_ewma_anomaly_tws,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(minutes=i), 10.0) for i in range(10)] + [
+        (1, t0 + dt.timedelta(minutes=10), 400.0),
+        (2, t0 + dt.timedelta(minutes=3), 5.0),
+    ]
+    results = {}
+    for tag, op in (("tws", stream_ewma_anomaly_tws), ("apws", stream_ewma_anomaly)):
+        src = str(tmp_path / f"{tag}_src")
+        spark.createDataFrame(rows, EV_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(EV_DDL).parquet(src)
+        q = (
+            op(stream, watermark="5 minutes", warmup=5)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"{tag}_ewma_out")
+            .option("checkpointLocation", str(tmp_path / f"{tag}_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            results[tag] = sorted(
+                (r.user_id, str(r.ts), r.value,
+                 None if r.z is None else round(r.z, 9), r.is_anomaly,
+                 r.n_seen)
+                for r in spark.sql(f"SELECT * FROM {tag}_ewma_out").collect()
+            )
+        finally:
+            q.stop()
+    assert len(results["tws"]) == len(rows)
+    assert results["tws"] == results["apws"]
+    spike = [r for r in results["tws"] if r[2] == 400.0][0]
+    assert spike[4] is True  # anomaly flagged through the TWS path
+
+
+def test_stream_ewma_anomaly_tws_checkpoint_restart(
+    spark, tmp_path, rocksdb_state
+):
+    """TWS ValueState survives a restart (RocksDB checkpoint): the
+    post-crash spike is judged against the PRE-crash baseline."""
     from open_energy_data_server_spark.streaming.anomaly import (
         stream_ewma_anomaly_tws,
     )
 
-    try:
-        import google.protobuf  # noqa: F401
+    src = str(tmp_path / "tws_src2")
+    ckpt = str(tmp_path / "tws_ckpt2")
+    out_dir = str(tmp_path / "tws_out2")
+    t0 = dt.datetime(2024, 1, 1)
 
-        has_protobuf = True
-    except ImportError:
-        has_protobuf = False
-    stream = (
-        spark.readStream.format("rate").load()
-        .selectExpr("CAST(value AS LONG) AS user_id",
-                    "timestamp AS ts", "CAST(value AS DOUBLE) AS value")
+    def start():
+        stream = spark.readStream.schema(EV_DDL).parquet(src)
+        return (
+            stream_ewma_anomaly_tws(stream, watermark="5 minutes", warmup=5)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    base = [(1, t0 + dt.timedelta(minutes=i), 10.0) for i in range(10)]
+    spark.createDataFrame(base, EV_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # crash point: baseline ewma ≈ 10 is in RocksDB state
+
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10), 400.0)], EV_DDL
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+        rows = {
+            str(r.ts): (r.is_anomaly, r.n_seen)
+            for r in spark.read.parquet(out_dir).collect()
+            if r.user_id == 1
+        }
+        assert rows["2024-01-01 00:10:00"][0] is True
+        assert rows["2024-01-01 00:10:00"][1] == 10
+    finally:
+        q.stop()
+
+
+def test_stream_ewma_anomaly_tws_timer_evicts_state(
+    spark, tmp_path, rocksdb_state
+):
+    """The event-time timer clears idle keys: after a gap past the
+    TTL, the key's history restarts (n_seen back to 1) — state is
+    bounded for an unbounded stream."""
+    from open_energy_data_server_spark.streaming.anomaly import (
+        stream_ewma_anomaly_tws,
     )
-    if has_protobuf:
-        df = stream_ewma_anomaly_tws(stream)
-        assert "user_id" in df.columns
-    else:
-        with pytest.raises(ImportError, match="protobuf"):
-            stream_ewma_anomaly_tws(stream)
+
+    src = str(tmp_path / "tws_src3")
+    t0 = dt.datetime(2024, 1, 1)
+    stream_def = None
+
+    def start():
+        stream = spark.readStream.schema(EV_DDL).parquet(src)
+        return (
+            stream_ewma_anomaly_tws(
+                stream, watermark="1 minutes", warmup=3, ttl="10 minutes"
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_evict_out")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt3"))
+            .start()
+        )
+
+    batches = [
+        [(1, t0 + dt.timedelta(minutes=i), 10.0) for i in range(5)],
+        # jump far past last_event + ttl → watermark passes the
+        # timer, handleExpiredTimer clears the key's state
+        [(2, t0 + dt.timedelta(minutes=60), 1.0)],
+        [(1, t0 + dt.timedelta(minutes=61), 10.0)],
+    ]
+    spark.createDataFrame(batches[0], EV_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+        for batch in batches[1:]:
+            spark.createDataFrame(batch, EV_DDL).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+        rows = {
+            str(r.ts): r.n_seen
+            for r in spark.sql("SELECT * FROM tws_evict_out").collect()
+            if r.user_id == 1
+        }
+        # n_seen counts PRIOR events for the key (0-based)
+        assert rows["2024-01-01 00:04:00"] == 4
+        # state was evicted by the timer: the post-gap row restarts at
+        # 0 (it would read 5 had the pre-gap history survived)
+        assert rows["2024-01-01 01:01:00"] == 0
+    finally:
+        q.stop()
 
 
 def test_stream_curation_pipeline_chained_stateful(spark, tmp_path):
