@@ -29,6 +29,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registering them (the tool folds them in on the next rotation) —
 # or rerun the tool immediately if they must be checked this round.
 _DRIVER_PRIORITY = [
+    # never driver-checked (no CORRECTNESS_r* row)
+    "q_min_cost_supplier",
+    "q_order_priority_check",
+    "q_forecast_revenue_delta",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_product_profit",
+    "q_returned_items",
+    "q_important_volume_parts",
+    "q_late_priority_lines",
+    "q_promo_revenue_share",
+    "q_supplier_count_by_part",
+    "q_bracketed_revenue",
+    "q_excess_shippers",
     # checked names, stalest latest-green first (as of r09)
     "q_chunk_documents",  # r5
     "q_char_diversity",  # r5

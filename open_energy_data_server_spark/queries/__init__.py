@@ -66,6 +66,7 @@ def _load_all() -> None:
         round9,
         round9b,
         round9c,
+        round10,
         scalars,
         search_rank,
         windows,

@@ -1,0 +1,158 @@
+"""Streaming curation-pipeline throughput bench (round-10 verdict ask
+#4): sustained rows/s, batch latency, and state-store size under load
+for the production ingest shape
+
+    quality gate → content dedup → minhash dedup → parquet sink
+
+The correctness story (eviction, crash-replay, exactly-once ledger)
+is pinned by tests/test_streaming.py; this publishes the THROUGHPUT
+evidence: the sf0.1 documents corpus replayed R× as a 20-micro-batch
+file stream with event time advancing one minute per batch, exact
+duplicates injected across replicas (every 3rd doc keeps its verbatim
+text → the content stage does real dropping), and a watermark short
+enough that state eviction is visible INSIDE the run (peak vs final
+state rows).
+
+Emits ONE JSON line and writes STREAMBENCH_STREAMING.json:
+  rows_in, rows_out, wall_sec, rows_per_sec, batches,
+  batch_ms {mean, p50, max}, state_rows {peak, final},
+  per-operator state rows at peak.
+
+Both dedup operators are pure JVM projections (md5 / shingle
+transform / dropDuplicatesWithinWatermark) — no Python stage — so
+this measures the engine, not Arrow transfer.
+
+Usage: PYTHONPATH=. python tools/stream_bench.py [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark import get_spark
+    from open_energy_data_server_spark.streaming.dedup import (
+        stream_content_dedup,
+        stream_minhash_dedup,
+    )
+
+    spark = get_spark(app_name="spark-oeds-streambench")
+    work = tempfile.mkdtemp(prefix="streambench-")
+    src = f"{work}/src"
+    out = f"{work}/out"
+    ckpt = f"{work}/ckpt"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base_n = docs.count()
+
+    # One file per replica, mtime-ordered so maxFilesPerTrigger=1
+    # replays them as micro-batches with event time advancing 1 min
+    # per batch (watermark 5 min → replica r's fingerprints evict
+    # once replica r+6 lands: eviction happens INSIDE the run).
+    t0 = "TIMESTAMP '2024-01-01 00:00:00'"
+    for r in range(replicas):
+        chunk = docs.select(
+            (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(f" replica-{r}")))
+            .alias("text"),
+            F.expr(
+                f"{t0} + make_interval(0, 0, 0, 0, 0, {r}, "
+                "CAST(doc_id % 60 AS INT))"
+            ).alias("ts"),
+        )
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)  # distinct mtimes → deterministic batch order
+
+    rows_in = base_n * replicas
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    gated = stream.filter(F.size(F.split(F.col("text"), r"\s+")) >= 5)
+    deduped = stream_content_dedup(
+        gated, "text", "ts", "5 minutes", id_col="doc_id"
+    )
+    curated = stream_minhash_dedup(
+        deduped.drop("content_fp"), "text", "ts", watermark=None,
+        id_col="doc_id",
+    )
+
+    t_start = time.perf_counter()
+    q = (
+        curated.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wall = time.perf_counter() - t_start
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    rows_out = spark.read.parquet(out).count()
+    batch_ms = [
+        p["durationMs"].get("triggerExecution", 0)
+        for p in progress
+        if p.get("numInputRows", 0) > 0
+    ]
+    state_series = [
+        sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+        for p in progress
+    ]
+    peak_idx = max(range(len(state_series)), key=state_series.__getitem__)
+    per_op_peak = [
+        op.get("numRowsTotal", 0)
+        for op in progress[peak_idx].get("stateOperators", [])
+    ]
+    batch_sorted = sorted(batch_ms)
+    record = {
+        "metric": "stream_curation_rows_per_sec",
+        "value": round(rows_in / wall, 1),
+        "unit": "rows/s",
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "wall_sec": round(wall, 3),
+        "batches": len(batch_ms),
+        "batch_ms": {
+            "mean": round(sum(batch_ms) / max(len(batch_ms), 1), 1),
+            "p50": batch_sorted[len(batch_sorted) // 2] if batch_sorted else 0,
+            "max": max(batch_ms) if batch_ms else 0,
+        },
+        "state_rows": {
+            "peak": max(state_series) if state_series else 0,
+            "final": state_series[-1] if state_series else 0,
+            "per_operator_at_peak": per_op_peak,
+        },
+        "replicas": replicas,
+        "sf_dir": sf_dir,
+    }
+    print(json.dumps(record))
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "STREAMBENCH.json"), "w",
+    ) as fh:
+        json.dump(record, fh, indent=1)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
