@@ -977,6 +977,9 @@ def decode_j2k(raw: bytes) -> np.ndarray:
     quant_pairs: list[tuple[int, int]] | None = None
     quant_derived = False
     tile_w = tile_h = None
+    prec_sizes: list[tuple[int, int]] | None = None
+    sop_used = eph_used = False
+    poc: list[tuple[int, int, int, int]] | None = None
 
     while True:
         if pos + 2 > len(raw):
@@ -1018,15 +1021,14 @@ def decode_j2k(raw: bytes) -> np.ndarray:
                 raise ValueError(f"implausible JPEG2000 size {width}x{height}")
         elif marker == _COD:
             scod = body[0]
-            if scod & 0x01:
-                raise ValueError("JPEG2000 user-defined precincts unsupported")
-            if scod & 0x06:
-                raise ValueError("JPEG2000 SOP/EPH markers unsupported")
+            sop_used = bool(scod & 0x02)
+            eph_used = bool(scod & 0x04)
             progression = body[1]
-            if progression > 1:
+            if progression > 2:
                 raise ValueError(
                     f"JPEG2000 progression order {progression} unsupported "
-                    "(LRCP/RLCP only)"
+                    "(LRCP/RLCP/RPCL only — PCRL/CPRL position-interleave "
+                    "across resolutions is out of the GRIB2 profile)"
                 )
             layers = struct.unpack(">H", body[2:4])[0]
             if body[4] != 0:
@@ -1047,6 +1049,19 @@ def decode_j2k(raw: bytes) -> np.ndarray:
                     f"JPEG2000 wavelet transform {transform} unknown "
                     "(0 = 9/7 irreversible, 1 = 5/3 reversible)"
                 )
+            if scod & 0x01:  # user-defined precincts: one byte per res
+                if len(body) < 10 + levels + 1:
+                    raise ValueError("JPEG2000 COD precinct bytes truncated")
+                prec_sizes = []
+                for r in range(levels + 1):
+                    b = body[10 + r]
+                    ppx, ppy = b & 0x0F, b >> 4
+                    if r > 0 and (ppx < 1 or ppy < 1):
+                        raise ValueError(
+                            "JPEG2000 precinct size below one sample in a "
+                            "subband (PPx/PPy must be ≥ 1 for r > 0)"
+                        )
+                    prec_sizes.append((ppx, ppy))
         elif marker == _QCD:
             sqcd = body[0]
             guard = sqcd >> 5
@@ -1073,10 +1088,32 @@ def decode_j2k(raw: bytes) -> np.ndarray:
                 raise ValueError(
                     f"JPEG2000 quantization style {qstyle} unsupported"
                 )
-        elif marker in (_COC, _QCC, _POC):
+        elif marker == _POC:
+            # progression order change: 7 bytes per entry at csiz ≤ 256
+            # (RSpoc u8, CSpoc u8, LYEpoc u16, REpoc u8, CEpoc u8,
+            # Ppoc u8) — the packet stream follows the volumes in order
+            if len(body) % 7:
+                raise ValueError("JPEG2000 POC length not a multiple of 7")
+            poc = []
+            for off in range(0, len(body), 7):
+                rs, cs, lye, re_, ce, ppoc = struct.unpack(
+                    ">BBHBBB", body[off : off + 7]
+                )
+                if cs != 0 or ce != 1:
+                    raise ValueError(
+                        "JPEG2000 POC component bounds beyond the "
+                        "single-component GRIB2 profile"
+                    )
+                if ppoc > 2:
+                    raise ValueError(
+                        f"JPEG2000 POC progression {ppoc} unsupported "
+                        "(LRCP/RLCP/RPCL only)"
+                    )
+                poc.append((rs, lye, re_, ppoc))
+        elif marker in (_COC, _QCC):
             raise ValueError(
-                f"JPEG2000 marker 0x{marker:04X} (per-component overrides / "
-                "progression change) unsupported"
+                f"JPEG2000 marker 0x{marker:04X} (per-component overrides) "
+                "unsupported"
             )
         elif marker in _SKIPPABLE:
             pass
@@ -1181,6 +1218,7 @@ def decode_j2k(raw: bytes) -> np.ndarray:
             progression=progression, cbw=cbw, cbh=cbh,
             transform=transform, exps=exps, quant_pairs=quant_pairs,
             quant_derived=quant_derived, guard=guard, precision=precision,
+            prec_sizes=prec_sizes, sop=sop_used, eph=eph_used, poc=poc,
         )
         if transform == 0:
             out_f[y0 : y0 + th, x0 : x0 + tw] = tile
@@ -1200,6 +1238,75 @@ def decode_j2k(raw: bytes) -> np.ndarray:
     return out_i
 
 
+def _res_precincts(width: int, height: int, levels: int, r: int,
+                   prec_sizes) -> tuple[int, int, int, int]:
+    """(PPx, PPy, npx, npy) for resolution r of a tile at the origin:
+    the precinct grid tiles the RESOLUTION grid (dims ceil(size /
+    2^(levels-r))) with 2^PPx × 2^PPy cells; default (no COD precinct
+    bytes) is PPx = PPy = 15 → one maximal precinct."""
+    ppx, ppy = (15, 15) if prec_sizes is None else prec_sizes[r]
+    shift = levels - r
+    res_w = (width + (1 << shift) - 1) >> shift
+    res_h = (height + (1 << shift) - 1) >> shift
+    npx = ((res_w + (1 << ppx) - 1) >> ppx) if res_w else 0
+    npy = ((res_h + (1 << ppy) - 1) >> ppy) if res_h else 0
+    return ppx, ppy, npx, npy
+
+
+def _packet_order(progression: int, layers: int, levels: int,
+                  n_prec_by_res: list[int], poc) -> list[tuple[int, int, int]]:
+    """Packet enumeration (l, r, p) for one tile/component.
+
+    Plain progressions: LRCP(0), RLCP(1), RPCL(2) — precinct index is
+    raster over the resolution's precinct grid. With a POC marker the
+    stream is the CONCATENATION of the progression volumes in marker
+    order, each iterating its own progression over layers < LYEpoc and
+    RSpoc ≤ r < REpoc, a packet appearing in the FIRST volume that
+    covers it; the volumes must jointly cover every packet (a gap
+    would desynchronize every later packet header → loud error)."""
+
+    def volume(ppoc: int, lye: int, rs: int, re_: int):
+        lye = min(lye, layers)
+        re_ = min(re_, levels + 1)
+        if ppoc == 0:  # LRCP
+            return [
+                (l, r, p)
+                for l in range(lye)
+                for r in range(rs, re_)
+                for p in range(n_prec_by_res[r])
+            ]
+        if ppoc == 1:  # RLCP
+            return [
+                (l, r, p)
+                for r in range(rs, re_)
+                for l in range(lye)
+                for p in range(n_prec_by_res[r])
+            ]
+        # RPCL
+        return [
+            (l, r, p)
+            for r in range(rs, re_)
+            for p in range(n_prec_by_res[r])
+            for l in range(lye)
+        ]
+
+    total = layers * sum(n_prec_by_res)
+    if not poc:
+        return volume(progression, layers, 0, levels + 1)
+    seen: set[tuple[int, int, int]] = set()
+    out: list[tuple[int, int, int]] = []
+    for rs, lye, re_, ppoc in poc:
+        for t in volume(ppoc, lye, rs, re_):
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+    if len(out) != total:
+        raise ValueError(
+            f"JPEG2000 POC volumes cover {len(out)} of {total} packets"
+        )
+    return out
+
+
 def _decode_tile(
     raw: bytes,
     width: int,
@@ -1216,6 +1323,10 @@ def _decode_tile(
     quant_derived: bool,
     guard: int,
     precision: int,
+    prec_sizes=None,
+    sop: bool = False,
+    eph: bool = False,
+    poc=None,
 ) -> np.ndarray:
     """Decode ONE tile's packet stream (its tile-parts concatenated)
     → (height, width) samples: int64 coefficients for the reversible
@@ -1224,22 +1335,47 @@ def _decode_tile(
     per Annex B."""
     data_end = len(raw)
     geometry = _band_geometry(width, height, levels)
-    # per-band code-block bookkeeping + per-resolution tag trees
+    # per-band code-block bookkeeping grouped by PRECINCT (tag trees
+    # and inclusion state are per precinct-band, Annex B.10); the
+    # no-COD-precincts default (PPx=PPy=15) degenerates to one
+    # precinct per resolution — the pre-precinct layout, bit-identical
     resolutions = []
+    n_prec_by_res: list[int] = []
     for r, bands in enumerate(geometry):
+        ppx, ppy, npx, npy = _res_precincts(width, height, levels, r,
+                                            prec_sizes)
+        n_prec_by_res.append(npx * npy)
+        s = 0 if r == 0 else 1  # band coords are half the res grid
         rbands = []
         for bi, (name, bw, bh) in enumerate(bands):
-            gx, gy = _cb_grid(bw, bh, cbw, cbh)
-            cbs = [
-                [
-                    _CodeBlock(
-                        x * cbw, y * cbh,
-                        min(cbw, bw - x * cbw), min(cbh, bh - y * cbh),
-                    )
-                    for x in range(gx)
-                ]
-                for y in range(gy)
-            ]
+            # precincts shrink the effective code-block size
+            cbw_e = min(cbw, 1 << max(ppx - s, 0))
+            cbh_e = min(cbh, 1 << max(ppy - s, 0))
+            precincts = []
+            for pyi in range(npy):
+                for pxi in range(npx):
+                    px0 = min(pxi << (ppx - s), bw)
+                    py0 = min(pyi << (ppy - s), bh)
+                    px1 = min((pxi + 1) << (ppx - s), bw)
+                    py1 = min((pyi + 1) << (ppy - s), bh)
+                    pw, ph = px1 - px0, py1 - py0
+                    gx, gy = _cb_grid(pw, ph, cbw_e, cbh_e)
+                    cbs = [
+                        [
+                            _CodeBlock(
+                                px0 + x * cbw_e, py0 + y * cbh_e,
+                                min(cbw_e, px1 - (px0 + x * cbw_e)),
+                                min(cbh_e, py1 - (py0 + y * cbh_e)),
+                            )
+                            for x in range(gx)
+                        ]
+                        for y in range(gy)
+                    ]
+                    precincts.append({
+                        "grid": (gx, gy), "cbs": cbs,
+                        "incl": _TagTree(max(gx, 1), max(gy, 1)),
+                        "imsb": _TagTree(max(gx, 1), max(gy, 1)),
+                    })
             exp_idx = 0 if r == 0 else 1 + 3 * (r - 1) + bi
             if transform == 1:
                 eps_b, mu_b = exps[exp_idx], 0
@@ -1261,72 +1397,80 @@ def _decode_tile(
             if not 0 < mb <= 38:
                 raise ValueError(f"implausible JPEG2000 bit-plane count {mb}")
             rbands.append({
-                "name": name, "w": bw, "h": bh, "grid": (gx, gy),
-                "cbs": cbs, "mb": mb, "delta": delta,
-                "incl": _TagTree(max(gx, 1), max(gy, 1)),
-                "imsb": _TagTree(max(gx, 1), max(gy, 1)),
+                "name": name, "w": bw, "h": bh, "mb": mb, "delta": delta,
+                "precincts": precincts,
             })
         resolutions.append(rbands)
 
-    # packet decode — for one component/tile LRCP iterates layers
-    # outer, RLCP resolutions outer
-    if progression == 0:  # LRCP
-        order = [(l, r) for l in range(layers) for r in range(levels + 1)]
-    else:  # RLCP
-        order = [(l, r) for r in range(levels + 1) for l in range(layers)]
+    order = _packet_order(progression, layers, levels, n_prec_by_res, poc)
     pos_body = 0
-    for _l, _r in order:
-        for rbands in (resolutions[_r],):
-            rd = _HeaderBitReader(raw[:data_end], pos_body)
-            contributors: list[tuple[_CodeBlock, int, int]] = []
-            if not rd.bit():  # empty packet
-                pos_body = rd.align()
+    for _l, _r, _p in order:
+        if sop:
+            # SOP is OPTIONAL per packet even when signalled in COD —
+            # skip it where present (FF91, Lsop=0004, 16-bit counter)
+            if raw[pos_body : pos_body + 2] == b"\xff\x91":
+                if pos_body + 6 > data_end:
+                    raise ValueError("JPEG2000 SOP marker truncated")
+                pos_body += 6
+        rd = _HeaderBitReader(raw[:data_end], pos_body)
+        contributors: list[tuple[_CodeBlock, int, int]] = []
+        if not rd.bit():  # empty packet
+            pos_body = rd.align()
+            if eph:
+                if raw[pos_body : pos_body + 2] != b"\xff\x92":
+                    raise ValueError("JPEG2000 missing EPH after packet header")
+                pos_body += 2
+            continue
+        for band in resolutions[_r]:
+            if band["w"] == 0 or band["h"] == 0:
                 continue
-            for band in rbands:
-                gx, gy = band["grid"]
-                if band["w"] == 0 or band["h"] == 0:
-                    continue
-                for gyi in range(gy):
-                    for gxi in range(gx):
-                        cb = band["cbs"][gyi][gxi]
-                        if cb.included:
-                            contributes = bool(rd.bit())
-                        else:
-                            contributes = band["incl"].decode(gxi, gyi, _l + 1, rd)
-                        if not contributes:
-                            continue
-                        if not cb.included:
-                            cb.included = True
-                            t = 1
-                            while not band["imsb"].decode(gxi, gyi, t, rd):
-                                t += 1
-                                if t > band["mb"] + 1:
-                                    raise ValueError(
-                                        "JPEG2000 zero-bit-plane tag tree "
-                                        "exceeds band bit-planes"
-                                    )
-                            zbp = int(band["imsb"].low[0][gyi, gxi])
-                            cb.numbps = band["mb"] - zbp
-                            if cb.numbps < 0:
+            pr = band["precincts"][_p]
+            gx, gy = pr["grid"]
+            for gyi in range(gy):
+                for gxi in range(gx):
+                    cb = pr["cbs"][gyi][gxi]
+                    if cb.included:
+                        contributes = bool(rd.bit())
+                    else:
+                        contributes = pr["incl"].decode(gxi, gyi, _l + 1, rd)
+                    if not contributes:
+                        continue
+                    if not cb.included:
+                        cb.included = True
+                        t = 1
+                        while not pr["imsb"].decode(gxi, gyi, t, rd):
+                            t += 1
+                            if t > band["mb"] + 1:
                                 raise ValueError(
-                                    "JPEG2000 negative code-block bit-planes"
+                                    "JPEG2000 zero-bit-plane tag tree "
+                                    "exceeds band bit-planes"
                                 )
-                        np_new = _read_npasses(rd)
-                        while rd.bit():
-                            cb.lblock += 1
-                        nbits = cb.lblock + int(math.floor(math.log2(np_new)))
-                        seglen = rd.bits(nbits)
-                        if seglen > data_end - pos_body:
-                            raise ValueError("JPEG2000 segment length overruns data")
-                        contributors.append((cb, np_new, seglen))
-            body_at = rd.align()
-            for cb, np_new, seglen in contributors:
-                if body_at + seglen > data_end:
-                    raise ValueError("JPEG2000 packet body truncated")
-                cb.segments.append(raw[body_at : body_at + seglen])
-                cb.npasses += np_new
-                body_at += seglen
-            pos_body = body_at
+                        zbp = int(pr["imsb"].low[0][gyi, gxi])
+                        cb.numbps = band["mb"] - zbp
+                        if cb.numbps < 0:
+                            raise ValueError(
+                                "JPEG2000 negative code-block bit-planes"
+                            )
+                    np_new = _read_npasses(rd)
+                    while rd.bit():
+                        cb.lblock += 1
+                    nbits = cb.lblock + int(math.floor(math.log2(np_new)))
+                    seglen = rd.bits(nbits)
+                    if seglen > data_end - pos_body:
+                        raise ValueError("JPEG2000 segment length overruns data")
+                    contributors.append((cb, np_new, seglen))
+        body_at = rd.align()
+        if eph:
+            if raw[body_at : body_at + 2] != b"\xff\x92":
+                raise ValueError("JPEG2000 missing EPH after packet header")
+            body_at += 2
+        for cb, np_new, seglen in contributors:
+            if body_at + seglen > data_end:
+                raise ValueError("JPEG2000 packet body truncated")
+            cb.segments.append(raw[body_at : body_at + seglen])
+            cb.npasses += np_new
+            body_at += seglen
+        pos_body = body_at
 
     # T1 decode into band planes, then inverse DWT
     planes: list[list[np.ndarray]] = []
@@ -1334,7 +1478,9 @@ def _decode_tile(
         rplanes = []
         for band in rbands:
             arr = np.zeros((band["h"], band["w"]), np.int64)
-            for row in band["cbs"]:
+            for row in (
+                row for pr in band["precincts"] for row in pr["cbs"]
+            ):
                 for cb in row:
                     if not cb.included or cb.npasses == 0:
                         continue
@@ -1382,6 +1528,10 @@ def encode_j2k(
     progression: str = "lrcp",
     tile_size: tuple[int, int] | None = None,
     tile_parts: int = 1,
+    precincts: tuple[int, int] | list[tuple[int, int]] | None = None,
+    sop: bool = False,
+    eph: bool = False,
+    poc: list[tuple[int, int, int, str]] | None = None,
 ) -> bytes:
     """Encode (h, w) integers as a JPEG 2000 codestream in the
     decoder's profile (tests only — no rate control; every coding
@@ -1399,7 +1549,18 @@ def encode_j2k(
     ("expounded" = one 16-bit ε/μ per subband, "derived" = a single
     pair the decoder expands via Eq E-5), ``eps_shift`` coarsens every
     step size by 2^eps_shift (0 → Δ_b = 2^0·(1+μ/2^11), near-lossless)
-    and ``mantissa`` is the 11-bit μ applied to every band."""
+    and ``mantissa`` is the 11-bit μ applied to every band.
+
+    ``precincts`` — user-defined precinct sizes (COD Scod bit 0): one
+    (PPx, PPy) exponent pair for all resolutions or a per-resolution
+    list of ``levels + 1``; packets then go per precinct with
+    per-precinct-band tag trees and the effective code-block clamped
+    to the precinct band. ``sop``/``eph`` frame every packet with
+    Start-Of-Packet / End-of-Packet-Header markers (Scod bits 1/2).
+    ``poc`` emits a POC marker: entries (RSpoc, LYEpoc, REpoc,
+    progression-name) — the packet stream follows the volumes in
+    order, first volume wins, and they must jointly cover every
+    packet. ``progression`` accepts "lrcp", "rlcp" or "rpcl"."""
     arr = np.asarray(samples, dtype=np.int64)
     if arr.ndim != 2:
         raise ValueError("encode_j2k expects a 2-D array")
@@ -1425,8 +1586,35 @@ def encode_j2k(
         raise ValueError("eps_shift must be non-negative")
     if not 1 <= layers <= 64:
         raise ValueError("layers out of range [1, 64]")
-    if progression not in ("lrcp", "rlcp"):
+    _PROGS = {"lrcp": 0, "rlcp": 1, "rpcl": 2}
+    if progression not in _PROGS:
         raise ValueError(f"unknown progression {progression!r}")
+    prog_code = _PROGS[progression]
+
+    prec_list: list[tuple[int, int]] | None = None
+    if precincts is not None:
+        prec_list = (
+            list(precincts)
+            if isinstance(precincts, list)
+            else [tuple(precincts)] * (levels + 1)
+        )
+        if len(prec_list) != levels + 1:
+            raise ValueError("precincts list must have levels + 1 entries")
+        for r, (ppx, ppy) in enumerate(prec_list):
+            if not (0 <= ppx <= 15 and 0 <= ppy <= 15):
+                raise ValueError("precinct exponents out of [0, 15]")
+            if r > 0 and (ppx < 1 or ppy < 1):
+                raise ValueError("PPx/PPy must be ≥ 1 for r > 0")
+
+    poc_entries: list[tuple[int, int, int, int]] | None = None
+    if poc is not None:
+        poc_entries = []
+        for rs, lye, re_, pname in poc:
+            if pname not in _PROGS:
+                raise ValueError(f"unknown POC progression {pname!r}")
+            if not (0 <= rs < re_ <= levels + 1 and 1 <= lye <= layers):
+                raise ValueError("POC volume bounds out of range")
+            poc_entries.append((rs, lye, re_, _PROGS[pname]))
 
     tsw, tsh = tile_size if tile_size is not None else (w, h)
     if tsw < 1 or tsh < 1:
@@ -1499,13 +1687,20 @@ def encode_j2k(
     siz = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, tsw, tsh, 0, 0, 1
     ) + bytes([(precision - 1) | (0x80 if signed else 0), 1, 1])
-    cod = bytes([0, 0 if progression == "lrcp" else 1]) + struct.pack(
+    scod = (
+        (1 if prec_list is not None else 0)
+        | (2 if sop else 0)
+        | (4 if eph else 0)
+    )
+    cod = bytes([scod, prog_code]) + struct.pack(
         ">H", layers
     ) + bytes([
         0, levels,
         int(math.log2(cbw)) - 2, int(math.log2(cbh)) - 2, 0,
         0 if irreversible else 1,
     ])
+    if prec_list is not None:
+        cod += bytes((ppy << 4) | ppx for ppx, ppy in prec_list)
     if not irreversible:
         qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
     elif quant_style == "derived":
@@ -1527,22 +1722,39 @@ def encode_j2k(
     def _tile_packets(band_arrays, tw: int, th: int) -> list[bytes]:
         geometry = _band_geometry(tw, th, levels)
         res_bands = _encode_res_bands(
-            geometry, band_arrays, cbw, cbh, guard, exps, layers
+            geometry, band_arrays, cbw, cbh, guard, exps, layers,
+            tw, th, levels, prec_list,
         )
-        if progression == "lrcp":
-            order = [
-                (l, r) for l in range(layers) for r in range(levels + 1)
-            ]
-        else:  # rlcp
-            order = [
-                (l, r) for r in range(levels + 1) for l in range(layers)
-            ]
-        return [_emit_packet(res_bands[r], l) for l, r in order]
+        n_prec_by_res = [
+            _res_precincts(tw, th, levels, r, prec_list)[2]
+            * _res_precincts(tw, th, levels, r, prec_list)[3]
+            for r in range(levels + 1)
+        ]
+        order = _packet_order(
+            prog_code, layers, levels, n_prec_by_res, poc_entries
+        )
+        pkts = []
+        for nsop, (l, r, p) in enumerate(order):
+            header, body = _emit_packet(res_bands[r], l, p)
+            pkt = bytearray()
+            if sop:
+                pkt += b"\xff\x91\x00\x04" + struct.pack(">H", nsop & 0xFFFF)
+            pkt += header
+            if eph:
+                pkt += b"\xff\x92"
+            pkt += body
+            pkts.append(bytes(pkt))
+        return pkts
 
     stream = bytearray(
         struct.pack(">H", _SOC) + seg(_SIZ, siz) + seg(_COD, cod)
         + seg(_QCD, qcd)
     )
+    if poc_entries is not None:
+        stream += seg(_POC, b"".join(
+            struct.pack(">BBHBBB", rs, 0, lye, re_, 1, ppoc)
+            for rs, lye, re_, ppoc in poc_entries
+        ))
     for isot in range(ntx * nty):
         ty, tx = divmod(isot, ntx)
         x0, y0 = tx * tsw, ty * tsh
@@ -1565,108 +1777,141 @@ def encode_j2k(
     return bytes(stream + struct.pack(">H", _EOC))
 
 
-def _encode_res_bands(geometry, band_arrays, cbw, cbh, guard, exps, layers):
+def _encode_res_bands(geometry, band_arrays, cbw, cbh, guard, exps, layers,
+                      tw, th, levels, prec_list):
     """T1-encode one tile's code blocks and build its per-resolution
-    band state (segments per layer, tag trees, lblock/included)."""
+    band state grouped by PRECINCT (segments per layer, per-precinct
+    tag trees, lblock/included) — the mirror of _decode_tile's
+    bookkeeping; with no user precincts this is one precinct per
+    resolution, bit-identical to the pre-precinct layout."""
     res_bands = []
     for r, bands in enumerate(geometry):
+        ppx, ppy, npx, npy = _res_precincts(tw, th, levels, r, prec_list)
+        s = 0 if r == 0 else 1
         blist = []
         for bi, (name, bw, bh) in enumerate(bands):
-            gx, gy = _cb_grid(bw, bh, cbw, cbh)
+            cbw_e = min(cbw, 1 << max(ppx - s, 0))
+            cbh_e = min(cbh, 1 << max(ppy - s, 0))
             arr_b = band_arrays[r][bi]
             mb = guard + exps[0 if r == 0 else 1 + 3 * (r - 1) + bi] - 1
-            results = np.empty((gy, gx), object)
-            # inclusion tag-tree value = first contributing layer
-            # (``layers`` = never contributes, beyond every threshold)
-            incl_vals = np.full((max(gy, 1), max(gx, 1)), layers, np.int32)
-            zbp_vals = np.zeros((max(gy, 1), max(gx, 1)), np.int32)
-            for gyi in range(gy):
-                for gxi in range(gx):
-                    x0, y0 = gxi * cbw, gyi * cbh
-                    blk = arr_b[y0 : min(y0 + cbh, bh), x0 : min(x0 + cbw, bw)]
-                    res = _t1_encode(blk, name, mb)
-                    if res is None:
-                        continue
-                    data, npasses, used, rates = res
-                    cums = [
-                        min(int(round(npasses * (j + 1) / layers)), npasses)
-                        for j in range(layers)
-                    ]
-                    cums[-1] = npasses
-                    segs: list[tuple[int, bytes]] = []
-                    prev_c = prev_pos = 0
-                    first_layer = None
-                    for j, cj in enumerate(cums):
-                        np_new = cj - prev_c
-                        pos = max(rates[cj - 1] if cj else 0, prev_pos)
-                        segs.append((np_new, data[prev_pos:pos]))
-                        if np_new and first_layer is None:
-                            first_layer = j
-                        prev_c, prev_pos = cj, pos
-                    incl_vals[gyi, gxi] = first_layer
-                    zbp_vals[gyi, gxi] = mb - used
-                    results[gyi, gxi] = segs
-            incl = _TagTree(max(gx, 1), max(gy, 1))
-            imsb = _TagTree(max(gx, 1), max(gy, 1))
-            incl.set_values(incl_vals)
-            imsb.set_values(zbp_vals)
-            blist.append({
-                "bw": bw, "bh": bh, "gx": gx, "gy": gy,
-                "results": results, "incl": incl, "imsb": imsb,
-                "lblocks": np.full((max(gy, 1), max(gx, 1)), 3, np.int32),
-                "included": np.zeros((max(gy, 1), max(gx, 1)), bool),
-            })
+            precincts = []
+            for pyi in range(npy):
+                for pxi in range(npx):
+                    px0 = min(pxi << (ppx - s), bw)
+                    py0 = min(pyi << (ppy - s), bh)
+                    px1 = min((pxi + 1) << (ppx - s), bw)
+                    py1 = min((pyi + 1) << (ppy - s), bh)
+                    pw, ph = px1 - px0, py1 - py0
+                    gx, gy = _cb_grid(pw, ph, cbw_e, cbh_e)
+                    results = np.empty((max(gy, 1), max(gx, 1)), object)
+                    results[:] = None
+                    # inclusion tag-tree value = first contributing
+                    # layer (``layers`` = never contributes)
+                    incl_vals = np.full(
+                        (max(gy, 1), max(gx, 1)), layers, np.int32
+                    )
+                    zbp_vals = np.zeros((max(gy, 1), max(gx, 1)), np.int32)
+                    for gyi in range(gy):
+                        for gxi in range(gx):
+                            x0 = px0 + gxi * cbw_e
+                            y0 = py0 + gyi * cbh_e
+                            blk = arr_b[
+                                y0 : min(y0 + cbh_e, py1),
+                                x0 : min(x0 + cbw_e, px1),
+                            ]
+                            res = _t1_encode(blk, name, mb)
+                            if res is None:
+                                continue
+                            data, npasses, used, rates = res
+                            cums = [
+                                min(
+                                    int(round(npasses * (j + 1) / layers)),
+                                    npasses,
+                                )
+                                for j in range(layers)
+                            ]
+                            cums[-1] = npasses
+                            segs: list[tuple[int, bytes]] = []
+                            prev_c = prev_pos = 0
+                            first_layer = None
+                            for j, cj in enumerate(cums):
+                                np_new = cj - prev_c
+                                pos = max(rates[cj - 1] if cj else 0, prev_pos)
+                                segs.append((np_new, data[prev_pos:pos]))
+                                if np_new and first_layer is None:
+                                    first_layer = j
+                                prev_c, prev_pos = cj, pos
+                            incl_vals[gyi, gxi] = first_layer
+                            zbp_vals[gyi, gxi] = mb - used
+                            results[gyi, gxi] = segs
+                    incl = _TagTree(max(gx, 1), max(gy, 1))
+                    imsb = _TagTree(max(gx, 1), max(gy, 1))
+                    incl.set_values(incl_vals)
+                    imsb.set_values(zbp_vals)
+                    precincts.append({
+                        "gx": gx, "gy": gy,
+                        "results": results, "incl": incl, "imsb": imsb,
+                        "lblocks": np.full(
+                            (max(gy, 1), max(gx, 1)), 3, np.int32
+                        ),
+                        "included": np.zeros(
+                            (max(gy, 1), max(gx, 1)), bool
+                        ),
+                    })
+            blist.append({"bw": bw, "bh": bh, "precincts": precincts})
         res_bands.append(blist)
     return res_bands
 
 
-def _emit_packet(blist, l: int) -> bytes:
-    """Emit one (layer, resolution) packet from the band state."""
+def _emit_packet(blist, l: int, p: int) -> tuple[bytes, bytes]:
+    """Emit one (layer, resolution, precinct) packet from the band
+    state → (header, body) so the caller can frame with SOP/EPH."""
     any_contrib = any(
-        band["results"][gyi, gxi] is not None
-        and band["results"][gyi, gxi][l][0] > 0
+        band["precincts"][p]["results"][gyi, gxi] is not None
+        and band["precincts"][p]["results"][gyi, gxi][l][0] > 0
         for band in blist
-        for gyi in range(band["gy"])
-        for gxi in range(band["gx"])
+        for gyi in range(band["precincts"][p]["gy"])
+        for gxi in range(band["precincts"][p]["gx"])
     )
     wr = _HeaderBitWriter()
     if not any_contrib:
         # empty packet: single 0 bit, tag-tree state untouched
         # (the decoder skips all signaling for it)
         wr.bit(0)
-        return wr.tobytes()
+        return wr.tobytes(), b""
     wr.bit(1)
     bodies = bytearray()
     for band in blist:
         if band["bw"] == 0 or band["bh"] == 0:
             continue
-        for gyi in range(band["gy"]):
-            for gxi in range(band["gx"]):
-                res = band["results"][gyi, gxi]
-                if band["included"][gyi, gxi]:
+        pr = band["precincts"][p]
+        for gyi in range(pr["gy"]):
+            for gxi in range(pr["gx"]):
+                res = pr["results"][gyi, gxi]
+                if pr["included"][gyi, gxi]:
                     np_new, segbytes = res[l]
                     wr.bit(1 if np_new else 0)
                     if not np_new:
                         continue
                 else:
-                    band["incl"].encode(gxi, gyi, l + 1, wr)
+                    pr["incl"].encode(gxi, gyi, l + 1, wr)
                     if res is None or res[l][0] == 0:
                         continue  # not included by this layer
-                    band["included"][gyi, gxi] = True
+                    pr["included"][gyi, gxi] = True
                     # resolve the zero-bit-plane count fully (the
                     # huge threshold stops at the leaf value,
                     # openjpeg-style)
-                    band["imsb"].encode(gxi, gyi, 1 << 20, wr)
+                    pr["imsb"].encode(gxi, gyi, 1 << 20, wr)
                     np_new, segbytes = res[l]
                 _write_npasses(wr, np_new)
-                nbits = int(band["lblocks"][gyi, gxi]) + int(
+                nbits = int(pr["lblocks"][gyi, gxi]) + int(
                     math.floor(math.log2(np_new))
                 )
                 while len(segbytes) >= (1 << nbits):
                     wr.bit(1)
-                    band["lblocks"][gyi, gxi] += 1
+                    pr["lblocks"][gyi, gxi] += 1
                     nbits += 1
                 wr.bit(0)
                 wr.bits(len(segbytes), nbits)
                 bodies += segbytes
-    return wr.tobytes() + bodies
+    return wr.tobytes(), bytes(bodies)

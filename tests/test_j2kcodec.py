@@ -648,3 +648,166 @@ def test_multitile_missing_tile_raises():
     bad = bytes(enc[: first_sot + psot]) + b"\xff\xd9"
     with pytest.raises(ValueError, match="has no tile-part"):
         decode_j2k(bad)
+
+
+# ------------------------------------ precincts / SOP-EPH / RPCL / POC
+
+
+@pytest.mark.parametrize(
+    "prec",
+    [(6, 6), (5, 7), (7, 5), [(4, 4), (5, 5), (6, 6)]],
+)
+def test_precinct_lossless_roundtrip(prec):
+    """User-defined precincts (COD Scod bit 0): packets go per
+    precinct with per-precinct-band tag trees and the effective
+    code-block clamped to the precinct band — bit-exact round-trip
+    across uniform and per-resolution precinct grids."""
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 4096, size=(90, 130), dtype=np.int64)
+    enc = encode_j2k(img, 12, 2, (16, 16), precincts=prec)
+    assert np.array_equal(decode_j2k(enc), img)
+
+
+def test_precinct_clamps_codeblock():
+    """A precinct smaller than the code-block must shrink the
+    effective block (2^(PPx-1) in subbands): cb 64 with PPx=PPy=4
+    → 8×8 blocks; the stream still round-trips."""
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 1024, size=(48, 80), dtype=np.int64)
+    enc = encode_j2k(img, 10, 2, (64, 64), precincts=(4, 4))
+    assert np.array_equal(decode_j2k(enc), img)
+
+
+def test_precinct_lossy_multilayer_multitile():
+    """Precincts compose with the rest of the surface: 9/7 lossy ×
+    3 layers × RLCP × 2×2 tile grid × tile-parts, all precincted."""
+    rng = np.random.default_rng(47)
+    smooth = np.clip(
+        np.cumsum(rng.integers(-4, 5, size=(45, 60)), axis=1) + 512, 0, 1023
+    ).astype(np.int64)
+    enc = encode_j2k(
+        smooth, 10, 2, (16, 16), irreversible=True, layers=3,
+        progression="rlcp", tile_size=(32, 24), tile_parts=2,
+        precincts=(5, 5),
+    )
+    assert np.abs(decode_j2k(enc) - smooth).max() <= 3
+
+
+def test_precinct_cod_marker_layout():
+    """Scod bit 0 set and one (PPy<<4 | PPx) byte per resolution."""
+    img = np.arange(16 * 16, dtype=np.int64).reshape(16, 16) % 256
+    enc = encode_j2k(img, 8, 2, (8, 8), precincts=[(4, 5), (5, 6), (6, 7)])
+    cod_at = enc.find(b"\xff\x52")
+    body = enc[cod_at + 4 :]
+    assert body[0] & 0x01  # Scod bit 0: user precincts
+    assert list(body[10:13]) == [(5 << 4) | 4, (6 << 4) | 5, (7 << 4) | 6]
+
+
+def test_sop_eph_markers_on_wire():
+    """SOP frames every packet with an incrementing counter; EPH
+    terminates every packet header — counts must equal the packet
+    count (layers × Σ precincts) and the stream still round-trips."""
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 4096, size=(64, 64), dtype=np.int64)
+    layers, levels = 2, 2
+    enc = encode_j2k(
+        img, 12, levels, (16, 16), layers=layers, precincts=(5, 5),
+        sop=True, eph=True,
+    )
+    cod_at = enc.find(b"\xff\x52")
+    assert enc[cod_at + 4] & 0x06 == 0x06  # Scod bits 1+2
+    # 64×64, levels=2: res dims 16/32/64 → precincts (5,5): 1, 1, 4
+    n_pkts = layers * (1 + 1 + 4)
+    assert enc.count(b"\xff\x91\x00\x04") == n_pkts
+    assert enc.count(b"\xff\x92") == n_pkts
+    sops = []
+    pos = enc.find(b"\xff\x91\x00\x04")
+    while pos != -1:
+        sops.append(struct.unpack(">H", enc[pos + 4 : pos + 6])[0])
+        pos = enc.find(b"\xff\x91\x00\x04", pos + 6)
+    assert sops == list(range(n_pkts))
+    assert np.array_equal(decode_j2k(enc), img)
+
+
+def test_rpcl_progression_roundtrip():
+    rng = np.random.default_rng(59)
+    img = rng.integers(0, 4096, size=(70, 90), dtype=np.int64)
+    enc = encode_j2k(
+        img, 12, 2, (16, 16), layers=3, progression="rpcl",
+        precincts=(5, 5),
+    )
+    cod_at = enc.find(b"\xff\x52")
+    assert enc[cod_at + 5] == 2  # RPCL on the wire
+    assert np.array_equal(decode_j2k(enc), img)
+
+
+def test_poc_roundtrip_and_marker():
+    """POC volumes: low resolutions LRCP for the first two layers,
+    then the rest RPCL — the packet stream follows the volumes in
+    order (first volume wins) and the POC marker carries the
+    (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) entries."""
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 4096, size=(90, 130), dtype=np.int64)
+    enc = encode_j2k(
+        img, 12, 2, (16, 16), layers=3, precincts=(6, 6),
+        poc=[(0, 2, 2, "lrcp"), (0, 3, 3, "rpcl")],
+    )
+    poc_at = enc.find(b"\xff\x5f")
+    assert poc_at != -1
+    ln = struct.unpack(">H", enc[poc_at + 2 : poc_at + 4])[0]
+    assert ln == 2 + 14  # two 7-byte entries
+    assert enc[poc_at + 4 : poc_at + 11] == struct.pack(
+        ">BBHBBB", 0, 0, 2, 2, 1, 0
+    )
+    assert np.array_equal(decode_j2k(enc), img)
+
+
+def test_poc_gap_rejected():
+    """POC volumes that do not cover every packet desynchronize all
+    later headers — the decoder must refuse loudly, not misdecode."""
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.int64)
+    enc = bytearray(
+        encode_j2k(img, 8, 1, (16, 16), layers=2,
+                   poc=[(0, 2, 1, "lrcp"), (1, 2, 2, "lrcp")])
+    )
+    # shrink the second volume's REpoc so resolution 1 loses coverage:
+    # entry 2 starts 7 bytes into the POC body
+    poc_at = bytes(enc).find(b"\xff\x5f")
+    assert enc[poc_at + 4 + 7 + 4] == 2  # REpoc of entry 2
+    enc[poc_at + 4 + 7 + 4] = 1
+    with pytest.raises(ValueError, match="POC volumes cover"):
+        decode_j2k(bytes(enc))
+
+
+def test_missing_eph_rejected():
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.int64)
+    enc = bytearray(encode_j2k(img, 8, 1, (8, 8), eph=True))
+    at = bytes(enc).find(b"\xff\x92")
+    enc[at] = 0x00  # corrupt the first EPH
+    with pytest.raises(ValueError, match="EPH"):
+        decode_j2k(bytes(enc))
+
+
+def test_precinct_zero_exponent_subband_rejected():
+    """PPx/PPy = 0 at r > 0 implies a half-sample precinct band —
+    both encoder and decoder refuse."""
+    img = np.zeros((16, 16), np.int64)
+    with pytest.raises(ValueError, match="PPx/PPy"):
+        encode_j2k(img, 8, 1, (8, 8), precincts=[(4, 4), (0, 4)])
+    # decoder side: patch a valid stream's COD precinct byte to 0
+    enc = bytearray(encode_j2k(img, 8, 1, (8, 8), precincts=(4, 4)))
+    cod_at = bytes(enc).find(b"\xff\x52")
+    enc[cod_at + 4 + 11] = 0  # r=1 precinct byte
+    with pytest.raises(ValueError, match="PPx/PPy"):
+        decode_j2k(bytes(enc))
+
+
+def test_pcrl_progression_rejected():
+    img = np.zeros((16, 16), np.int64)
+    enc = bytearray(encode_j2k(img, 8, 1, (8, 8)))
+    cod_at = bytes(enc).find(b"\xff\x52")
+    enc[cod_at + 5] = 3  # PCRL
+    with pytest.raises(ValueError, match="progression order 3"):
+        decode_j2k(bytes(enc))
