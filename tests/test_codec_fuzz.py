@@ -225,6 +225,19 @@ def _j2k_multitile_bytes() -> bytes:
     )
 
 
+def _j2k_precinct_bytes() -> bytes:
+    import numpy as np
+
+    from open_energy_data_server_spark.sources.j2kcodec import encode_j2k
+
+    rng = np.random.default_rng(43)
+    return encode_j2k(
+        rng.integers(0, 1024, size=(18, 26), dtype=np.int64), 10, 2, (8, 8),
+        precincts=(4, 4), sop=True, eph=True, layers=2,
+        poc=[(0, 1, 3, "rpcl"), (0, 2, 3, "lrcp")],
+    )
+
+
 def _grib2_spectral_bytes() -> bytes:
     from tests.test_grib2_spectral import make_grib2_spectral
 
@@ -251,6 +264,7 @@ CODECS = {
     "j2k_lossy": (_j2k_lossy_bytes, decode_j2k),
     "j2k_multilayer": (_j2k_multilayer_bytes, decode_j2k),
     "j2k_multitile": (_j2k_multitile_bytes, decode_j2k),
+    "j2k_precinct": (_j2k_precinct_bytes, decode_j2k),
     "j2k_lossy_derived": (_j2k_lossy_derived_bytes, decode_j2k),
     "png": (_png_bytes, decode_png),
     "grib2": (_grib2_bytes, decode_grib2),
