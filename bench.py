@@ -206,12 +206,15 @@ def _cold_only() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark, sf_dir, _ = _setup_session(sf, sf_dir, "spark-oeds-bench-cold2")
-    dfs, build_sec = _build_plans(spark, sf_dir)
-    _cold, wall = _cold_pass(dfs)
+    threads = int(os.environ.get("SPARK_OEDS_COLD_THREADS", "16"))
+    dfs, build_sec = _build_plans(spark, sf_dir, threads=threads)
+    cold, wall = _cold_pass(dfs, threads=threads)
     print(json.dumps({
         "cold_sec": wall,
         "build_sec": build_sec,
         "n": len(dfs),
+        "threads": threads,
+        "slowest": dict(sorted(cold.items(), key=lambda kv: -kv[1])[:10]),
         "host_memtouch_mbps": _memtouch_mbps(),
     }))
 

@@ -55,6 +55,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR job scheduling: the engine serves CONCURRENT queries
+        # (serving.py facade, the bench's parallel cold pass, any
+        # multi-tenant driver). Under FIFO a query composed of many
+        # tiny sequential jobs (recursive-CTE UnionLoop iterations)
+        # queues each job behind whole scans of its neighbours and its
+        # latency balloons ~3x; FAIR round-robins task slots per job —
+        # measured 64 s → ~21 s for q_ewma_anomaly_rcte under a
+        # 16-query concurrent load, no effect on single-query runs
+        .config("spark.scheduler.mode", "FAIR")
         # PostgreSQL/DuckDB semantics, not ANSI-strict: division by
         # zero and invalid casts propagate NULL instead of raising
         # (Spark 4 defaults ANSI on; the oracle comparison and the
