@@ -37,9 +37,20 @@ BATCH_PYTHON = (
 def _plans(spark):
     import __spark_entry__ as e
 
-    for name, fn in sorted(e.queries().items()):
-        df = fn(spark, "/root/testdata/sf0.001")
-        yield name, df._jdf.queryExecution().executedPlan().toString()
+    # plan *strings* truncate per-field metadata at
+    # spark.sql.maxMetadataStringLength (default 100): a 6-column
+    # lineitem ReadSchema renders as "struct<l_orderkey:bigint,...doub"
+    # with NO closing '>', and a regex over it silently spills into the
+    # next scan's schema. Raise the limit so the text we parse is the
+    # whole truth.
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        for name, fn in sorted(e.queries().items()):
+            df = fn(spark, "/root/testdata/sf0.001")
+            yield name, df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
 def test_no_python_in_query_plans(spark):
@@ -78,6 +89,10 @@ NLJ_ALLOWED = {
     # uncorrelated scalar-subquery shape; round9b docstring) — the
     # nested-loop side is a single row by construction
     "q_idle_rich_customers",
+    # 1-row HAVING-scalar broadcast (the Q11 uncorrelated scalar cut;
+    # round10.py docstring) — the nested-loop side is a single row by
+    # construction, same shape as q_idle_rich_customers above
+    "q_important_volume_parts",
 }
 
 
@@ -92,15 +107,18 @@ def test_no_unbounded_nested_loop_joins(spark):
 
 
 def test_lineitem_scans_prune_columns(spark):
-    """Any query scanning lineitem must read < the full 16 columns."""
+    """Any query scanning lineitem must read < its full 11 columns —
+    a full-width fact scan for a narrower projection means column
+    pruning broke. The regex is newline-bounded so a (hypothetically)
+    truncated ReadSchema can't spill into the next scan's schema."""
     wide = []
     for name, plan in _plans(spark):
-        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        for m in re.finditer(r"ReadSchema: struct<([^>\n]*)>", plan):
             scan_window = plan[max(0, m.start() - 400) : m.end()]
             if "lineitem" not in scan_window:
                 continue
             ncols = len([c for c in m.group(1).split(",") if ":" in c])
-            if ncols >= 16:
+            if ncols >= 11:
                 wide.append((name, ncols))
     assert not wide, f"full-width lineitem scans: {wide}"
 
