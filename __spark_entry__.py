@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = [
     "q_supplier_count_by_part",
     "q_bracketed_revenue",
     "q_excess_shippers",
+    "q_cdc_current_snapshot",
     # checked names, stalest latest-green first (as of r09)
     "q_chunk_documents",  # r5
     "q_char_diversity",  # r5

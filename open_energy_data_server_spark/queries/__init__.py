@@ -67,6 +67,7 @@ def _load_all() -> None:
         round9b,
         round9c,
         round10,
+        round10b,
         scalars,
         search_rank,
         windows,

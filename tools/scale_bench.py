@@ -138,11 +138,19 @@ def generate(spark, src_dir: str) -> None:
 
 
 def main() -> None:
+    global REPLICAS, OUT_DIR
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default="all")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--skip-duckdb", action="store_true")
+    # round-10 verdict ask #6: one more decade for the heavy hitters —
+    # --replicas 30 writes /tmp/spark_oeds_scale30 and labels the
+    # metric scale30_total so scaling exponents are computable from
+    # the two artifacts
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
     args = ap.parse_args()
+    REPLICAS = args.replicas
+    OUT_DIR = f"/tmp/spark_oeds_scale{REPLICAS}"
 
     from open_energy_data_server_spark.queries import ORACLES, QUERIES
     from open_energy_data_server_spark.session import get_spark
@@ -213,7 +221,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scale10_total",
+                "metric": f"scale{REPLICAS}_total",
                 "value": total,
                 "unit": "sec",
                 "gen_sec": gen_sec,
