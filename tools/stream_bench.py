@@ -22,7 +22,14 @@ Both dedup operators are pure JVM projections (md5 / shingle
 transform / dropDuplicatesWithinWatermark) — no Python stage — so
 this measures the engine, not Arrow transfer.
 
-Usage: PYTHONPATH=. python tools/stream_bench.py [replicas]
+Usage: PYTHONPATH=. python tools/stream_bench.py [replicas] [files_per_trigger]
+
+Two published configs: files_per_trigger=1 (20 micro-batches — the
+LATENCY-bound shape: per-batch state/scheduler overhead visible) and
+files_per_trigger=5 (4 big micro-batches — the THROUGHPUT-bound shape
+a production trigger interval would run). rows/s scales with batch
+size because the per-row cost is JVM projection work, not state
+round-trips.
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ import time
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    files_per_trigger = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from pyspark.sql import functions as F
@@ -81,7 +89,7 @@ def main() -> None:
 
     stream = (
         spark.readStream.schema("doc_id long, text string, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(src)
     )
     gated = stream.filter(F.size(F.split(F.col("text"), r"\s+")) >= 5)
@@ -143,14 +151,29 @@ def main() -> None:
             "per_operator_at_peak": per_op_peak,
         },
         "replicas": replicas,
+        "files_per_trigger": files_per_trigger,
         "sf_dir": sf_dir,
     }
     print(json.dumps(record))
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "STREAMBENCH.json"), "w",
-    ) as fh:
-        json.dump(record, fh, indent=1)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STREAMBENCH.json",
+    )
+    # one artifact, one entry per (replicas, files_per_trigger) config
+    try:
+        with open(path) as fh:
+            prior = json.load(fh)
+        configs = prior.get("configs", [prior] if "metric" in prior else [])
+    except (OSError, ValueError):
+        configs = []
+    key = (replicas, files_per_trigger)
+    configs = [
+        c
+        for c in configs
+        if (c.get("replicas"), c.get("files_per_trigger", 1)) != key
+    ] + [record]
+    with open(path, "w") as fh:
+        json.dump({"configs": configs}, fh, indent=1)
     shutil.rmtree(work, ignore_errors=True)
 
 
