@@ -45,6 +45,8 @@ from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.streaming.stateful import _interval_ms
 
+_KIND = "asof_kind"
+
 
 def _ddl(df: DataFrame, cols: Sequence[str]) -> str:
     """``name type, …`` DDL for a subset of ``df``'s columns."""
@@ -174,6 +176,109 @@ def stream_cdc_apply(
     )
 
 
+def _asof_tagged(
+    facts: DataFrame,
+    dims: DataFrame,
+    key_col: str,
+    ts_col: str,
+    f_cols: Sequence[str],
+    d_cols: Sequence[str],
+) -> tuple[DataFrame, str]:
+    """Union the two streams into one keyed stream (``asof_kind``
+    1=fact, 0=dim, the other side's columns null) + the output DDL.
+    The tag deliberately has NO leading underscore: the
+    transformWithState Arrow serializer positionally renames
+    underscore-leading columns (``_kind`` arrives as ``_2``)."""
+    if _KIND in list(f_cols) + list(d_cols):
+        raise ValueError(f"column name {_KIND!r} is reserved by the as-of operator")
+    tagged = facts.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias(_KIND),
+        *[F.col(c) for c in f_cols],
+        *[F.lit(None).cast(dims.schema[c].dataType).alias(c) for c in d_cols],
+    ).unionByName(
+        dims.select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.lit(0).alias(_KIND),
+            *[
+                F.lit(None).cast(facts.schema[c].dataType).alias(c)
+                for c in f_cols
+            ],
+            *[F.col(c) for c in d_cols],
+        )
+    )
+    out_schema = (
+        _ddl(facts, [key_col, ts_col]) + ", " + _ddl(facts, f_cols)
+        + ", " + _ddl(dims, d_cols)
+    )
+    return tagged, out_schema
+
+
+def _asof_ingest(
+    batches: Iterator[pd.DataFrame],
+    ts_col: str,
+    f_cols: Sequence[str],
+    d_cols: Sequence[str],
+    fact_buf: list,
+    dim_buf: list,
+) -> None:
+    """Append a micro-batch's tagged rows into the two buffers
+    (in-place)."""
+    for p in batches:
+        if p.empty:
+            continue
+        kinds = p[_KIND].tolist()
+        ts_vals = [int(pd.Timestamp(t).value) for t in p[ts_col]]
+        f_vals = [p[c].tolist() for c in f_cols]
+        d_vals = [p[c].tolist() for c in d_cols]
+        for i, kind in enumerate(kinds):
+            if kind == 1:
+                fact_buf.append((ts_vals[i],) + tuple(v[i] for v in f_vals))
+            else:
+                dim_buf.append((ts_vals[i],) + tuple(v[i] for v in d_vals))
+
+
+def _asof_match(
+    fact_buf: list,
+    dim_buf: list,
+    wm_ns: int,
+    key0: Any,
+    key_col: str,
+    ts_col: str,
+    f_cols: Sequence[str],
+    d_cols: Sequence[str],
+) -> tuple[pd.DataFrame | None, list, list]:
+    """The shared as-of fold (both state-API backends): emit every
+    fact the watermark has passed, matched to the latest dim version
+    at-or-before its timestamp; prune dims to those a future fact can
+    still need. Returns (emission or None, facts kept, dims kept)."""
+    fact_buf.sort(key=lambda t: t[0])
+    dim_buf.sort(key=lambda t: t[0])
+    ready = [t for t in fact_buf if t[0] <= wm_ns]
+    fact_buf = [t for t in fact_buf if t[0] > wm_ns]
+    out = None
+    if ready:
+        dim_ts = [t[0] for t in dim_buf]
+        out_rows = []
+        for t in ready:
+            i = bisect_right(dim_ts, t[0]) - 1
+            dim_vals = (
+                tuple(dim_buf[i][1:]) if i >= 0 else (None,) * len(d_cols)
+            )
+            out_rows.append((key0, pd.Timestamp(t[0])) + t[1:] + dim_vals)
+        out = pd.DataFrame(
+            out_rows, columns=[key_col, ts_col] + list(f_cols) + list(d_cols)
+        )
+    # future facts can only need dim versions newer than the
+    # watermark, plus the single latest at-or-before it
+    keep_from = bisect_right([t[0] for t in dim_buf], wm_ns) - 1
+    if keep_from > 0:
+        dim_buf = dim_buf[keep_from:]
+    return out, fact_buf, dim_buf
+
+
 def stream_asof_enrich(
     facts: DataFrame,
     dims: DataFrame,
@@ -198,27 +303,8 @@ def stream_asof_enrich(
 
     f_cols = list(fact_cols)
     d_cols = list(dim_cols)
-    tagged = facts.select(
-        F.col(key_col),
-        F.col(ts_col),
-        F.lit(1).alias("_kind"),
-        *[F.col(c) for c in f_cols],
-        *[F.lit(None).cast(dims.schema[c].dataType).alias(c) for c in d_cols],
-    ).unionByName(
-        dims.select(
-            F.col(key_col),
-            F.col(ts_col),
-            F.lit(0).alias("_kind"),
-            *[
-                F.lit(None).cast(facts.schema[c].dataType).alias(c)
-                for c in f_cols
-            ],
-            *[F.col(c) for c in d_cols],
-        )
-    )
-    out_schema = (
-        _ddl(facts, [key_col, ts_col]) + ", " + _ddl(facts, f_cols)
-        + ", " + _ddl(dims, d_cols)
+    tagged, out_schema = _asof_tagged(
+        facts, dims, key_col, ts_col, f_cols, d_cols
     )
     state_schema = (
         f"facts array<struct<ts_ns:bigint,{_struct_ddl(facts, f_cols)}>>, "
@@ -237,46 +323,13 @@ def stream_asof_enrich(
             dim_buf = [tuple(r) for r in st[1]]
         else:
             fact_buf, dim_buf = [], []
-        for p in batches:
-            if p.empty:
-                continue
-            # column-array iteration (itertuples would positionally
-            # rename the leading-underscore _kind column)
-            kinds = p["_kind"].tolist()
-            ts_vals = [int(pd.Timestamp(t).value) for t in p[ts_col]]
-            f_vals = [p[c].tolist() for c in f_cols]
-            d_vals = [p[c].tolist() for c in d_cols]
-            for i, kind in enumerate(kinds):
-                if kind == 1:
-                    fact_buf.append(
-                        (ts_vals[i],) + tuple(v[i] for v in f_vals)
-                    )
-                else:
-                    dim_buf.append(
-                        (ts_vals[i],) + tuple(v[i] for v in d_vals)
-                    )
+        _asof_ingest(batches, ts_col, f_cols, d_cols, fact_buf, dim_buf)
         wm_ns = state.getCurrentWatermarkMs() * 1_000_000
-        fact_buf.sort(key=lambda t: t[0])
-        dim_buf.sort(key=lambda t: t[0])
-        ready = [t for t in fact_buf if t[0] <= wm_ns]
-        fact_buf = [t for t in fact_buf if t[0] > wm_ns]
-        if ready:
-            dim_ts = [t[0] for t in dim_buf]
-            out_rows = []
-            for t in ready:
-                i = bisect_right(dim_ts, t[0]) - 1
-                dim_vals = (
-                    tuple(dim_buf[i][1:]) if i >= 0 else (None,) * len(d_cols)
-                )
-                out_rows.append((key[0], pd.Timestamp(t[0])) + t[1:] + dim_vals)
-            yield pd.DataFrame(
-                out_rows, columns=[key_col, ts_col] + f_cols + d_cols
-            )
-        # prune dims: future facts can only need versions newer than
-        # the watermark, plus the single latest at-or-before it
-        keep_from = bisect_right([t[0] for t in dim_buf], wm_ns) - 1
-        if keep_from > 0:
-            dim_buf = dim_buf[keep_from:]
+        out, fact_buf, dim_buf = _asof_match(
+            fact_buf, dim_buf, wm_ns, key[0], key_col, ts_col, f_cols, d_cols
+        )
+        if out is not None:
+            yield out
         if not fact_buf and not dim_buf:
             state.remove()
             return
@@ -308,5 +361,124 @@ def stream_asof_enrich(
             state_schema,
             "append",
             GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_asof_enrich_tws(
+    facts: DataFrame,
+    dims: DataFrame,
+    key_col: str,
+    ts_col: str,
+    fact_cols: Sequence[str],
+    dim_cols: Sequence[str],
+    watermark: str = "10 minutes",
+    ttl: str = "60 minutes",
+) -> DataFrame:
+    """Same operator on the Spark-4 arbitrary-state API
+    (``transformWithStateInPandas``): the fact and dim buffers are two
+    typed ``ListState`` variables (appended per batch, rewritten on
+    flush) instead of one packed array-struct value, and the
+    flush-on-watermark trigger is an explicit event-time timer. The
+    as-of fold itself (`_asof_match`) is byte-identical to the
+    applyInPandasWithState variant — two state APIs, one semantics
+    (pinned row-for-row in tests/test_streaming_cdc.py). Needs the
+    RocksDB state-store provider; the vendored protobuf runtime
+    auto-engages when the real package is absent."""
+    from open_energy_data_server_spark.vendor import (
+        ensure_protobuf,
+        propagate_to_workers,
+    )
+
+    if not ensure_protobuf():  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package and "
+            "the vendored fallback failed to import; use "
+            "stream_asof_enrich (applyInPandasWithState, same semantics)"
+        )
+    propagate_to_workers(facts.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    f_cols = list(fact_cols)
+    d_cols = list(dim_cols)
+    tagged, out_schema = _asof_tagged(
+        facts, dims, key_col, ts_col, f_cols, d_cols
+    )
+    fact_elem = f"ts_ns bigint, {_ddl(facts, f_cols)}"
+    dim_elem = f"ts_ns bigint, {_ddl(dims, d_cols)}"
+    ttl_ms = _interval_ms(ttl)
+
+    class _AsofProc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._facts = handle.getListState("asof_facts", fact_elem)
+            self._dims = handle.getListState("asof_dims", dim_elem)
+
+        def _fold(self, key, batches, wm_ms):
+            fact_buf = (
+                [tuple(r) for r in self._facts.get()]
+                if self._facts.exists()
+                else []
+            )
+            dim_buf = (
+                [tuple(r) for r in self._dims.get()]
+                if self._dims.exists()
+                else []
+            )
+            _asof_ingest(batches, ts_col, f_cols, d_cols, fact_buf, dim_buf)
+            out, fact_buf, dim_buf = _asof_match(
+                fact_buf,
+                dim_buf,
+                wm_ms * 1_000_000,
+                key[0],
+                key_col,
+                ts_col,
+                f_cols,
+                d_cols,
+            )
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            # ListState.put([]) is ILLEGAL_STATE_STORE_VALUE —
+            # an empty buffer must clear() its variable instead
+            if fact_buf:
+                self._facts.put(fact_buf)
+            else:
+                self._facts.clear()
+            if dim_buf:
+                self._dims.put(dim_buf)
+            else:
+                self._dims.clear()
+            if fact_buf or dim_buf:
+                self._handle.registerTimer(
+                    wm_ms + (1 if fact_buf else ttl_ms)
+                )
+            if out is not None:
+                yield out
+
+        def handleInputRows(self, key, rows, timerValues):
+            yield from self._fold(
+                key, rows, timerValues.getCurrentWatermarkInMs()
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield from self._fold(
+                key, iter(()), timerValues.getCurrentWatermarkInMs()
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            _AsofProc(),
+            out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+            eventTimeColumnName=ts_col,
         )
     )

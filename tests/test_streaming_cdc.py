@@ -336,3 +336,71 @@ def test_stream_asof_exactly_once_across_flushes(
     mine = [r for r in rows if r.k == 1]
     assert len(mine) == 1
     assert mine[0].qty == 10.0 and mine[0].rate == 7.0
+
+
+def test_stream_asof_tws_matches_apws(spark, tmp_path, rocksdb_state):
+    """The transformWithStateInPandas as-of variant (two ListState
+    buffers + explicit event-time timers) is row-for-row equal to the
+    applyInPandasWithState variant — same _asof_match fold, two state
+    APIs."""
+    from open_energy_data_server_spark.streaming.cdc import (
+        stream_asof_enrich,
+        stream_asof_enrich_tws,
+    )
+
+    facts = [
+        (1, _t(5), 100.0),
+        (1, _t(12), 200.0),
+        (2, _t(7), 300.0),
+        (1, _t(25), 400.0),
+        (99, _t(300), 0.0),  # watermark pusher
+    ]
+    dims = [
+        (1, _t(0), 1.0),
+        (1, _t(10), 2.0),
+        (2, _t(9), 5.0),
+        (1, _t(24), 3.0),
+    ]
+    results = {}
+    for tag, op in (
+        ("tws", stream_asof_enrich_tws),
+        ("apws", stream_asof_enrich),
+    ):
+        fsrc, dsrc = str(tmp_path / f"{tag}_f"), str(tmp_path / f"{tag}_d")
+        _append(spark, fsrc, FACT_DDL, facts[:3])
+        _append(spark, dsrc, DIM_DDL, dims[:2])
+        _append(spark, dsrc, DIM_DDL, dims[2:])
+        _append(spark, fsrc, FACT_DDL, facts[3:])
+        f_stream = (
+            spark.readStream.schema(FACT_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(fsrc)
+        )
+        d_stream = (
+            spark.readStream.schema(DIM_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dsrc)
+        )
+        q = (
+            op(f_stream, d_stream, "k", "ts", ["qty"], ["rate"],
+               watermark="5 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"{tag}_asof")
+            .option("checkpointLocation", str(tmp_path / f"{tag}_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            results[tag] = sorted(
+                (r.k, r.ts, r.qty, r.rate)
+                for r in spark.sql(f"SELECT * FROM {tag}_asof").collect()
+                if r.k != 99
+            )
+        finally:
+            q.stop()
+    assert results["tws"] == results["apws"]
+    assert len(results["tws"]) == 4  # every real fact flushed, once
+    # the fold semantics, spot-pinned through the TWS path:
+    assert [r for r in results["tws"] if r[0] == 2][0][3] is None
+    assert [r for r in results["tws"] if r[1] == _t(25)][0][3] == 3.0
