@@ -148,6 +148,14 @@ def main() -> None:
     # metric scale30_total so scaling exponents are computable from
     # the two artifacts
     ap.add_argument("--replicas", type=int, default=REPLICAS)
+    # count() materialization for the scaling-exponent runs: at
+    # scale30 the fuzzy-pairs result alone exceeds any sane
+    # driver.maxResultSize, and the exponent we're after is the pair
+    # GENERATION cost, not driver delivery. Both scales of an exponent
+    # pair must use the same mode.
+    ap.add_argument(
+        "--materialize", choices=["topandas", "count"], default="topandas"
+    )
     args = ap.parse_args()
     REPLICAS = args.replicas
     OUT_DIR = f"/tmp/spark_oeds_scale{REPLICAS}"
@@ -184,13 +192,25 @@ def main() -> None:
         # fetchall — toPandas keeps both engines on full-evaluation +
         # result-delivery terms.
         df = QUERIES[name](spark, OUT_DIR)
-        rows = len(df.toPandas())
+        if args.materialize == "count":
+            mat = df.count
+        else:
+            mat = lambda: len(df.toPandas())  # noqa: E731
+        rows = mat()
         times = []
         for _ in range(2):
             t = time.perf_counter()
-            rows = len(df.toPandas())
+            rows = mat()
             times.append(time.perf_counter() - t)
-        entry = {"spark_sec": round(min(times), 3), "rows": rows}
+        entry = {
+            "spark_sec": round(min(times), 3),
+            "rows": rows,
+            **(
+                {"materialize": "count"}
+                if args.materialize == "count"
+                else {}
+            ),
+        }
         if not args.skip_duckdb and name in ORACLES:
             import duckdb
 
