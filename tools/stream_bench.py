@@ -42,7 +42,176 @@ import tempfile
 import time
 
 
+def _stats(progress: list, rows_in: int, wall: float) -> dict:
+    """Shared batch-latency / state-row digest of a query's progress."""
+    batch_ms = [
+        p["durationMs"].get("triggerExecution", 0)
+        for p in progress
+        if p.get("numInputRows", 0) > 0
+    ]
+    state_series = [
+        sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+        for p in progress
+    ]
+    peak_idx = (
+        max(range(len(state_series)), key=state_series.__getitem__)
+        if state_series
+        else 0
+    )
+    per_op_peak = [
+        op.get("numRowsTotal", 0)
+        for op in (progress[peak_idx].get("stateOperators", []) if progress else [])
+    ]
+    batch_sorted = sorted(batch_ms)
+    return {
+        "value": round(rows_in / wall, 1),
+        "unit": "rows/s",
+        "rows_in": rows_in,
+        "wall_sec": round(wall, 3),
+        "batches": len(batch_ms),
+        "batch_ms": {
+            "mean": round(sum(batch_ms) / max(len(batch_ms), 1), 1),
+            "p50": batch_sorted[len(batch_sorted) // 2] if batch_sorted else 0,
+            "max": max(batch_ms) if batch_ms else 0,
+        },
+        "state_rows": {
+            "peak": max(state_series) if state_series else 0,
+            "final": state_series[-1] if state_series else 0,
+            "per_operator_at_peak": per_op_peak,
+        },
+    }
+
+
+def _publish(record: dict) -> None:
+    """Append/replace this config's entry in STREAMBENCH.json."""
+    print(json.dumps(record))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STREAMBENCH.json",
+    )
+    try:
+        with open(path) as fh:
+            prior = json.load(fh)
+        configs = prior.get("configs", [prior] if "metric" in prior else [])
+    except (OSError, ValueError):
+        configs = []
+    key = (
+        record["metric"],
+        record.get("replicas"),
+        record.get("files_per_trigger", 1),
+    )
+    configs = [
+        c
+        for c in configs
+        if (
+            c.get("metric"),
+            c.get("replicas"),
+            c.get("files_per_trigger", 1),
+        )
+        != key
+    ] + [record]
+    with open(path, "w") as fh:
+        json.dump({"configs": configs}, fh, indent=1)
+
+
+def run_cdc(n_batches: int, files_per_trigger: int) -> None:
+    """TWS-under-load config: the sf0.1 events table replayed as a CDC
+    change stream (op from event_type: signup=I, error=D, else U)
+    through ``stream_cdc_apply`` — transformWithStateInPandas with one
+    ValueState row per live user + tombstone-GC timers. Publishes
+    rows/s, batch latency, and live-key state rows."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from open_energy_data_server_spark import get_spark
+    from open_energy_data_server_spark.operators.cdc import (
+        cdc_op_from_event_type,
+    )
+    from open_energy_data_server_spark.streaming.cdc import stream_cdc_apply
+
+    spark = get_spark(app_name="spark-oeds-streambench-cdc")
+    work = tempfile.mkdtemp(prefix="streambench-cdc-")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("seq"),
+            cdc_op_from_event_type("event_type").alias("op"),
+            "value",
+        )
+    )
+    rows_in = ev.count()
+    # ts-ordered N-way split → event time advances monotonically
+    # across micro-batches, so the watermark moves and GC timers fire
+    ev = ev.withColumn(
+        "_b",
+        F.ntile(n_batches).over(Window.orderBy("ts")),
+    )
+    for b in range(1, n_batches + 1):
+        ev.where(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, seq long, op string, value double"
+        )
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    t_start = time.perf_counter()
+    q = (
+        stream_cdc_apply(
+            stream,
+            ("user_id",),
+            "ts",
+            "seq",
+            "op",
+            watermark="30 minutes",
+            tombstone_ttl="2 hours",
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wall = time.perf_counter() - t_start
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+    record = {
+        "metric": "stream_cdc_tws_rows_per_sec",
+        **_stats(progress, rows_in, wall),
+        "rows_out": spark.read.parquet(out).count(),
+        "replicas": n_batches,
+        "files_per_trigger": files_per_trigger,
+        "sf_dir": sf_dir,
+    }
+    _publish(record)
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "cdc":
+        run_cdc(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 20,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 1,
+        )
+        return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     files_per_trigger = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -116,64 +285,15 @@ def main() -> None:
     finally:
         q.stop()
 
-    rows_out = spark.read.parquet(out).count()
-    batch_ms = [
-        p["durationMs"].get("triggerExecution", 0)
-        for p in progress
-        if p.get("numInputRows", 0) > 0
-    ]
-    state_series = [
-        sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
-        for p in progress
-    ]
-    peak_idx = max(range(len(state_series)), key=state_series.__getitem__)
-    per_op_peak = [
-        op.get("numRowsTotal", 0)
-        for op in progress[peak_idx].get("stateOperators", [])
-    ]
-    batch_sorted = sorted(batch_ms)
     record = {
         "metric": "stream_curation_rows_per_sec",
-        "value": round(rows_in / wall, 1),
-        "unit": "rows/s",
-        "rows_in": rows_in,
-        "rows_out": rows_out,
-        "wall_sec": round(wall, 3),
-        "batches": len(batch_ms),
-        "batch_ms": {
-            "mean": round(sum(batch_ms) / max(len(batch_ms), 1), 1),
-            "p50": batch_sorted[len(batch_sorted) // 2] if batch_sorted else 0,
-            "max": max(batch_ms) if batch_ms else 0,
-        },
-        "state_rows": {
-            "peak": max(state_series) if state_series else 0,
-            "final": state_series[-1] if state_series else 0,
-            "per_operator_at_peak": per_op_peak,
-        },
+        **_stats(progress, rows_in, wall),
+        "rows_out": spark.read.parquet(out).count(),
         "replicas": replicas,
         "files_per_trigger": files_per_trigger,
         "sf_dir": sf_dir,
     }
-    print(json.dumps(record))
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "STREAMBENCH.json",
-    )
-    # one artifact, one entry per (replicas, files_per_trigger) config
-    try:
-        with open(path) as fh:
-            prior = json.load(fh)
-        configs = prior.get("configs", [prior] if "metric" in prior else [])
-    except (OSError, ValueError):
-        configs = []
-    key = (replicas, files_per_trigger)
-    configs = [
-        c
-        for c in configs
-        if (c.get("replicas"), c.get("files_per_trigger", 1)) != key
-    ] + [record]
-    with open(path, "w") as fh:
-        json.dump({"configs": configs}, fh, indent=1)
+    _publish(record)
     shutil.rmtree(work, ignore_errors=True)
 
 
