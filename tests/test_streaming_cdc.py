@@ -404,3 +404,75 @@ def test_stream_asof_tws_matches_apws(spark, tmp_path, rocksdb_state):
     # the fold semantics, spot-pinned through the TWS path:
     assert [r for r in results["tws"] if r[0] == 2][0][3] is None
     assert [r for r in results["tws"] if r[1] == _t(25)][0][3] == 3.0
+
+
+def test_stream_cdc_randomized_replays_match_batch(
+    spark, tmp_path, rocksdb_state
+):
+    """Seeded randomized sweep: random I/U/D change logs, random
+    micro-batch splits, rows shuffled WITHIN each batch (arbitrary
+    arrival order inside the watermark) — the streaming fold's final
+    state must equal the batch max_by snapshot every time."""
+    import random
+
+    from open_energy_data_server_spark.operators.cdc import (
+        cdc_current_snapshot,
+    )
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        n_keys, n_changes = 6, 40
+        seqs = list(range(n_changes))
+        changes = []
+        for seq in seqs:
+            changes.append(
+                (
+                    rng.randrange(1, n_keys + 1),
+                    _t(seq),  # monotone event time; arrival shuffled below
+                    seq,
+                    rng.choice(["I", "U", "U", "U", "D"]),
+                    round(rng.uniform(0, 100), 2),
+                )
+            )
+        # random contiguous batch splits, then shuffle inside each
+        # batch: event time stays within-watermark (30 min) of the
+        # batch max, arrival order is arbitrary
+        cuts = sorted(rng.sample(range(1, n_changes), 3))
+        chunks = [
+            changes[a:b]
+            for a, b in zip([0] + cuts, cuts + [n_changes])
+        ]
+        for c in chunks:
+            rng.shuffle(c)
+        src = str(tmp_path / f"src{seed}")
+        for c in chunks:
+            _append(spark, src, CDC_DDL, c)
+        rows, _ = _run_cdc(
+            spark,
+            src,
+            str(tmp_path / f"ck{seed}"),
+            f"cdc_rand{seed}",
+            watermark="30 minutes",
+        )
+        last = {}
+        for r in rows:
+            if r.user_id not in last or (r.ts, r.seq) > (
+                last[r.user_id].ts,
+                last[r.user_id].seq,
+            ):
+                last[r.user_id] = r
+        streamed = {
+            u: (r.ts, r.seq, r.op, r.value) for u, r in last.items()
+        }
+        expected = {
+            r.user_id: (r.ts, r.seq, r.op, r.value)
+            for r in cdc_current_snapshot(
+                spark.createDataFrame(changes, CDC_DDL),
+                ["user_id"],
+                "ts",
+                "seq",
+                "op",
+                keep_deleted=True,
+            ).collect()
+        }
+        assert streamed == expected, f"seed {seed}"
