@@ -33,10 +33,19 @@ milliseconds inside an executor Arrow batch.
   rows: alternate rows decode right-to-left and are flipped back to
   the uniform i-fastest grid order.
 
+- Spherical-harmonic coefficients (GDS representation type 50,
+  triangular truncation, SIMPLE packing): real(0,0) from BDS octets
+  12-15 (IBM float ×10^D, GRIBEX convention), remaining coefficients
+  simple-packed in IFS order — emitted as (total, zonal)-wavenumber
+  rows exactly like the GRIB2 spectral path (shared
+  ``_spectral_wavenumbers``).
+
 Deliberately NOT implemented (raise ValueError; callers inject
 cfgrib/pygrib via ``read_grib(..., decoder=...)``): matrix /
-general-extended second-order variants, spherical harmonics, grids
-other than (rotated) lat/lon, j-consecutive scanning.
+general-extended second-order variants, COMPLEX-packed spherical
+harmonics (the ECMWF MARS sub-spectrum layout) and pentagonal
+truncations, grids other than (rotated) lat/lon, j-consecutive
+scanning.
 """
 
 from __future__ import annotations
@@ -47,6 +56,7 @@ import numpy as np
 import pandas as pd
 
 from open_energy_data_server_spark.sources.grib2codec import (
+    _spectral_wavenumbers,
     _u,
     _unpack_bits,
 )
@@ -243,6 +253,86 @@ def _decode_second_order(
     return values
 
 
+def _decode_spectral1(
+    bds: bytes,
+    gds: bytes,
+    param: int,
+    valid_time,
+    d_scale: int,
+) -> pd.DataFrame:
+    """GRIB1 spherical-harmonic coefficients, SIMPLE packing (WMO Ed.1
+    GDS data-representation type 50 + BDS flag bit 1): octets 12-15 of
+    the BDS hold the real (0,0) coefficient — the global mean — as an
+    IBM float pre-multiplied by 10^D (GRIBEX convention), the
+    remaining 2·ncoeff−1 values simple-packed from octet 16 in the
+    IFS storage order (m slowest, n = m..T per m, re/im interleaved —
+    the same layout the GRIB2 spectral path emits, so both editions
+    share `_spectral_wavenumbers`). Complex packing (representation
+    mode 2 / BDS flag bit 2 — the ECMWF MARS archive form) raises to
+    the ``read_grib(decoder=)`` injection seam."""
+    j, k, m = _u(gds, 6, 2), _u(gds, 8, 2), _u(gds, 10, 2)
+    if not (j == k == m):
+        raise ValueError(
+            f"GRIB1 pentagonal spectral truncation J={j} K={k} M={m} "
+            "unsupported (triangular only); inject a pygrib/cfgrib decoder"
+        )
+    if j > 4096:  # (T+1)(T+2)/2 coefficients; operational is ≤ T1279
+        raise ValueError(f"implausible GRIB1 spectral truncation T{j}")
+    if gds[12] != 1:
+        raise ValueError(
+            f"GRIB1 spectral representation type {gds[12]} is not 1 "
+            "(associated Legendre polynomials of the first kind)"
+        )
+    flags = bds[3] >> 4
+    if not flags & 0x8:
+        raise ValueError(
+            "GRIB1 grid-point BDS under a spherical-harmonic GDS — "
+            "corrupt message"
+        )
+    if gds[13] == 2 or flags & 0x4:
+        raise ValueError(
+            "GRIB1 complex-packed spherical harmonics unsupported "
+            "(sub-spectrum layout); inject a pygrib/cfgrib decoder"
+        )
+    if gds[13] != 1:
+        raise ValueError(
+            f"GRIB1 spectral representation mode {gds[13]} not in "
+            "code table 10 (1 simple / 2 complex)"
+        )
+    unused_bits = bds[3] & 0x0F
+    e_scale = _s2(bds, 4)
+    r_ref = _ibm_float(bds[6:10])
+    nbits = bds[10]
+    real00 = _ibm_float(bds[11:15]) / (10.0**d_scale)
+    ns, ms = _spectral_wavenumbers(j)
+    n_rest = 2 * ns.size - 1
+    if nbits > 0:
+        avail = (len(bds) - 15) * 8 - unused_bits
+        if avail < n_rest * nbits:
+            raise ValueError(
+                f"GRIB1 spectral data section too short: {avail} bits "
+                f"< {n_rest * nbits}"
+            )
+    packed = _unpack_bits(bds[15:], n_rest, nbits)
+    rest = (r_ref + packed * (2.0**e_scale)) / (10.0**d_scale)
+    values = np.concatenate(([real00], rest))
+
+    var = PARAM_NAMES_ED1.get(param, f"p{param}")
+    part = np.tile([f"{var}_sh_re", f"{var}_sh_im"], ns.size)
+    return pd.DataFrame(
+        {
+            "time": pd.Timestamp(valid_time),
+            # spectral space has no geometry: the two geometry columns
+            # carry the coefficient's (total, zonal) wavenumber pair
+            # (same contract as the GRIB2 spectral path)
+            "latitude": np.repeat(ns, 2).astype(np.float64),
+            "longitude": np.repeat(ms, 2).astype(np.float64),
+            "variable": part,
+            "value": values.astype(np.float64),
+        }
+    )
+
+
 def _decode_message1(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     """Decode one GRIB1 message starting at ``start``; return
     (long-frame, offset-after-message)."""
@@ -288,10 +378,25 @@ def _decode_message1(buf: bytes, start: int) -> tuple[pd.DataFrame, int]:
     # --- GDS ---
     gds = buf[off : off + _u(buf, off, 3)]
     rep_type = gds[5]
+    if rep_type == 50:
+        if has_bms:
+            raise ValueError(
+                "GRIB1 spherical-harmonic message with a bitmap is "
+                "malformed (coefficients have no missing points)"
+            )
+        off += len(gds)
+        return _decode_spectral1(
+            buf[off : off + _u(buf, off, 3)],
+            gds,
+            param,
+            ref_time + lead,
+            d_scale,
+        ), end
     if rep_type not in (0, 10):
         raise ValueError(
             f"GRIB1 grid type {rep_type} unsupported (only 0 latlon / "
-            "10 rotated latlon); inject a pygrib/cfgrib decoder"
+            "10 rotated latlon / 50 spherical harmonics); inject a "
+            "pygrib/cfgrib decoder"
         )
     ni, nj = _u(gds, 6, 2), _u(gds, 8, 2)
     if ni * nj > 1 << 26:  # corrupt counts → OOM guard (COSMO ≈ 700k)

@@ -92,6 +92,13 @@ def _grib1_so_bytes() -> bytes:
     return make_grib1([], ni=3, nj=3, bds_body_override=body)
 
 
+def _grib1_sh_bytes() -> bytes:
+    # spherical-harmonic simple packing — separate GDS/BDS layout
+    from tests.test_grib1codec import make_grib1_sh
+
+    return make_grib1_sh(7.25, [0, 10, 20, 35, 50], trunc=1)
+
+
 def _grib2_bytes() -> bytes:
     return make_grib2(list(range(12)), ni=4, nj=3)
 
@@ -258,6 +265,7 @@ def _netcdf_bytes() -> bytes:
 CODECS = {
     "grib1": (_grib1_bytes, decode_grib2),
     "grib1_so": (_grib1_so_bytes, decode_grib2),
+    "grib1_sh": (_grib1_sh_bytes, decode_grib2),
     "grib2_j2k": (_grib2_j2k_bytes, decode_grib2),
     "grib2_spectral": (_grib2_spectral_bytes, decode_grib2),
     "j2k": (_j2k_bytes, decode_j2k),

@@ -454,3 +454,122 @@ def test_grib1_general_extended_injection_example(spark, tmp_path):
     rows = read_grib(spark, str(d / "*.grib"), decoder=pygrib_like).collect()
     assert sorted(r.value for r in rows) == expect.tolist()
     assert all(r.variable == "temp_air" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# spherical harmonics (GDS representation type 50, simple packing)
+
+
+def make_grib1_sh(
+    real00: float,
+    xs: list[int],
+    trunc: int = 1,
+    r_ref: float = 250.0,
+    e_scale: int = 1,
+    d_scale: int = 1,
+    nbits: int = 8,
+    param: int = 11,
+    k: int | None = None,
+    m: int | None = None,
+    rep_type: int = 1,
+    rep_mode: int = 1,
+    bds_flags: int = 0x8,
+) -> bytes:
+    """GRIB1 message with a type-50 spherical-harmonic GDS and an SH
+    simple-packed BDS (real(0,0) as IBM float ×10^D in octets 12-15,
+    the rest packed from octet 16)."""
+    pds = (
+        bytes([2, 78, 1, 255, 0x80])
+        + bytes([param, 1])
+        + (0).to_bytes(2, "big")
+        + bytes([99, 1, 2, 3, 0])
+        + bytes([1, 5, 0, 0])
+        + (0).to_bytes(2, "big")
+        + bytes([0, 20, 0])
+        + _sm2(d_scale)
+    )
+    pds = (len(pds) + 3).to_bytes(3, "big") + pds
+    gds_body = (
+        bytes([0, 255, 50])
+        + trunc.to_bytes(2, "big")
+        + (trunc if k is None else k).to_bytes(2, "big")
+        + (trunc if m is None else m).to_bytes(2, "big")
+        + bytes([rep_type, rep_mode])
+        + b"\x00" * 18  # reserved octets 15-32
+    )
+    gds = (len(gds_body) + 3).to_bytes(3, "big") + gds_body
+    data = _pack(xs, nbits)
+    unused_bits = (8 * len(data)) - len(xs) * nbits
+    bds_body = (
+        bytes([(bds_flags << 4) | unused_bits])
+        + _sm2(e_scale)
+        + _ibm32(r_ref)
+        + bytes([nbits])
+        + _ibm32(real00 * (10.0**d_scale))
+        + data
+    )
+    if len(bds_body) % 2:
+        bds_body += b"\x00"
+        bds_body = bytes([bds_body[0] + 8]) + bds_body[1:]
+    bds = (len(bds_body) + 3).to_bytes(3, "big") + bds_body
+    total = 8 + len(pds) + len(gds) + len(bds) + 4
+    return (
+        b"GRIB" + total.to_bytes(3, "big") + bytes([1])
+        + pds + gds + bds + b"7777"
+    )
+
+
+def test_grib1_spherical_harmonic_simple_packing():
+    # T1 triangular: coefficients (n,m) = (0,0),(1,0),(1,1) → 6 values
+    # (re/im interleaved), real(0,0) carried as IBM float, the other
+    # 5 packed: value = (250 + X·2^1)/10^1
+    raw = make_grib1_sh(7.25, [0, 10, 20, 35, 50], trunc=1)
+    df = decode_grib2(raw)
+    assert len(df) == 6
+    assert df["variable"].tolist() == ["t_sh_re", "t_sh_im"] * 3
+    # geometry columns carry the (total, zonal) wavenumber pair in
+    # IFS order: m slowest, n = m..T within each m
+    assert df["latitude"].tolist() == [0.0, 0.0, 1.0, 1.0, 1.0, 1.0]
+    assert df["longitude"].tolist() == [0.0, 0.0, 0.0, 0.0, 1.0, 1.0]
+    assert df["value"].iloc[0] == pytest.approx(7.25)
+    assert df["value"].iloc[1:].tolist() == [25.0, 27.0, 29.0, 32.0, 35.0]
+    assert str(df["time"].iloc[0]) == "1999-01-02 08:00:00"
+
+
+def test_grib1_spherical_harmonic_loud_errors():
+    # pentagonal truncation → injection seam
+    with pytest.raises(ValueError, match="pentagonal"):
+        decode_grib2(make_grib1_sh(1.0, [0] * 5, trunc=1, m=2))
+    # complex packing (representation mode 2) → injection seam
+    with pytest.raises(ValueError, match="complex-packed"):
+        decode_grib2(make_grib1_sh(1.0, [0] * 5, trunc=1, rep_mode=2))
+    # complex packing signalled via BDS flag bit 2
+    with pytest.raises(ValueError, match="complex-packed"):
+        decode_grib2(make_grib1_sh(1.0, [0] * 5, trunc=1, bds_flags=0xC))
+    # grid-point BDS under a spherical GDS → corrupt
+    with pytest.raises(ValueError, match="grid-point BDS"):
+        decode_grib2(make_grib1_sh(1.0, [0] * 5, trunc=1, bds_flags=0x0))
+    # representation type must be associated Legendre (1)
+    with pytest.raises(ValueError, match="representation type"):
+        decode_grib2(make_grib1_sh(1.0, [0] * 5, trunc=1, rep_type=2))
+    # truncated data section
+    msg = make_grib1_sh(1.0, [0, 1, 2], trunc=1)
+    with pytest.raises(ValueError, match="too short|short"):
+        decode_grib2(msg)
+
+
+def test_grib1_spherical_order_matches_grib2_spectral():
+    """Both editions emit the same wavenumber layout for the same
+    truncation (shared _spectral_wavenumbers): the (lat=n, lon=m)
+    column pairs line up row-for-row."""
+    from open_energy_data_server_spark.sources.grib2codec import (
+        _spectral_wavenumbers,
+    )
+
+    t = 3
+    n_coeff = (t + 1) * (t + 2) // 2
+    raw = make_grib1_sh(0.0, [0] * (2 * n_coeff - 1), trunc=t)
+    df = decode_grib2(raw)
+    ns, ms = _spectral_wavenumbers(t)
+    assert df["latitude"].tolist() == np.repeat(ns, 2).astype(float).tolist()
+    assert df["longitude"].tolist() == np.repeat(ms, 2).astype(float).tolist()
