@@ -69,13 +69,27 @@ def fuzzy_pairs(
     # the rename trips Spark's lateral-column-alias resolution when the
     # caller's column is already named "name"
     named = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    # Round-10 optimization (guide §2.3 "shuffle keys and metadata
+    # instead of payloads" / §8 "decide with small rows"): edit
+    # distance is a NAME-level property, so run the whole variant
+    # explode → self-join → levenshtein verify over DISTINCT names
+    # and only then expand back to id pairs. On a duplicate-heavy
+    # corpus (the realistic record-linkage shape — scale10 replicates
+    # every name 10×) the variant self-join shrinks from (10n)·(L+1)
+    # rows with 100× the bucket collisions down to the n·(L+1) it was
+    # at multiplicity 1, and the final id-level DISTINCT — previously
+    # a shuffle of the full output-floor pair set — disappears
+    # entirely (each id pair is produced exactly once by construction:
+    # one name-pair row × one id per side). Measured: scale10 39.1 s →
+    # see OPTIMIZATION_r10.md. Name-level work is unchanged at
+    # multiplicity 1, so sf0.1 pays only the names-distinct agg.
+    names = named.select("name").distinct()
     # array_distinct BEFORE exploding: names with repeated-character
     # runs ("Customer#000000001") emit the same deletion variant once
     # per run position — without the dedup every shared variant
     # multiplies the self-join k² per bucket (measured 14.5 s → ~3 s
     # at sf0.1 on customer names)
-    keyed = named.select(
-        "id",
+    keyed = names.select(
         "name",
         F.explode(F.array_distinct(deletion_keys(F.col("name")))).alias("k"),
     )
@@ -88,22 +102,44 @@ def fuzzy_pairs(
     from open_energy_data_server_spark.operators._cache import register_persisted
 
     keyed = register_persisted(keyed.persist(StorageLevel.MEMORY_AND_DISK))
-    a = keyed.select(
-        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "k"
-    )
-    b = keyed.select(
-        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "k"
-    )
+    a = keyed.select(F.col("name").alias("name_a"), "k")
+    b = keyed.select(F.col("name").alias("name_b"), "k")
     dist = F.levenshtein("name_a", "name_b").cast("int")
     # verify BEFORE the pair dedup: levenshtein is a cheap codegen'd
     # projection on the joined rows, while distinct is a shuffle —
-    # filtering first shrinks the exchange to the true-pair set
-    # (measured ~3.6× fewer rows through the distinct at sf0.1)
-    return (
+    # filtering first shrinks the exchange to the true-pair set.
+    # name_a <= name_b keeps each unordered name pair once INCLUDING
+    # the (n, n) self-pair that carries same-name id pairs.
+    npairs = (
         a.join(b, "k")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("name_a") <= F.col("name_b"))
         .withColumn("dist", dist)
         .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .select("name_a", "name_b", "dist")
         .distinct()
+    )
+    # expand the name-pair verdicts back to id pairs: one hash join
+    # per side against the skinny (id, name) table. Exactly-once per
+    # id pair: a cross-name row (name_a < name_b) yields each (ia, ib)
+    # combination once; the self-pair row (name_a = name_b) yields
+    # each unordered id pair once via ia < ib. Output rows are then
+    # id-ordered with the names swapped alongside — no terminal
+    # DISTINCT over the pair set.
+    ia = named.select(F.col("id").alias("ia"), F.col("name").alias("name_a"))
+    ib = named.select(F.col("id").alias("ib"), F.col("name").alias("name_b"))
+    expanded = (
+        npairs.join(ia, "name_a")
+        .join(ib, "name_b")
+        .filter(
+            ((F.col("name_a") < F.col("name_b")) & (F.col("ia") != F.col("ib")))
+            | ((F.col("name_a") == F.col("name_b")) & (F.col("ia") < F.col("ib")))
+        )
+    )
+    swap = F.col("ia") < F.col("ib")
+    return expanded.select(
+        F.least("ia", "ib").alias("id_a"),
+        F.greatest("ia", "ib").alias("id_b"),
+        F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_a"),
+        F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_b"),
+        "dist",
     )

@@ -69,18 +69,16 @@ def update_centroids(
     (plan-embedded codebook → ``ivf_scores(...)[0]``), so the step is
     one scan + one (cluster, pos) shuffle of fixed-point partials —
     no assignment join, and the vectors never enter an exchange."""
-    from open_energy_data_server_spark.operators.similarity import (
-        fixed_norm2,
-        fixed_round,
-        ivf_scores,
-    )
+    from open_energy_data_server_spark.operators.similarity import fixed_round
+    from open_energy_data_server_spark.operators.vecexact import exact_assign
 
-    assigned = df.select(
-        ivf_scores(F.col(vec_col), fixed_norm2(F.col(vec_col)), centroids)[0][
-            "cid"
-        ].alias("cluster"),
-        F.col(vec_col).alias("vec"),
-    )
+    # round-10: the nearest-centroid projection runs in the Arrow-
+    # batched exact kernel (bit-identical fixed-point cosine argmax —
+    # guide §4.2; the k·d interpreted fold steps per row were the
+    # dominant cost of the step). The partial-sum shuffle below is
+    # unchanged: skinny (cluster, pos) fixed-point partials with
+    # map-side combine, vectors never enter the exchange.
+    assigned = exact_assign(df, id_col, vec_col, centroids)
     comp = assigned.select(
         "cluster", F.posexplode("vec").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))
@@ -125,36 +123,43 @@ def kmeans_refine_assignment(
     ONE Lloyd refinement of the lowest-id seed codebook. The
     conformance surface for the iterative path: a DuckDB twin replays
     the full step (assign → fixed-point means → re-assign)."""
-    from open_energy_data_server_spark.operators.similarity import (
-        fixed_norm2,
-        ivf_scores,
+    import numpy as np
+    import pandas as pd
+
+    from open_energy_data_server_spark.operators.vecexact import (
+        _assign_np,
+        _matrix,
     )
 
     cent0 = init_centroids(df, id_col, vec_col, k)
     cent1 = update_centroids(df, id_col, vec_col, cent0)
-    # both codebooks are plan-embedded literals, so BOTH assignments
-    # are projections over one scan — no second pass, no join, zero
-    # exchanges (measured 1.6 s → ~0.6 s at ~sf1 vs the
-    # two-assign-passes + vid-join formulation)
-    base = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        fixed_norm2(F.col(vec_col)).alias("norm2"),
-    )
-    scored = base.select(
-        "vid",
-        F.explode(
-            F.array(
-                F.struct(
-                    ivf_scores(F.col("vec"), F.col("norm2"), cent0).alias("s0"),
-                    ivf_scores(F.col("vec"), F.col("norm2"), cent1).alias("s1"),
-                )
+    # round-10: both codebooks are closure-embedded and BOTH
+    # assignments run in ONE Arrow-batched pass over one scan — still
+    # no join and zero exchanges (the previous expression form was two
+    # plan-embedded ivf_scores projections: 2·k·d interpreted fold
+    # steps per row; the kernel is the bit-identical fixed-point
+    # argmax — guide §4.2, pinned by tests/test_vecexact.py)
+    ids0 = np.asarray([c for c, _ in cent0], dtype=np.int64)
+    C0 = np.asarray([v for _, v in cent0], dtype=np.float64)
+    ids1 = np.asarray([c for c, _ in cent1], dtype=np.int64)
+    C1 = np.asarray([v for _, v in cent1], dtype=np.float64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"vid {id_type}, cluster0 int, cluster int, moved boolean"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = _matrix(pdf[vec_col], "kmeans_refine_assignment")
+            a0 = ids0[_assign_np(A, C0)]
+            a1 = ids1[_assign_np(A, C1)]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].to_numpy(),
+                    "cluster0": a0.astype("int32"),
+                    "cluster": a1.astype("int32"),
+                    "moved": a0 != a1,
+                }
             )
-        ).alias("sc"),
-    )
-    return scored.select(
-        "vid",
-        F.col("sc.s0")[0]["cid"].cast("int").alias("cluster0"),
-        F.col("sc.s1")[0]["cid"].cast("int").alias("cluster"),
-        (F.col("sc.s0")[0]["cid"] != F.col("sc.s1")[0]["cid"]).alias("moved"),
-    )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema)

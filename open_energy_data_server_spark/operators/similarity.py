@@ -233,15 +233,77 @@ def cosine_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (the dedup-suite member
     for vector columns): all (a, b) with cosine ≥ threshold.
 
-    Relational fixed-point formulation (oracle-replayable). Candidate
-    generation is O(pairs·d) within a block — callers MUST bound the
-    pair space at scale: pass ``block_col`` (LSH bucket from
+    Candidate generation is O(pairs·d) within a block — callers MUST
+    bound the pair space at scale: pass ``block_col`` (LSH bucket from
     ``hyperplane_buckets``, a label, or a shard key). The unblocked
     cross join is for sampled/small sets only and must be opted into
     with ``allow_quadratic=True`` — otherwise it raises.
 
     ``block_out``: emit the blocking value as an output column under
     this name (rides along on the pair rows — no extra join).
+
+    Round-10 optimization (guide §4.2): the pair arithmetic runs in
+    the Arrow-batched exact kernel ``vecexact.blocked_pairs`` — the
+    IDENTICAL fixed-point IEEE-754 op sequence as the relational
+    self-join formulation (``cosine_neardup_pairs_expr``, kept below
+    and pinned equal by tests/test_vecexact.py), but each pair costs
+    vectorized float64 ops instead of d interpreted CodegenFallback
+    fold steps. Plan: ONE exchange (hash by block) instead of the
+    self-join's two persisted-side reads — and on a bucketed-by-block
+    layout zero exchanges (tests/test_bucketed.py). Measured at
+    sf0.1: q_semdedup_pairs 0.94 s → see OPTIMIZATION_r10.md."""
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "cosine_neardup_pairs without block_col is O(n²); pass a "
+            "blocking column (e.g. hyperplane_buckets) or opt in with "
+            "allow_quadratic=True for sampled/small sets"
+        )
+    from open_energy_data_server_spark.operators.vecexact import blocked_pairs
+
+    if block_col is None:
+        # opted-in quadratic path: one synthetic block → a single
+        # grouped kernel task computes the full upper triangle (the
+        # sampled/small-set contract of allow_quadratic)
+        assigned = df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.lit(0).alias("__blk"),
+        )
+        return blocked_pairs(
+            assigned, "vid", "vec", "__blk", threshold, block_out=None
+        )
+    assigned = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.col(block_col).alias("__blk"),
+    )
+    out = blocked_pairs(
+        assigned,
+        "vid",
+        "vec",
+        "__blk",
+        threshold,
+        block_out=block_out,
+    )
+    return out
+
+
+def cosine_neardup_pairs_expr(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+    allow_quadratic: bool = False,
+    block_out: str | None = None,
+) -> DataFrame:
+    """The relational (expression-tree) formulation of
+    ``cosine_neardup_pairs`` — the form the DuckDB oracles replay
+    term-for-term. Kept as the exactness pin for the Arrow kernel
+    (tests/test_vecexact.py asserts pair sets AND cosines identical);
+    the public operator routes through ``vecexact.blocked_pairs``
+    because these folds are CodegenFallback (interpreted per array
+    element, the dominant cost of the pair search — guide §4.2).
     """
     if block_col is None and not allow_quadratic:
         raise ValueError(
@@ -454,15 +516,51 @@ def semdedup_pairs(
     Codebook: the ``n_clusters`` lowest-id vectors (the deterministic
     stand-in the IVF path also uses; swap in an offline k-means
     codebook in production — the assignment/blocking machinery is
-    identical). Assignment is the zero-shuffle ``ivf_assign``
-    projection; the pair search is ``cosine_neardup_pairs`` blocked on
-    the cluster id, so candidate generation is Σ|cluster|² instead of
-    |corpus|² — and at 100 TB the corpus is written bucketed BY
-    cluster, making the pair join co-partitioned and shuffle-free.
+    identical). The pair search is blocked on the cluster id, so
+    candidate generation is Σ|cluster|² instead of |corpus|² — and at
+    100 TB the corpus is written bucketed BY cluster, making the pair
+    stage co-partitioned and shuffle-free.
+
+    Round-10 optimization (guide §4.2): assignment AND pair search run
+    in the Arrow-batched exact kernels (``vecexact.exact_assign`` /
+    ``blocked_pairs``) — bit-identical fixed-point arithmetic to the
+    relational form (``semdedup_pairs_expr``, pinned by
+    tests/test_vecexact.py; the DuckDB oracle is unchanged), with the
+    |pairs|·d interpreted fold steps replaced by vectorized float64
+    ops. Plan: scan → ArrowEval assign (map-only) → ONE exchange on
+    cluster → grouped pair kernel; the old plan persisted the assigned
+    base and read it from both self-join sides. Measured: scale10
+    45.0 s → see OPTIMIZATION_r10.md; sf0.1 0.94 s → ~0.3 s.
 
     Output: (id_a, id_b, cluster, cosine) with id_a < id_b and
     cosine ≥ threshold.
     """
+    from open_energy_data_server_spark.operators.vecexact import exact_assign
+
+    centroids = _lowid_codebook(df, id_col, vec_col, n_clusters)
+    assigned = exact_assign(df, id_col, vec_col, centroids)
+    return cosine_neardup_pairs(
+        assigned,
+        "vid",
+        "vec",
+        threshold=threshold,
+        block_col="cluster",
+        block_out="cluster",
+    ).select("id_a", "id_b", "cluster", "cosine")
+
+
+def semdedup_pairs_expr(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """The relational (expression-tree) formulation of
+    ``semdedup_pairs`` — zero-shuffle ``ivf_scores`` assignment
+    projection feeding the blocked self-join. This is the form the
+    DuckDB oracle replays; kept as the exactness pin for the Arrow
+    kernels (tests/test_vecexact.py) after the round-10 swap."""
     centroids = _lowid_codebook(df, id_col, vec_col, n_clusters)
     # cluster id computed in the SAME projection as the vectors (the
     # ivf_topk shape) — no assignment join, and the block value rides
@@ -483,7 +581,7 @@ def semdedup_pairs(
     withblk = scored.select(
         "vid", vec_col, F.col("sc")[0]["cid"].cast("int").alias("cluster")
     )
-    return cosine_neardup_pairs(
+    return cosine_neardup_pairs_expr(
         withblk,
         "vid",
         vec_col,
@@ -640,13 +738,36 @@ def pq_encode(
 ) -> DataFrame:
     """(vid, code_0..code_{m-1}) — each subspace's nearest codebook
     entry by fixed-point squared L2, ties to the lowest code id.
+    Map-only / zero-shuffle either way; at 100 TB the codes are
+    written next to the vectors at ingest and queries never touch the
+    raw embedding column again.
 
-    Plan shape: the codebook is plan-embedded (the PQ analog of a
-    broadcast), so encoding is a zero-shuffle scan-speed projection —
-    every subspace argmin is an array_sort over n_codes
-    (dist, code) structs inside whole-stage codegen. At 100 TB the
-    codes are written next to the vectors at ingest and queries never
-    touch the raw embedding column again."""
+    Round-10 optimization (guide §4.2): routed through the Arrow-
+    batched exact kernel ``vecexact.pq_encode_exact`` — identical
+    codes (pinned by tests/test_pq.py + the unchanged DuckDB oracle),
+    but the m·n_codes fixed-point L2 folds per row run as vectorized
+    float64 ops instead of interpreted CodegenFallback aggregates, and
+    the plan is one Arrow node instead of a 64-aggregate expression
+    forest (which also cost ~0.3 s Catalyst/codegen per cold build).
+    The expression formulation is kept as ``pq_encode_expr`` (the
+    oracle-replayable form, and the vecexact pin)."""
+    from open_energy_data_server_spark.operators.vecexact import pq_encode_exact
+
+    return pq_encode_exact(df, id_col, vec_col, codebook, dsub=dsub)
+
+
+def pq_encode_expr(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: list[list[tuple[int, list[float]]]],
+    dsub: int = 16,
+) -> DataFrame:
+    """The expression-tree formulation of ``pq_encode``: the codebook
+    is plan-embedded (the PQ analog of a broadcast) and every subspace
+    argmin is an array_sort over n_codes (dist, code) structs. The
+    relational form the DuckDB oracle replays — kept as the exactness
+    pin for ``vecexact.pq_encode_exact``."""
     cols = [F.col(id_col).alias("vid")]
     for s, entries in enumerate(codebook):
         sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)

@@ -266,22 +266,35 @@ def q_calendar_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_data_gaps' lag-based outage view; its output is the re-crawl
     worklist (reference: eview re-requests detected missing ranges).
 
-    Plan: per-series min/max agg (one exchange on the series key), a
-    skinny |series|·|hours| exploded grid, then LEFT ANTI hash join
-    back on (series, hour) — both sides partitioned by the series key,
-    so at corpus scale parallelism grows with series count and no
-    stage is driver-bound."""
+    Round-10 optimization (guide §2.4 "remove shuffles outright" +
+    §2.3 "don't compute things you throw away"): the missing set is
+    exactly the hours strictly inside each gap between CONSECUTIVE
+    observed hours, so generate it directly — distinct observed hours,
+    one lag window per series, explode only the gap interiors. The
+    previous form materialized the FULL |series|·|span-hours| grid and
+    anti-joined the observed hours away: 3 exchanges (min/max agg +
+    distinct + anti-join) and an exploded row for every present hour
+    just to discard it. This form is 2 exchanges — (user_id, hr)
+    distinct, then the lag window reusing the user_id partitioning —
+    and explodes |missing| rows instead of |grid| (plan diff:
+    plans/r10/q_calendar_scaffold_*.txt; 6 → 3 Exchange nodes, no
+    LeftAnti). Same result set by construction (grid spans min..max
+    observed, so grid ∖ observed ≡ union of gap interiors); the DuckDB
+    oracle is unchanged and replays the original grid ∖ observed
+    definition."""
     ev = load_table(spark, sf_dir, "events")
-    b = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    grid = b.select(
-        "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hr"),
-    )
+    hour = F.expr("interval 1 hour")
     obs = ev.select("user_id", F.date_trunc("hour", "ts").alias("hr")).distinct()
-    missing = grid.join(obs, ["user_id", "hr"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy("hr")
+    gaps = obs.select(
+        "user_id", "hr", F.lag("hr").over(w).alias("prev")
+    ).filter(F.col("hr") > F.col("prev") + hour)
+    missing = gaps.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("prev") + hour, F.col("hr") - hour, hour)
+        ).alias("hr"),
+    )
     return missing.select("user_id", ts_str("hr").alias("missing_hour"))
 
 

@@ -22,7 +22,20 @@ import re
 #   the product
 # - q_interpolate_cubic: per-series not-a-knot spline — a global
 #   tridiagonal solve per group, genuinely non-relational
-PANDAS_ALLOWED = {"q_multimodal_decode", "q_interpolate_cubic"}
+# - round-10 exact vector kernels (operators/vecexact.py): the fixed-
+#   point cosine / L2 arithmetic is CodegenFallback as an expression
+#   tree (interpreted per array element); the Arrow kernels compute
+#   the bit-identical IEEE-754 sequence vectorized (guide §4.2) and
+#   are pinned against the relational forms by tests/test_vecexact.py
+PANDAS_ALLOWED = {
+    "q_multimodal_decode",
+    "q_interpolate_cubic",
+    "q_semdedup_pairs",
+    "q_dedup_embedding_cosine",
+    "q_pq_encode",
+    "q_pq_adc_topk",
+    "q_kmeans_refine",
+}
 
 ROW_PYTHON = ("BatchEvalPython",)
 BATCH_PYTHON = (
