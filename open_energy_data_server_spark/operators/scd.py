@@ -109,19 +109,38 @@ def scd2_apply(
     harmless, since the late-gate guarantees it never ties with a kept
     batch row), else by the attribute values.
 
-    Plan: one semi-join to find touched keys, the scd2_history window
-    over (open ∪ batch) — all joins and the window share the key
-    hash partitioning, and the batch side is typically a day's
-    changes, so at 100 TB the recompute touches |changed keys| rows,
-    not the dimension.
+    Plan (round-10 restructure, guide §2.4 "two operations keyed the
+    same way share one exchange"): the previous formulation evaluated
+    the HISTORY lineage five times (semi-join, anti-join, open-filter,
+    and twice more through the ``base`` join used for the late gate
+    and the version renumbering) — 36 Exchange nodes in
+    q_scd2_apply's 118-node plan, i.e. the dimension build re-ran per
+    consumer. Now: ONE left join against the (typically broadcast)
+    touched-key set tags history rows, splitting them into the
+    passthrough and the open set (history evaluated twice — the
+    relational minimum for rows that both pass through and feed a
+    window); the late gate and the base-version lookup ride the SAME
+    key-partitioned exchange as the change-collapse window (per-key
+    ``max`` window aggregates over the reopened row instead of two
+    joins back to ``base``). The batch side is typically a day's
+    changes, so at 100 TB the recompute still touches |changed keys|
+    rows, not the dimension. Result-identical by construction
+    (tests/test_scd.py pins apply ≡ full rebuild plus the late-drop
+    and equal-ts edge cases; plan shape pinned by
+    test_apply_plan_exchanges).
     """
     is_cur = F.col("is_current")
-    touched = updates.select(*key_cols).distinct()
-    hist_touched = history.join(touched, key_cols, "left_semi")
-    hist_untouched = history.join(touched, key_cols, "left_anti")
-
     tiebreak_cols = tiebreak_cols or []
-    open_rows = hist_touched.filter(is_cur).select(
+    touched = updates.select(*key_cols).distinct().withColumn("__t", F.lit(1))
+    marked = history.join(touched, key_cols, "left")
+    out_cols = [*key_cols, *attr_cols, "valid_from", "valid_to",
+                "is_current", "version"]
+    # untouched keys AND closed versions of touched keys pass through
+    # column-identical in one evaluation
+    passthrough = marked.filter(F.col("__t").isNull() | ~is_cur)
+    # the open version re-enters the collapse, tagged with its version
+    # so renumbering needs no join-back
+    open_rows = marked.filter((F.col("__t") == 1) & is_cur).select(
         *key_cols,
         *attr_cols,
         F.col("valid_from").alias(ts_col),
@@ -131,38 +150,49 @@ def scd2_apply(
         ],
         F.col("version").alias("__base_version"),
     )
-    closed_rows = hist_touched.filter(~is_cur)
-
-    base = open_rows.select(*key_cols, F.col(ts_col).alias("__open_from"),
-                            F.col("__base_version"))
+    batch = updates.select(*key_cols, *attr_cols, ts_col, *tiebreak_cols,
+                           F.lit(None).cast("int").alias("__base_version"))
+    allrows = open_rows.unionByName(batch)
     # late-update gate: keep batch rows STRICTLY after the key's open
     # version's valid_from — equality is late (see contract above);
-    # keys new to the dimension have no open row -> keep everything
-    fresh = (
-        updates.join(base, key_cols, "left")
+    # keys new to the dimension have no open row -> keep everything.
+    # __open_from / __bv are per-key scalars read off the reopened row
+    # (the only row carrying __base_version) via unordered windows —
+    # same key partitioning as the collapse, so no extra exchange.
+    wk = Window.partitionBy(*key_cols)
+    reopened_ts = F.max(
+        F.when(F.col("__base_version").isNotNull(), F.col(ts_col))
+    ).over(wk)
+    gated = (
+        allrows.withColumn("__open_from", reopened_ts)
+        .withColumn("__bv", F.max("__base_version").over(wk))
         .filter(
-            F.col("__open_from").isNull() | (F.col(ts_col) > F.col("__open_from"))
+            F.col("__base_version").isNotNull()
+            | F.col("__open_from").isNull()
+            | (F.col(ts_col) > F.col("__open_from"))
         )
-        .select(*key_cols, *attr_cols, ts_col, *tiebreak_cols)
     )
-    combined = open_rows.drop("__base_version").unionByName(fresh)
-    recomputed = scd2_history(
-        combined, key_cols, ts_col, attr_cols, tiebreak_cols=tiebreak_cols
-    )
+    # the scd2_history change collapse inline (so __bv rides along):
+    # same window order, same null-safe state comparison
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or attr_cols)
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    changed = ~state.eqNullSafe(F.lag(state).over(w))
+    opened = gated.withColumn("_open", changed).filter(F.col("_open"))
     # continue each key's version sequence: the first recomputed
     # segment IS the old open version (same valid_from) re-closed
-    renumbered = (
-        recomputed.join(base.select(*key_cols, "__base_version"), key_cols, "left")
-        .withColumn(
-            "version",
-            (
-                F.col("version") + F.coalesce(F.col("__base_version"), F.lit(1)) - 1
-            ).cast("int"),
-        )
-        .drop("__base_version")
+    renumbered = opened.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+        (
+            F.row_number().over(w) + F.coalesce(F.col("__bv"), F.lit(1)) - 1
+        ).cast("int").alias("version"),
     )
-    out_cols = [*key_cols, *attr_cols, "valid_from", "valid_to",
-                "is_current", "version"]
-    return hist_untouched.select(*out_cols).unionByName(
-        closed_rows.select(*out_cols)
-    ).unionByName(renumbered.select(*out_cols))
+    return passthrough.select(*out_cols).unionByName(
+        renumbered.select(*out_cols)
+    )

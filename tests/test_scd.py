@@ -123,6 +123,30 @@ def test_apply_equals_full_rebuild(spark):
     assert got == expected
 
 
+def test_apply_plan_exchanges(spark):
+    """Round-10 plan pin: the apply plan must not replicate the
+    history lineage per consumer (the pre-r10 formulation evaluated it
+    five times — 36 Exchange nodes; now history is evaluated twice and
+    the late gate / version renumbering ride the collapse window's
+    exchange as per-key window aggregates)."""
+    from open_energy_data_server_spark.operators.scd import scd2_apply
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events")
+    hist = scd2_history(
+        ev.filter(F.col("ts") < "2024-01-16"),
+        ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"],
+    )
+    out = scd2_apply(
+        hist,
+        ev.filter(F.col("ts") >= "2024-01-16").select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
+        ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 6
+
+
 def test_apply_drops_late_updates_and_passes_untouched(spark):
     from open_energy_data_server_spark.operators.scd import scd2_apply
 
