@@ -57,28 +57,62 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed without STL). Near 0 ⇒ the daily profile is noise; near
     1 ⇒ the profile explains the series — the statistic that decides
     whether q_seasonal_profile's output is worth charting. Both
-    means come from exact fixed-point window sums; the squared
-    deviations are rounded per row before the BIGINT sum (×100 keeps
-    dev² · rows inside 2⁶³ at bench scale). One scan, two window
-    passes over the same (type, hod) partitioning, one final agg."""
+    means come from exact fixed-point sums; the squared deviations
+    are rounded per row before the BIGINT sum (×100 keeps dev² · rows
+    inside 2⁶³ at bench scale).
+
+    Round-10 plan (guide §2.3 "aggregate before you shuffle"): the
+    previous form computed s and m as WINDOW sums — two exchanges of
+    every row (hash by (type, hod), then by (type)). But the means
+    are (type, hod)-level facts: one map-side-combined aggregate
+    produces the |types|·24 stats table, the per-type totals roll up
+    from it EXACTLY (integer sums of integer partials — the same
+    BIGINT every direct per-type sum yields), and two broadcast joins
+    attach s/m back to a second scan. Full-row exchanges 2 → 0; the
+    only exchanges left are the two tiny aggregate partials. Same
+    IEEE-754 arithmetic per row (cast-to-double of identical BIGINTs,
+    same division order), so the result is bit-identical and the
+    oracle is unchanged."""
     ev = load_table(spark, sf_dir, "events")
-    w_hod = Window.partitionBy("event_type", F.hour("ts"))
-    w_all = Window.partitionBy("event_type")
-
-    def exact_mean(w):
-        return (
-            F.sum(F.round(F.col("value") * SCALE, 0).cast("bigint"))
-            .over(w)
-            .cast("double")
-            / F.lit(float(SCALE))
-            / F.count(F.lit(1)).over(w)
+    stats = (
+        ev.groupBy(F.col("event_type"), F.hour("ts").alias("__hod"))
+        .agg(
+            F.sum(F.round(F.col("value") * SCALE, 0).cast("bigint")).alias("__sv"),
+            F.count(F.lit(1)).alias("__cnt"),
         )
-
-    base = ev.select(
+    )
+    s_tbl = stats.select(
         "event_type",
-        "value",
-        exact_mean(w_hod).alias("s"),
-        exact_mean(w_all).alias("m"),
+        "__hod",
+        (
+            F.col("__sv").cast("double") / F.lit(float(SCALE)) / F.col("__cnt")
+        ).alias("s"),
+    )
+    m_tbl = (
+        stats.groupBy("event_type")
+        .agg(F.sum("__sv").alias("__tv"), F.sum("__cnt").alias("__tc"))
+        .select(
+            "event_type",
+            (
+                F.col("__tv").cast("double") / F.lit(float(SCALE)) / F.col("__tc")
+            ).alias("m"),
+        )
+    )
+    # null-safe joins: a NULL event_type / NULL hour partitions
+    # together under a window, so the join-back must too
+    s_j = s_tbl.select(
+        F.col("event_type").alias("__et_s"), F.col("__hod").alias("__hod_s"), "s"
+    )
+    m_j = m_tbl.select(F.col("event_type").alias("__et_m"), "m")
+    rows = ev.select("event_type", "value", F.hour("ts").alias("__hod"))
+    base = (
+        rows.join(
+            F.broadcast(s_j),
+            rows["event_type"].eqNullSafe(s_j["__et_s"])
+            & rows["__hod"].eqNullSafe(s_j["__hod_s"]),
+        )
+        .join(F.broadcast(m_j), rows["event_type"].eqNullSafe(m_j["__et_m"]))
+        .select("event_type", "value", "s", "m")
     )
     dev_s = F.col("value") - F.col("s")
     dev_m = F.col("value") - F.col("m")
