@@ -88,7 +88,10 @@ def main() -> None:
     print(
         f"{len(rows)} queries; {sum(1 for r in rows if r[1] == 0)} plan with "
         f"ZERO shuffles; {tot_py} Python stages total (the documented "
-        "multimodal-decode and cubic-spline seams)."
+        "multimodal-decode and cubic-spline seams, plus the round-10 "
+        "exact-arithmetic Arrow kernels of operators/vecexact.py — each "
+        "pinned bit-identical to its relational form by "
+        "tests/test_vecexact.py)."
     )
 
 
