@@ -626,51 +626,43 @@ def remove_duplicate_spans(
     docs without spans pass through unchanged (n_removed = 0).
 
     Scale shape: the span table carries only flagged (doc, start, end)
-    rows — a sliver of the corpus — and joins the token stream on the
-    doc key with the span bound as a residual predicate; the (doc)
-    exchange it requires is the SAME one the per-doc text reassembly
-    pays anyway (the one shuffle any corpus rewrite costs, as in
-    ``strip_boilerplate_lines``). Rebuilt order is pinned by
-    array_sort over (pos, tok) structs — shuffle-order independent.
-    ``hash_fn`` forwards to ``duplicate_spans`` (F.xxhash64 for
-    production corpora).
+    rows — a sliver of the corpus. Spans are merged maximal islands —
+    disjoint and non-adjacent per doc by construction — so the rewrite
+    never needs the token STREAM at all: spans collapse to one
+    (doc, spans[]) row per flagged doc, join the document scan on the
+    doc key, and the rebuilt text is a positional higher-order filter
+    over the token array (each position is inside at most one span,
+    and filter preserves array order, which IS pos order). The corpus
+    text crosses zero exchanges and is tokenized exactly once; the
+    only corpus-wide shuffles are the skinny ones inside
+    ``duplicate_spans``. ``hash_fn`` forwards to ``duplicate_spans``
+    (F.xxhash64 for production corpora).
     """
     spans = duplicate_spans(
         df, id_col, text_col, window, min_count, hash_fn=hash_fn
     ).select(F.col("doc_id").alias("doc"), "span_start", "span_end")
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    # one row per flagged doc; groupBy(doc) reuses the (doc) hash
+    # partitioning the islands window already established — no new
+    # exchange. n_removed = Σ span lengths exactly, because merged
+    # islands are disjoint and every span lies inside [0, n_tokens).
+    spans_doc = spans.groupBy("doc").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("n_cut"),
     )
-    marked = toks.join(
-        spans,
-        on=[
-            toks["doc"] == spans["doc"],
-            F.col("pos") >= F.col("span_start"),
-            F.col("pos") <= F.col("span_end"),
-        ],
-        how="left",
-    ).select(
-        toks["doc"].alias("doc"),
-        "pos",
-        "tok",
-        F.col("span_start").isNotNull().alias("in_span"),
+    base = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t")).filter(
+        F.col("t").isNotNull()
     )
-    kept_struct = F.when(~F.col("in_span"), F.struct(F.col("pos"), F.col("tok")))
-    return (
-        marked.groupBy("doc")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("in_span"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_removed"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["tok"]
-                ),
-                " ",
-            ).alias("clean_text"),
-        )
-        .select(
-            F.col("doc").alias("doc_id"), "n_tokens", "n_removed", "clean_text"
-        )
+    no_spans = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    sp = F.coalesce(F.col("spans"), no_spans)
+    kept = F.filter(
+        "t",
+        lambda _, i: ~F.exists(
+            sp, lambda s: (i >= s["span_start"]) & (i <= s["span_end"])
+        ),
+    )
+    return base.join(spans_doc, "doc", "left").select(
+        F.col("doc").alias("doc_id"),
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_cut"), F.lit(0)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
     )

@@ -411,6 +411,38 @@ def test_remove_duplicate_spans_excises_and_rebuilds(spark):
     assert out[3]["clean_text"] == "totally different words here nothing repeated at all today"
 
 
+def test_remove_duplicate_spans_multi_span_null_and_full_removal(spark):
+    """Pins the array-rebuild internals (r10): multiple disjoint spans
+    per doc excise independently via the per-doc span list, null-text
+    docs are excluded (split(NULL) is NULL — the oracle's unnest of a
+    NULL range emits nothing), and a fully-covered doc rebuilds to the
+    empty string, not NULL."""
+    from open_energy_data_server_spark.operators.dedup_text import (
+        remove_duplicate_spans,
+    )
+
+    r1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    r2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (1, r1 + " mid " + r2),       # two disjoint spans, one doc
+            (2, r1 + " tailA tailB"),
+            (3, "lead " + r2),
+            (4, r1),                       # fully covered -> ""
+            (5, None),                     # excluded entirely
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, "doc_id", "text").collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert out[1]["clean_text"] == "mid"
+    assert out[1]["n_removed"] == 16 and out[1]["n_tokens"] == 17
+    assert out[2]["clean_text"] == "taila tailb"  # lowercased tokenization
+    assert out[3]["clean_text"] == "lead"
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 8
+
+
 def test_dedup_purge_token_accounting_skips_null_text(spark):
     """Pins the cross-engine null contract the purge accounting relies
     on: Spark 4's size(split(NULL)) is NULL (not legacy -1), so SUM
