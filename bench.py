@@ -289,6 +289,20 @@ def main() -> None:
         gw = SparkContext._gateway
         if gw is not None:
             gw.shutdown()
+            # gw.shutdown() only closes the py4j socket — on UNIX the
+            # JVM child lives until the PARENT python process exits
+            # (stdin-EOF suicide pact, pyspark.java_gateway). Verified:
+            # `ps` still shows the java process after stop()+shutdown().
+            # A resident idle 48g-heap JVM taxes the sibling cold2 JVM
+            # 2.5-15x (cold2 read 256s / >480s-timeout in-bench vs 92s
+            # isolated at sf0.1), so kill the process explicitly.
+            proc = getattr(gw, "proc", None)
+            if proc is not None:
+                proc.terminate()
+                try:
+                    proc.wait(timeout=30)
+                except Exception:
+                    proc.kill()
         SparkContext._gateway = None
         SparkContext._jvm = None
     except Exception as exc:
