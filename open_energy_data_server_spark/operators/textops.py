@@ -298,24 +298,24 @@ def strip_boilerplate_lines(
     Scale shape: line explosion is map-only; the frequency pass
     shuffles 16-byte line hashes + doc ids (never text); the resulting
     boilerplate-hash set is tiny relative to the corpus (boilerplate is
-    by definition repeated) → broadcast to a map-side flag join; the
-    single full-text exchange is the per-doc reassembly groupBy — the
-    same one shuffle any corpus-rewrite pays. collect_list order is
-    pinned by array_sort over (pos, line) structs, so the rebuilt text
-    is shuffle-order independent."""
+    by definition repeated) → broadcast to a map-side flag join. Text
+    crosses ZERO exchanges (r10): only the FLAGGED (doc, pos) pairs —
+    boilerplate hits, a sliver by definition — aggregate per doc, join
+    the document scan on the doc key (broadcast), and the rebuilt text
+    is a positional higher-order filter over the line array (filter
+    preserves array order, which IS pos order — no array_sort, no
+    collect_list of text)."""
     nonempty = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_lines_expr = F.floor((F.size(words) - 1) / words_per_line).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines_expr),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * words_per_line + 1, words_per_line)
+        ),
+    )
     lines = nonempty.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_lines_expr),
-                lambda i: F.concat_ws(
-                    " ", F.slice(words, i * words_per_line + 1, words_per_line)
-                ),
-            )
-        ).alias("pos", "line"),
+        F.col(id_col), F.posexplode(lines_arr).alias("pos", "line")
     )
     boiler = (
         lines.groupBy(F.md5("line").alias("__h"))
@@ -323,24 +323,36 @@ def strip_boilerplate_lines(
         .filter(F.col("__d") >= min_docs)
         .select("__h", F.lit(True).alias("__is_boiler"))
     )
-    flagged = lines.join(
-        F.broadcast(boiler), F.md5(lines["line"]) == boiler["__h"], "left"
+    # inner join keeps ONLY boilerplate positions — the sliver that
+    # must cross an exchange; one (pos list) row per affected doc
+    dropped = (
+        lines.join(F.broadcast(boiler), F.md5(lines["line"]) == boiler["__h"])
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__drop_pos"))
     )
-    kept_struct = F.when(
-        F.col("__is_boiler").isNull(), F.struct(F.col("pos"), F.col("line"))
+    no_pos = F.array().cast("array<int>")
+    dp = F.coalesce(F.col("__drop_pos"), no_pos)
+    # every word belongs to exactly one line (line i = words
+    # [i·wpl, i·wpl+wpl)), and both within- and between-line joins use
+    # a single space — so the rebuilt text is the WORD array filtered
+    # by line index, never re-materializing line strings map-side
+    kept = F.filter(
+        words,
+        lambda _, j: ~F.array_contains(
+            dp, F.floor(j / words_per_line).cast("int")
+        ),
     )
-    return (
-        flagged.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.count(F.col("__is_boiler")).alias("n_dropped"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
-                ),
-                " ",
-            ).alias("cleaned_text"),
-        )
+    # untouched docs (most of the corpus — boilerplate hits a sliver)
+    # skip the per-word positional filter entirely: their rebuilt text
+    # is the word array verbatim, and CASE evaluates lazily per row
+    cleaned = F.when(F.size(dp) == 0, F.array_join(words, " ")).otherwise(
+        F.array_join(kept, " ")
+    )
+    return nonempty.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        (n_lines_expr.cast("bigint") + 1).alias("n_lines"),
+        F.size(dp).cast("bigint").alias("n_dropped"),
+        cleaned.alias("cleaned_text"),
     )
 
 

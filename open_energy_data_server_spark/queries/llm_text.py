@@ -846,8 +846,10 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines occurring in ≥2 distinct documents are dropped everywhere and
     each document is rebuilt in original line order
     (operators.textops.strip_boilerplate_lines — frequency pass
-    shuffles only 16-byte hashes, boilerplate set broadcasts, one
-    reassembly exchange). The oracle replays the definition with
+    shuffles only 16-byte hashes, boilerplate set broadcasts; since
+    r10 text crosses zero exchanges, only flagged (doc, pos) ints
+    shuffle and the rebuild is a map-side word-index filter). The
+    oracle replays the definition with
     correlated IN-subqueries; hashing the rebuilt text pins both the
     drop decisions and the reassembly order."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1011,8 +1013,9 @@ def q_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup REALIZED (Lee et al.'s removal step):
     every duplicated span excised and the text rebuilt, per document
-    (operators.dedup_text.remove_duplicate_spans). The only corpus
-    exchange is the per-doc reassembly every rewrite pays."""
+    (operators.dedup_text.remove_duplicate_spans). Text crosses zero
+    exchanges (r10): the span sliver joins back to the scan and the
+    rebuild is a map-side positional filter of the token array."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_text.remove_duplicate_spans(docs, "doc_id", "text", window=8)
 

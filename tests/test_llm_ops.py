@@ -306,6 +306,39 @@ def test_strip_boilerplate_lines_semantics(spark):
     assert 4 not in out
 
 
+def test_strip_boilerplate_word_index_rebuild(spark):
+    """Pins the r10 map-side rebuild internals: cleaned_text is the
+    WORD array filtered by line index (word j belongs to line
+    floor(j/8)), so a short final line and multiple dropped lines per
+    doc must excise exactly — including a dropped line ADJACENT to a
+    ragged tail."""
+    from open_energy_data_server_spark.operators.textops import (
+        strip_boilerplate_lines,
+    )
+
+    b1 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    b2 = "c1 c2 c3 c4 c5 c6 c7 c8"
+    u1 = "u1 u2 u3 u4 u5 u6 u7 u8"  # unique to doc 1
+    u3 = "x1 x2 x3 x4 x5 x6 x7 x8"  # unique to doc 3
+    docs = spark.createDataFrame(
+        [
+            (1, f"{b1} {u1} {b2} tail1 tail2"),  # drop lines 0 and 2, keep ragged line 3
+            (2, f"{b1} {b2}"),
+            (3, f"{u3} {b1} short"),             # drop middle, keep 2-word tail
+            (4, f"{b2} {b1}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.cleaned_text)
+        for r in strip_boilerplate_lines(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (4, 2, f"{u1} tail1 tail2")
+    assert out[2] == (2, 2, "")
+    assert out[3] == (3, 1, f"{u3} short")
+    assert out[4] == (2, 2, "")
+
+
 def test_duplicate_spans_merges_overlaps(spark):
     from open_energy_data_server_spark.operators.dedup_text import duplicate_spans
 
