@@ -336,23 +336,45 @@ def strip_boilerplate_lines(
     # [i·wpl, i·wpl+wpl)), and both within- and between-line joins use
     # a single space — so the rebuilt text is the WORD array filtered
     # by line index, never re-materializing line strings map-side
-    kept = F.filter(
-        words,
-        lambda _, j: ~F.array_contains(
-            dp, F.floor(j / words_per_line).cast("int")
-        ),
+    # membership is resolved once per LINE (O(n_lines·|dropped|)) and
+    # the kept text is a flatten of kept-line SLICES of the word
+    # array — pure array ops, no per-word lambda at all. The word /
+    # dropped-pos / line-count expressions are materialized as
+    # multi-referenced columns first: a single-use projection would be
+    # collapsed back INSIDE the lambda and re-evaluated per element
+    # (no CSE across lambda invocations — measured 0.605 s vs 0.177 s
+    # for exactly that inlining with an element_at flag variant)
+    kept_words = F.flatten(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.col("__n0")),
+                lambda i: ~F.array_contains(F.col("__dp"), i.cast("int")),
+            ),
+            lambda i: F.slice(
+                F.col("__words"), i * words_per_line + 1, words_per_line
+            ),
+        )
     )
     # untouched docs (most of the corpus — boilerplate hits a sliver)
-    # skip the per-word positional filter entirely: their rebuilt text
-    # is the word array verbatim, and CASE evaluates lazily per row
-    cleaned = F.when(F.size(dp) == 0, F.array_join(words, " ")).otherwise(
-        F.array_join(kept, " ")
-    )
-    return nonempty.join(dropped, id_col, "left").select(
-        F.col(id_col),
-        (n_lines_expr.cast("bigint") + 1).alias("n_lines"),
-        F.size(dp).cast("bigint").alias("n_dropped"),
-        cleaned.alias("cleaned_text"),
+    # skip the rebuild entirely: their text is the word array verbatim,
+    # and CASE evaluates lazily per row
+    cleaned = F.when(
+        F.size(F.col("__dp")) == 0, F.array_join(F.col("__words"), " ")
+    ).otherwise(F.array_join(kept_words, " "))
+    return (
+        nonempty.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            words.alias("__words"),
+            n_lines_expr.alias("__n0"),
+            dp.alias("__dp"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__n0").cast("bigint") + 1).alias("n_lines"),
+            F.size("__dp").cast("bigint").alias("n_dropped"),
+            cleaned.alias("cleaned_text"),
+        )
     )
 
 
