@@ -283,3 +283,13 @@ def test_engine_pins_null_propagating_division(spark):
         "SELECT 1.0D / 0.0D AS fd, CAST('' AS INT) AS bad_cast"
     ).collect()[0]
     assert row.fd is None and row.bad_cast is None
+
+
+def test_engine_sizes_codegen_class_cache_for_plan_fleets(spark):
+    """get_spark sizes Spark's generated-class cache
+    (spark.sql.codegen.cache.maxEntries, default 100) for a driver
+    holding MANY plans: at the default, a 225-plan serial sweep
+    re-runs Janino compilation on every execution of every plan
+    (measured 25-32 s of JIT per warm pass, flat; ~4 s and decaying
+    at 2048 — see session.py comment and OPTIMIZATION_r10.md §9)."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 2048
