@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.constants import SCALE
 from open_energy_data_server_spark.io import load_table
-from open_energy_data_server_spark.operators import dedup_text, textops
+from open_energy_data_server_spark.operators import dedup_text, textkernel, textops
 from open_energy_data_server_spark.queries import query
 
 # ---- DuckDB twins of the textops primitives -------------------------------
@@ -162,9 +162,21 @@ def _sql_simhash_cte(bits: int = 60) -> str:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring (north-star text analysis):
     whitespace tokens, BPE-ish regex words, exact integer length sums,
-    stopword/punctuation ratios, deterministic quality heuristic. All
-    built-ins — a 100 TB corpus runs this at scan speed, no shuffle."""
+    stopword/punctuation ratios, deterministic quality heuristic.
+    Routed through the Arrow exact kernel (operators/textkernel.py,
+    guide §4.2): same map-only zero-shuffle shape, same integer counts
+    and float bits (pinned against the retained relational projection
+    by tests/test_textkernel.py — the token folds are CodegenFallback
+    as expressions, interpreted per array element). A 100 TB corpus
+    still runs this at scan speed, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
+    return textkernel.text_stats(docs, "doc_id", "text")
+
+
+def text_stats_relational(docs: DataFrame) -> DataFrame:
+    """The retained relational form of q_text_stats — the exactness
+    pin target for the Arrow kernel (tests/test_textkernel.py) and the
+    drop-in fallback if a future Spark makes the folds codegen."""
     t = textops.tokens("text")
     n_tokens = F.size(t)
     n_stop = textops.stopword_count(t)
@@ -221,8 +233,17 @@ def _sql_lang_pred() -> str:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-marker scoring with fixed tie order —
     the n-gram heuristic (the synthetic corpus shares one vocabulary,
-    so predictions are uniform; the operator is what is under test)."""
+    so predictions are uniform; the operator is what is under test).
+    Routed through the Arrow exact kernel (operators/textkernel.py,
+    guide §4.2): same map-only shape, same counts and argmax tie
+    order (pinned by tests/test_textkernel.py)."""
     docs = load_table(spark, sf_dir, "documents")
+    return textkernel.lang_id(docs, "doc_id", "lang", "text")
+
+
+def lang_id_relational(docs: DataFrame) -> DataFrame:
+    """The retained relational form of q_lang_id — the exactness pin
+    target for the Arrow kernel (tests/test_textkernel.py)."""
     # materialize the token array (generator barrier) then the score
     # columns (second barrier) so the argmax CASE chain references
     # plain columns instead of re-evaluating each score 2^k times
@@ -1398,12 +1419,15 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher within-document repetition gates (operators/textops.py
-    repetition_signals): duplicate-word fraction, most-frequent-bigram
-    share, duplicate-trigram fraction — the filters every LLM curation
-    pipeline applies before quality scoring. Spark side is a pure
-    map-only projection (array n-grams + a sorted-array fold for the
-    bigram mode — no explode, no shuffle); the oracle recomputes via
+    """Gopher within-document repetition gates: duplicate-word
+    fraction, most-frequent-bigram share, duplicate-trigram fraction —
+    the filters every LLM curation pipeline applies before quality
+    scoring. Routed through the Arrow exact kernel
+    (operators/textkernel.py): same map-only zero-shuffle shape, same
+    counts bit-for-bit (pinned against the retained relational form
+    textops.repetition_signals by tests/test_textkernel.py — the
+    higher-order-fold form is CodegenFallback, interpreted per array
+    element, ~20× the per-document CPU); the oracle recomputes via
     explode + group, proving the fold."""
     docs = load_table(spark, sf_dir, "documents")
-    return textops.repetition_signals(docs, "doc_id", "text")
+    return textkernel.repetition_signals(docs, "doc_id", "text")

@@ -27,6 +27,11 @@ import re
 #   tree (interpreted per array element); the Arrow kernels compute
 #   the bit-identical IEEE-754 sequence vectorized (guide §4.2) and
 #   are pinned against the relational forms by tests/test_vecexact.py
+# - round-10 exact TEXT kernel (operators/textkernel.py): the token
+#   n-gram folds are CodegenFallback as expressions (interpreted per
+#   array element); the Arrow kernel computes the identical integer
+#   counts + single-IEEE-division results vectorized (guide §4.2),
+#   pinned bit-for-bit by tests/test_textkernel.py
 PANDAS_ALLOWED = {
     "q_multimodal_decode",
     "q_interpolate_cubic",
@@ -35,6 +40,9 @@ PANDAS_ALLOWED = {
     "q_pq_encode",
     "q_pq_adc_topk",
     "q_kmeans_refine",
+    "q_repetition_signals",
+    "q_text_stats",
+    "q_lang_id",
 }
 
 ROW_PYTHON = ("BatchEvalPython",)
