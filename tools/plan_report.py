@@ -89,9 +89,10 @@ def main() -> None:
         f"{len(rows)} queries; {sum(1 for r in rows if r[1] == 0)} plan with "
         f"ZERO shuffles; {tot_py} Python stages total (the documented "
         "multimodal-decode and cubic-spline seams, plus the round-10 "
-        "exact-arithmetic Arrow kernels of operators/vecexact.py — each "
-        "pinned bit-identical to its relational form by "
-        "tests/test_vecexact.py)."
+        "exact-arithmetic Arrow kernels of operators/vecexact.py and "
+        "operators/textkernel.py — each pinned bit-identical to its "
+        "relational form by tests/test_vecexact.py / "
+        "tests/test_textkernel.py)."
     )
 
 
