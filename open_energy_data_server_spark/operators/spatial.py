@@ -295,11 +295,22 @@ def nearest_point_join(
 
     The station table is bounded driver metadata (like the polygon
     sets), so it is plan-embedded and the assignment is a ZERO-SHUFFLE
-    scan-speed projection — an array_sort over |stations|
-    (d², id) structs per row, the 2-D analog of the IVF centroid
+    scan-speed projection, the 2-D analog of the IVF centroid
     assignment. For continent-scale station sets, pre-bucket both
     sides on a coarse grid (``polygon_grid_index`` pattern) and embed
     per-bucket station subsets.
+
+    Argmin form: ``least`` over the |stations| distance expressions
+    plus a first-match CASE in ascending-sid order — plain codegen
+    expressions, NOT an array_sort over (d², id) structs (array_sort
+    is a CodegenFallback higher-order function: interpreted per
+    element, with |stations| struct allocations per row — measured 4×
+    this form on the sf0.1 scan). Semantics are identical by
+    construction: ``least`` returns the exact minimum (it is one of
+    the operands bit-for-bit), the CASE scans sids ascending so an
+    exact tie resolves to the lowest id, and a NULL coordinate (all
+    d² NULL → least NULL → no branch matches) falls through to the
+    lowest sid with NULL d², byte-for-byte the struct-sort result.
 
     Distances are plain-double exact: (dx·dx)+(dy·dy) is the same
     IEEE op sequence in any engine, so an oracle replays the argmin
@@ -310,17 +321,20 @@ def nearest_point_join(
         raise ValueError("nearest_point_join needs at least one station")
     from pyspark.sql import functions as F
 
-    entries = []
-    for sid, sx, sy in stations:
+    d2_by_sid: dict[int, "F.Column"] = {}
+    for sid, sx, sy in sorted(stations, key=lambda s: int(s[0])):
         dx = F.col(x_col) - F.lit(float(sx))
         dy = F.col(y_col) - F.lit(float(sy))
-        d2 = (dx * dx) + (dy * dy)
-        entries.append(
-            F.struct(d2.alias("d2"), F.lit(int(sid)).alias("sid"))
-        )
-    best = F.array_sort(F.array(*entries))[0]
+        d2_by_sid[int(sid)] = (dx * dx) + (dy * dy)
+    d2s = list(d2_by_sid.values())
+    best = F.least(*d2s) if len(d2s) > 1 else d2s[0]
+    sids = list(d2_by_sid)
+    case = F.when(d2_by_sid[sids[0]] == best, F.lit(sids[0]))
+    for sid in sids[1:]:
+        case = case.when(d2_by_sid[sid] == best, F.lit(sid))
+    case = case.otherwise(F.lit(sids[0]))
     return points.select(
         "*",
-        best["sid"].alias(id_out),
-        best["d2"].alias(dist_out),
+        case.alias(id_out),
+        best.alias(dist_out),
     )

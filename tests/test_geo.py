@@ -107,10 +107,13 @@ def test_nearest_point_join_semantics(spark):
     from open_energy_data_server_spark.io import local_df
     from open_energy_data_server_spark.operators.spatial import nearest_point_join
 
-    stations = [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 0.0, 10.0)]
+    # station list deliberately NOT in sid order: the tie rule is
+    # lowest sid, not first-listed
+    stations = [(2, 10.0, 0.0), (1, 0.0, 0.0), (3, 0.0, 10.0)]
     pts = local_df(
         spark,
-        [(1, 1.0, 1.0), (2, 9.0, 1.0), (3, 5.0, 0.0), (4, 0.5, 9.0)],
+        [(1, 1.0, 1.0), (2, 9.0, 1.0), (3, 5.0, 0.0), (4, 0.5, 9.0),
+         (5, None, 1.0), (6, 9.0, None)],
         "pid int, lon double, lat double",
     )
     out = {r["pid"]: (r["station_id"], r["d2"])
@@ -119,6 +122,10 @@ def test_nearest_point_join_semantics(spark):
     assert out[2] == (2, 2.0)
     assert out[3] == (1, 25.0)   # exact tie 1 vs 2 -> lowest id
     assert out[4][0] == 3
+    # NULL coordinate -> lowest sid with NULL d2 (the pre-round-10
+    # struct-sort behavior, preserved by the codegen argmin rewrite)
+    assert out[5] == (1, None)
+    assert out[6] == (1, None)
 
     plan = (
         nearest_point_join(pts, "lon", "lat", stations)
