@@ -77,6 +77,44 @@ def _memtouch_mbps() -> float:
     return round(sorted(rates)[1], 1)
 
 
+def _wakeup_us() -> float:
+    """Thread-wakeup (context-switch) roundtrip latency in µs, median
+    of three 2000-roundtrip event ping-pongs.
+
+    The memtouch probe misses the OTHER host failure mode: hypervisor
+    vCPU wakeup latency. A boot where this reads 60-70 µs (healthy
+    bare-metal-like: 2-10 µs) inflates every wakeup-bound phase —
+    task dispatch, AQE event loops, py4j roundtrips, the recursive-CTE
+    per-iteration jobs — 2-6× while bandwidth, raw CPU throughput, and
+    sequential scans (DuckDB's cold pass) stay healthy; measured
+    exactly that split on 2026-08-18 (cold pass 75-208 s vs 27-37 s on
+    a prior boot, solo-cold and all other probes equal). Published so
+    cold swings are attributable from the artifact alone."""
+    import threading
+
+    vals = []
+    for _ in range(3):
+        e1, e2 = threading.Event(), threading.Event()
+        n = 2000
+
+        def _echo() -> None:
+            for _ in range(n):
+                e1.wait()
+                e1.clear()
+                e2.set()
+
+        t = threading.Thread(target=_echo, daemon=True)
+        t.start()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            e1.set()
+            e2.wait()
+            e2.clear()
+        vals.append((time.perf_counter() - t0) / n * 1e6)
+        t.join()
+    return round(sorted(vals)[1], 1)
+
+
 def _setup_session(sf: float, sf_dir: str, app_name: str):
     """Shared pre-measurement setup: session, layout ingest
     (manifest-cached), warm-up of parquet footers / codegen infra /
@@ -216,6 +254,7 @@ def _cold_only() -> None:
         "threads": threads,
         "slowest": dict(sorted(cold.items(), key=lambda kv: -kv[1])[:10]),
         "host_memtouch_mbps": _memtouch_mbps(),
+        "host_wakeup_us": _wakeup_us(),
     }))
 
 
@@ -382,6 +421,10 @@ def main() -> None:
         "ingest_sec": ingest_sec,
         "host_memtouch_mbps": cal_mbps,
         "host_memtouch_mbps_pre": probe_pre,
+        # wakeup-latency probe (see _wakeup_us): > ~15 µs marks a boot
+        # whose cold/scheduling-bound numbers are host-, not
+        # engine-attributable — informational, not a gate
+        "host_wakeup_us": _wakeup_us(),
         "host_degraded": bool(
             min(probe_pre, cal_mbps) < _HEALTHY_MBPS
         ),
