@@ -103,7 +103,16 @@ def fuzzy_pairs(
 
     keyed = register_persisted(keyed.persist(StorageLevel.MEMORY_AND_DISK))
     a = keyed.select(F.col("name").alias("name_a"), "k")
-    b = keyed.select(F.col("name").alias("name_b"), "k")
+    # SHUFFLE_HASH hint (round-11, guide §3.1): the planner broadcasts
+    # this side because the cached variant stream's pre-materialization
+    # estimate sits under the threshold, but the stream is |names|·(L+1)
+    # rows (~250k at sf0.1, unbounded at scale) and a broadcast hash
+    # relation builds SERIALLY per execution — measured 0.60 s warm vs
+    # 0.23 s with a shuffled hash join (2.7×, identical output). The
+    # variant key is high-cardinality and uniform, so per-partition
+    # build sides stay bounded at any scale — SHJ is also what a
+    # planner with true stats would pick; no sort, unlike SMJ.
+    b = keyed.select(F.col("name").alias("name_b"), "k").hint("shuffle_hash")
     dist = F.levenshtein("name_a", "name_b").cast("int")
     # verify BEFORE the pair dedup: levenshtein is a cheap codegen'd
     # projection on the joined rows, while distinct is a shuffle —

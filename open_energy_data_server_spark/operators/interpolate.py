@@ -141,8 +141,19 @@ def interpolate_cubic(
     partition_by: list[str],
     out_col: str | None = None,
     use_scipy: bool | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Cubic-spline interpolation per series (not-a-knot, scipy-equal).
+
+    ``pre_partitioned=True`` declares that every series' rows are
+    already co-located within single input partitions (the CALLER's
+    responsibility — e.g. a generator that lays series out
+    contiguously, or an upstream repartition on the series key). The
+    fit then runs as ONE ``mapInPandas`` pass per partition with an
+    in-kernel groupby — zero exchange and one Python task per
+    partition instead of a hash repartition plus one Arrow group per
+    series (guide §4: fewer, larger batches across the boundary). The
+    per-series fit function is byte-identical in both modes.
 
     Duplicate x knots within a series are collapsed to their mean value
     before the fit (a strictly-increasing knot vector is a spline
@@ -176,8 +187,9 @@ def interpolate_cubic(
     # parallelism (explicit numPartitions is exempt from coalescing)
     # and already satisfies the groupBy's required distribution, so no
     # second exchange is planned.
-    n_tasks = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n_tasks, *[F.col(c) for c in partition_by])
+    if not pre_partitioned:
+        n_tasks = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n_tasks, *[F.col(c) for c in partition_by])
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         known = pdf[pdf[value_col].notna()]
@@ -208,5 +220,24 @@ def interpolate_cubic(
             # would be nondeterministic and leading gaps would never fill
             pdf[out_col] = np.interp(xe, ux, uy)
         return pdf
+
+    if pre_partitioned:
+
+        def fit_partition(batches):
+            # a partition may arrive as several Arrow batches that
+            # split a series — concat first (bounded: one partition),
+            # then run the identical per-series fit
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            for _, grp in pdf.groupby(partition_by, sort=False, dropna=False):
+                yield fit(grp)
+
+        return df.mapInPandas(fit_partition, schema)
 
     return df.groupBy(*partition_by).applyInPandas(fit, schema)

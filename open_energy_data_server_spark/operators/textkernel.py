@@ -38,9 +38,81 @@ unchanged DuckDB oracle of q_repetition_signals.
 
 from __future__ import annotations
 
+import glob as _glob
+import os
 from typing import Iterator
 
 from pyspark.sql import DataFrame
+
+# Per-task document-volume crossover for routing kernel vs relational
+# (round-10 measurement, re-verified round 11): the mapInPandas runner
+# pays a fixed ~0.1-0.25 s of per-task IPC/startup, so the kernel only
+# wins once a task carries enough documents to amortize it — measured
+# break-even ~10k docs/task, kernel 1.4-1.8× ahead at 12.5k, and the
+# driver's own bench showed the kernel LOSING at sf0.1 (5k docs, 1-3
+# tasks) and scale10 (2.5k docs/task). 20k keeps a safety margin; a
+# production 128 MB split carries ~10⁵-10⁶ docs, far past it.
+_KERNEL_MIN_ROWS_PER_TASK = int(
+    os.environ.get("SPARK_OEDS_TEXTKERNEL_MIN_ROWS_PER_TASK", "20000")
+)
+
+
+def est_rows_per_task(spark, path: str) -> float | None:
+    """Estimate how many rows of the parquet table at ``path`` (single
+    file or directory of part files) each scan TASK will carry, by
+    replaying Spark's own split math (FilePartition.maxSplitBytes:
+    ``max(openCost, min(maxPartitionBytes, totalWithOpen /
+    defaultParallelism))``). Row counts come from parquet footers —
+    driver-side metadata reads, no job. Returns None when the path
+    cannot be inspected (caller picks its safe default)."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            return None
+        total = sum(os.path.getsize(f) for f in files)
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        def _bytes(v: str, dflt: int) -> int:
+            m = __import__("re").fullmatch(
+                r"(\d+)\s*([kmgt]?)b?", v.strip().lower()
+            )
+            if not m:
+                return dflt
+            return int(m.group(1)) * 1024 ** " kmgt".index(m.group(2) or " ")
+
+        open_cost = _bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4m"),
+            4 * 1024 * 1024,
+        )
+        max_pb = _bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"),
+            128 * 1024 * 1024,
+        )
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        with_open = total + len(files) * open_cost
+        max_split = max(open_cost, min(max_pb, with_open // par))
+        n_tasks = max(1, round(with_open / max(max_split, 1)))
+        return rows / n_tasks
+    except Exception:
+        return None
+
+
+def kernel_pays_off(spark, path: str) -> bool:
+    """True when the estimated per-task document volume is past the
+    Python-boundary crossover, i.e. the Arrow kernel beats the
+    relational expression form. Routing is a pure performance choice:
+    both forms are pinned bit-identical by tests/test_textkernel.py,
+    so either answer is correct. Unknown volume → False (the
+    relational form's worst case is a bounded CPU factor; the
+    kernel's worst case is paying the IPC floor for a handful of
+    rows)."""
+    est = est_rows_per_task(spark, path)
+    return est is not None and est >= _KERNEL_MIN_ROWS_PER_TASK
 
 
 def _rep_signals_pdf(pdf, id_col: str, text_col: str):

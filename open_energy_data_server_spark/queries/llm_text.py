@@ -163,14 +163,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring (north-star text analysis):
     whitespace tokens, BPE-ish regex words, exact integer length sums,
     stopword/punctuation ratios, deterministic quality heuristic.
-    Routed through the Arrow exact kernel (operators/textkernel.py,
-    guide §4.2): same map-only zero-shuffle shape, same integer counts
-    and float bits (pinned against the retained relational projection
-    by tests/test_textkernel.py — the token folds are CodegenFallback
-    as expressions, interpreted per array element). A 100 TB corpus
-    still runs this at scan speed, no shuffle."""
+    Routed ADAPTIVELY (guide §4.2, round-11): the Arrow kernel and the
+    relational expression form are pinned bit-identical
+    (tests/test_textkernel.py), and which one is faster depends only
+    on per-task document volume — the kernel pays a fixed mapInPandas
+    IPC floor per task and wins past ~10-20k docs/task (a production
+    128 MB split carries 10⁵-10⁶), while the driver's bench layouts
+    (5k docs at sf0.1, 2.5k/task at scale10) sit below the crossover
+    where the CodegenFallback token folds are still cheaper. The route
+    picks per plan from parquet-footer row counts replayed through
+    Spark's own split math (textkernel.kernel_pays_off)."""
     docs = load_table(spark, sf_dir, "documents")
-    return textkernel.text_stats(docs, "doc_id", "text")
+    if textkernel.kernel_pays_off(spark, f"{sf_dir}/documents.parquet"):
+        return textkernel.text_stats(docs, "doc_id", "text")
+    return text_stats_relational(docs)
 
 
 def text_stats_relational(docs: DataFrame) -> DataFrame:
@@ -234,11 +240,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-marker scoring with fixed tie order —
     the n-gram heuristic (the synthetic corpus shares one vocabulary,
     so predictions are uniform; the operator is what is under test).
-    Routed through the Arrow exact kernel (operators/textkernel.py,
-    guide §4.2): same map-only shape, same counts and argmax tie
-    order (pinned by tests/test_textkernel.py)."""
+    Routed ADAPTIVELY between the Arrow kernel and the relational
+    form on estimated per-task document volume — see q_text_stats;
+    both forms pinned bit-identical (tests/test_textkernel.py, same
+    counts and argmax tie order)."""
     docs = load_table(spark, sf_dir, "documents")
-    return textkernel.lang_id(docs, "doc_id", "lang", "text")
+    if textkernel.kernel_pays_off(spark, f"{sf_dir}/documents.parquet"):
+        return textkernel.lang_id(docs, "doc_id", "lang", "text")
+    return lang_id_relational(docs)
 
 
 def lang_id_relational(docs: DataFrame) -> DataFrame:

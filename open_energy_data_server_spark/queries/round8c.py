@@ -160,6 +160,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
     )
+    # LAZY local checkpoint (round-11, guide §3.3 "materialising an
+    # intermediate truncates the plan"): dir_ is referenced FIVE times
+    # (e1/e2/e3, the n_edges count, and wedges twice via the tri join)
+    # and each reference used to inline the whole
+    # scan→pair→rank→orient pipeline into the analyzed plan — 4,666
+    # formatted lines whose Catalyst analysis cost ~8 s of
+    # first-execution wall (execution itself deduped via
+    # ReusedExchange; a plain persist() was tried in round 10 and
+    # REJECTED because InMemoryRelation keeps the subtree in-plan).
+    # The checkpoint truncates the logical plan to one ≤2000-row RDD
+    # leaf shared by name. eager=False keeps the materialization
+    # INSIDE the first timed execution (no work moves into plan
+    # build) — same discipline as the persisted fuzzy/curation
+    # intermediates.
+    dir_ = dir_.localCheckpoint(eager=False)
     e1, e2, e3 = dir_.alias("e1"), dir_.alias("e2"), dir_.alias("e3")
     wedges = e1.join(
         F.broadcast(e2), F.col("e1.t") == F.col("e2.s")

@@ -18,6 +18,7 @@ purpose: the point is engine-surface parity — the SAME statement text
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from open_energy_data_server_spark.io import load_table
 from open_energy_data_server_spark.queries import query
@@ -51,22 +52,84 @@ FROM soc WHERE step > 0
 """
 
 
+def _first_event_values(ev: DataFrame, steps: int):
+    """(user_id, vals) with ``vals`` = the first ``steps`` event values
+    per user in (ts, event_id) order — the fold input both recursive
+    queries share. One hash aggregation (collect_list rides a single
+    exchange on user_id), per-group ``array_sort`` + ``slice`` instead
+    of a ROW_NUMBER window over the full event stream: (ts, event_id)
+    is a unique key per user (the RCTE's ROW_NUMBER tie-break relies
+    on the same invariant), so the struct sort reproduces the step
+    order exactly."""
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "value"))
+                    ),
+                    1,
+                    steps,
+                ),
+                lambda s: s["value"].cast("double"),
+            ).alias("vals")
+        )
+    )
+
+
+def recursive_soc_fold(ev: DataFrame, steps: int = _SOC_STEPS) -> DataFrame:
+    """The per-series fold execution of the clamped-SoC recursion —
+    identical IEEE-754 op sequence to ``_SOC_SQL``'s recursion step
+    (``LEAST(GREATEST(s + (v - 50.0), 0.0), 100.0)`` per event, left
+    fold in step order via the ``aggregate`` HOF), so results are
+    bit-identical (pinned by tests/test_round9_semantics.py against
+    the live ``WITH RECURSIVE`` statement)."""
+    acc0 = F.struct(
+        F.lit(50.0).alias("s"),
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)").alias("out"),
+    )
+
+    def step(acc, v):
+        s2 = F.least(
+            F.greatest(acc["s"] + (v - F.lit(50.0)), F.lit(0.0)), F.lit(100.0)
+        )
+        return F.struct(
+            s2.alias("s"), F.concat(acc["out"], F.array(s2)).alias("out")
+        )
+
+    folded = _first_event_values(ev, steps).select(
+        "user_id",
+        F.aggregate("vals", acc0, step, lambda a: a["out"]).alias("socs"),
+    )
+    return folded.select("user_id", F.posexplode("socs")).select(
+        "user_id",
+        (F.col("pos") + 1).cast("bigint").alias("step"),
+        F.col("col").alias("soc"),
+    )
+
+
 @query("q_recursive_soc", oracle=_SOC_SQL)
 def q_recursive_soc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clamped state-of-charge simulation via ``WITH RECURSIVE``
-    (Spark 4 recursive CTE): s_n = clamp(s_{{n-1}} + Δ_n, 0, 100) per
-    user over the first {_SOC_STEPS} events — a NON-ASSOCIATIVE
-    sequential fold no window frame can express (the clamp couples
-    each step to the previous result), the battery/inventory/quota
-    recurrence. Each recursion level is one distributed join of
-    |users| state rows against the step's events; depth is bounded by
-    construction ({_SOC_STEPS} ≤ the default recursion limit). The
-    identical statement runs on DuckDB as the oracle. At 100 TB the
-    per-series fold would run in applyInPandas (one pass per series,
-    like the cubic-spline seam); this query pins the SQL-surface
-    parity of the recursion feature itself."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_SOC_SQL)
+    """Clamped state-of-charge simulation: s_n = clamp(s_{{n-1}} + Δ_n,
+    0, 100) per user over the first {_SOC_STEPS} events — a
+    NON-ASSOCIATIVE sequential fold no window frame can express (the
+    clamp couples each step to the previous result), the
+    battery/inventory/quota recurrence. The DuckDB oracle is the
+    ``WITH RECURSIVE`` statement (_SOC_SQL); the EXECUTED form is the
+    per-series fold (one hash aggregation + an ``aggregate`` HOF over
+    each user's ≤{_SOC_STEPS} values, all JVM expressions) — the same
+    recurrence as ONE job instead of {_SOC_STEPS} UnionLoop
+    iterations × ~4 tiny jobs each, which measured 21–31 s of pure
+    per-iteration scheduling floor cold (round-10 profiling; JIT
+    exonerated). Bit-identical to the live recursive statement —
+    tests/test_round9_semantics.py runs _SOC_SQL through Spark's own
+    recursive-CTE executor and compares exactly, so the SQL surface
+    stays exercised."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")  # oracle/SQL-surface parity
+    return recursive_soc_fold(ev)
 
 
 _LATERAL_SQL = """
@@ -125,17 +188,79 @@ FROM st WHERE step > 0
 """
 
 
+def ewma_anomaly_fold(ev: DataFrame, steps: int = _ANOM_STEPS) -> DataFrame:
+    """Per-series fold execution of the EWMA/EW-variance recurrence —
+    the identical IEEE-754 op sequence as ``_ANOM_SQL``'s recursion
+    step (score against the PRE-update state, then absorb), left fold
+    in step order via the ``aggregate`` HOF. Bit-identical to the live
+    ``WITH RECURSIVE`` statement (pinned by
+    tests/test_round9_semantics.py)."""
+    acc0 = F.struct(
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(0.0).alias("ewma"),
+        F.lit(0.0).alias("ewvar"),
+        F.expr(
+            "CAST(array() AS ARRAY<STRUCT<ewma: DOUBLE, ewvar: DOUBLE,"
+            " z: DOUBLE, is_anomaly: BOOLEAN>>)"
+        ).alias("out"),
+    )
+
+    def step(acc, v):
+        d = v - acc["ewma"]
+        warmed = (acc["n"] >= F.lit(8)) & (acc["ewvar"] > F.lit(0.0))
+        z = F.when(warmed, d / F.sqrt(acc["ewvar"]))
+        is_anom = F.when(
+            warmed, F.abs(d / F.sqrt(acc["ewvar"])) > F.lit(3.0)
+        ).otherwise(F.lit(False))
+        new_ewma = acc["ewma"] + F.lit(0.125) * d
+        new_ewvar = (F.lit(1.0) - F.lit(0.125)) * (
+            acc["ewvar"] + F.lit(0.125) * d * d
+        )
+        return F.struct(
+            (acc["n"] + F.lit(1)).alias("n"),
+            new_ewma.alias("ewma"),
+            new_ewvar.alias("ewvar"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        new_ewma.alias("ewma"),
+                        new_ewvar.alias("ewvar"),
+                        z.alias("z"),
+                        is_anom.alias("is_anomaly"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = _first_event_values(ev, steps).select(
+        "user_id",
+        F.aggregate("vals", acc0, step, lambda a: a["out"]).alias("st"),
+    )
+    return folded.select("user_id", F.posexplode("st")).select(
+        "user_id",
+        (F.col("pos") + 1).cast("bigint").alias("step"),
+        F.col("col")["ewma"].alias("ewma"),
+        F.col("col")["ewvar"].alias("ewvar"),
+        F.col("col")["z"].alias("z"),
+        F.col("col")["is_anomaly"].alias("is_anomaly"),
+    )
+
+
 @query("q_ewma_anomaly_rcte", oracle=_ANOM_SQL)
 def q_ewma_anomaly_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of ``streaming.anomaly.stream_ewma_anomaly`` via
-    ``WITH RECURSIVE``: the exact EWMA/EW-variance recurrence
-    (α = 0.125, warmup 8, |z| > 3) over each user's first
-    {_ANOM_STEPS} events — each point scored against the state built
-    from its PAST, then absorbed, exactly like the streaming fold
-    (tests pin the two implementations row-for-row). Like
-    q_recursive_soc this is a non-associative per-row fold no window
-    frame expresses; the identical statement is the DuckDB oracle, so
-    the streaming operator's arithmetic sits under the full hash
-    gate."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_ANOM_SQL)
+    """Batch twin of ``streaming.anomaly.stream_ewma_anomaly``: the
+    exact EWMA/EW-variance recurrence (α = 0.125, warmup 8, |z| > 3)
+    over each user's first {_ANOM_STEPS} events — each point scored
+    against the state built from its PAST, then absorbed, exactly like
+    the streaming fold (tests pin the two implementations
+    row-for-row). The DuckDB oracle is the ``WITH RECURSIVE``
+    statement (_ANOM_SQL); the EXECUTED form is the per-series fold
+    (see q_recursive_soc — one job instead of the 40-iteration
+    UnionLoop whose ~170 ms/job scheduling floor owned the cold wall).
+    Bit-identical to the live recursive statement, which
+    tests/test_round9_semantics.py still executes through Spark's own
+    recursive-CTE machinery for the SQL-surface pin."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")  # oracle/SQL-surface parity
+    return ewma_anomaly_fold(ev)

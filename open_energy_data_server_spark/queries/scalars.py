@@ -324,17 +324,40 @@ def cubic_input_df(spark: SparkSession) -> DataFrame:
     """Deterministic sparse series: 40 series × 250 unevenly spaced
     knots (eighth-integer offsets, exact doubles), values from an
     integer multiplicative hash (exact at 3 decimals), ~35% nulled —
-    including both edges, so end-piece extrapolation is exercised."""
+    including both edges, so end-piece extrapolation is exercised.
+
+    Layout (round-11, guide §2.4): rows are enumerated series-major —
+    ``id`` walks (series_id, point) contiguously and ``row_id`` is the
+    same bijection onto 0..n-1 as before (row_id = point·40 + series),
+    with the partition count a divisor of the series count so every
+    series lands WHOLLY inside one range partition. The downstream
+    spline fit can then run pre-partitioned (zero exchange, one Python
+    task per partition) — the emitted (row_id, series_id, x, v) ROW
+    SET is byte-identical to the old id-major enumeration."""
     n = CUBIC_N_SERIES * CUBIC_N_POINTS
-    p = F.expr(f"id DIV {CUBIC_N_SERIES}")
+    # largest divisor of CUBIC_N_SERIES ≤ the session parallelism:
+    # range splits n evenly, so boundaries align to whole series
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    k = max(d for d in range(1, CUBIC_N_SERIES + 1)
+            if CUBIC_N_SERIES % d == 0 and d <= par)
+    row_id = (F.col("id") % CUBIC_N_POINTS) * CUBIC_N_SERIES + F.expr(
+        f"id DIV {CUBIC_N_POINTS}"
+    )
+    p = F.expr(f"row_id DIV {CUBIC_N_SERIES}")
     x = p + ((p * 7) % 5) / F.lit(8.0)
-    v = ((F.col("id") * F.lit(2654435761)) % 1000003).cast("double") / F.lit(1000.0)
+    v = ((F.col("row_id") * F.lit(2654435761)) % 1000003).cast("double") / F.lit(
+        1000.0
+    )
     is_gap = (p % 5 == 2) | (p % 7 == 3) | (p < 2) | (p > CUBIC_N_POINTS - 3)
-    return spark.range(n).select(
-        F.col("id").alias("row_id"),
-        (F.col("id") % CUBIC_N_SERIES).alias("series_id"),
-        x.cast("double").alias("x"),
-        F.when(is_gap, F.lit(None).cast("double")).otherwise(v).alias("v"),
+    return (
+        spark.range(0, n, 1, k)
+        .select(row_id.alias("row_id"))
+        .select(
+            "row_id",
+            (F.col("row_id") % CUBIC_N_SERIES).alias("series_id"),
+            x.cast("double").alias("x"),
+            F.when(is_gap, F.lit(None).cast("double")).otherwise(v).alias("v"),
+        )
     )
 
 
@@ -365,7 +388,11 @@ def q_interpolate_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floats; scipy's different solve order would perturb the last ulp
     # and flip 6-digit roundings in a scipy-equipped environment
     out = interpolate_cubic(
-        sparse, "v", "x", partition_by=["series_id"], out_col="v_fit", use_scipy=False
+        sparse, "v", "x", partition_by=["series_id"], out_col="v_fit",
+        use_scipy=False,
+        # cubic_input_df enumerates series-major with range partitions
+        # aligned to whole series — zero-exchange single mapInPandas
+        pre_partitioned=True,
     )
     return out.select("row_id", "series_id", F.round("v_fit", 6).alias("v_cubic"))
 

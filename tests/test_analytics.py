@@ -235,3 +235,17 @@ def test_vocab_overlap_matches_bruteforce(spark):
     assert set(got) == set(expect)
     for k in got:
         assert got[k] == expect[k], k
+
+
+def test_fuzzy_variant_self_join_is_shuffled_hash(spark):
+    """Round-11 plan pin: the variant self-join must be a
+    ShuffledHashJoin, not a broadcast — the cached variant stream's
+    pre-materialization size estimate tricks the planner into
+    broadcasting ~|names|·(L+1) rows, whose serial hash-relation build
+    per execution measured 2.7× slower than SHJ (operators/fuzzy.py
+    rationale)."""
+    from open_energy_data_server_spark.queries import QUERIES
+
+    df = QUERIES["q_fuzzy_dedup_names"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, "variant self-join lost the SHJ hint"

@@ -56,6 +56,33 @@ def test_streaming_fold_equals_recursive_sql(spark):
     assert n_checked > 100
 
 
+def test_rcte_statements_equal_fold_execution(spark):
+    """The executed per-series folds of q_recursive_soc /
+    q_ewma_anomaly_rcte are BIT-IDENTICAL to their ``WITH RECURSIVE``
+    oracle statements run through Spark's own recursive-CTE executor —
+    the SQL surface stays exercised (and exact) even though the
+    registered queries no longer execute the UnionLoop."""
+    from open_energy_data_server_spark.io import load_table
+    from open_energy_data_server_spark.queries import QUERIES
+    from open_energy_data_server_spark.queries.round9c import _ANOM_SQL, _SOC_SQL
+
+    sf = "/root/testdata/sf0.001"
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    for name, sql in (
+        ("q_recursive_soc", _SOC_SQL),
+        ("q_ewma_anomaly_rcte", _ANOM_SQL),
+    ):
+        fold = QUERIES[name](spark, sf)
+        rcte = spark.sql(sql)
+        assert fold.columns == rcte.columns
+        key = [fold.columns[0], fold.columns[1]]  # (user_id, step)
+        got = {tuple(r[:2]): tuple(r[2:]) for r in fold.collect()}
+        want = {tuple(r[:2]): tuple(r[2:]) for r in rcte.collect()}
+        assert len(got) == len(want) > 0, name
+        # exact equality, including float bits and NULL placement
+        assert got == want, name
+
+
 def test_recursive_soc_equals_python_fold(spark):
     """q_recursive_soc (WITH RECURSIVE clamped running sum) equals the
     plain sequential fold it models."""

@@ -195,3 +195,50 @@ def test_interpolate_cubic_fallback_is_x_ordered_and_fills_leading(spark):
     out = {r.x: r.v for r in interpolate_cubic(df, "v", "x", ["k"]).collect()}
     assert out[0.0] == 4.0  # leading gap flat-extends to first known
     assert out[1.0] == 4.0 and out[2.0] == 8.0
+
+
+def test_interpolate_cubic_pre_partitioned_equals_grouped(spark):
+    """The round-11 pre-partitioned mapInPandas path must reproduce the
+    grouped applyInPandas path bit-for-bit (same per-series fit
+    function), and its plan must carry no Exchange."""
+    from open_energy_data_server_spark.queries.scalars import cubic_input_df
+
+    sparse = cubic_input_df(spark)
+    fast = interpolate_cubic(
+        sparse, "v", "x", ["series_id"], out_col="o",
+        use_scipy=False, pre_partitioned=True,
+    )
+    slow = interpolate_cubic(
+        sparse, "v", "x", ["series_id"], out_col="o", use_scipy=False,
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "pre-partitioned path gained a shuffle"
+    got = {r.row_id: r.o for r in fast.collect()}
+    want = {r.row_id: r.o for r in slow.collect()}
+    assert got == want  # exact float equality, all 10k rows
+
+
+def test_cubic_input_df_series_aligned_to_partitions(spark):
+    """cubic_input_df's contract for pre_partitioned=True: every
+    series lands wholly inside one range partition, and the row set is
+    the documented bijection (row_id covers 0..n-1, series_id = row_id
+    mod n_series)."""
+    from open_energy_data_server_spark.queries.scalars import (
+        CUBIC_N_POINTS,
+        CUBIC_N_SERIES,
+        cubic_input_df,
+    )
+
+    df = cubic_input_df(spark)
+    per_part = (
+        df.groupBy(F.spark_partition_id().alias("p"), "series_id")
+        .count()
+        .collect()
+    )
+    owners = {}
+    for r in per_part:
+        owners.setdefault(r.series_id, set()).add(r.p)
+        assert r["count"] <= CUBIC_N_POINTS
+    assert all(len(ps) == 1 for ps in owners.values()), "series split across partitions"
+    ids = sorted(r.row_id for r in df.select("row_id").collect())
+    assert ids == list(range(CUBIC_N_SERIES * CUBIC_N_POINTS))
