@@ -29,58 +29,28 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registering them (the tool folds them in on the next rotation) —
 # or rerun the tool immediately if they must be checked this round.
 _DRIVER_PRIORITY = [
-    # never driver-checked (no CORRECTNESS_r* row)
-    "q_min_cost_supplier",
-    "q_order_priority_check",
-    "q_forecast_revenue_delta",
-    "q_volume_shipping",
-    "q_market_share",
-    "q_product_profit",
-    "q_returned_items",
-    "q_important_volume_parts",
-    "q_late_priority_lines",
-    "q_promo_revenue_share",
-    "q_supplier_count_by_part",
-    "q_bracketed_revenue",
-    "q_excess_shippers",
-    "q_cdc_current_snapshot",
-    # checked names, stalest latest-green first (as of r09)
-    "q_chunk_documents",  # r5
-    "q_char_diversity",  # r5
-    "q_snapshot_diff",  # r5
-    "q_table_fingerprint",  # r5
-    "q_accent_fold",  # r5
-    "q_scd2_history",  # r5
-    "q_percent_rank",  # r5
-    "q_weighted_moving_average",  # r5
-    "q_runs_detection",  # r5
-    "q_mode_per_group",  # r5
-    "q_ewma",  # r5
-    "q_time_bucket_hourly",  # r6
-    "q_multi_measure_by_type",  # r6
-    "q_watermark_probe",  # r6
-    "q_distinct_dims",  # r6
-    "q_dedup_keep_first",  # r6
-    "q_value_histogram",  # r6
-    "q_catalog_stats",  # r6
-    "q_net_generation",  # r6
-    "q_union_cte_count",  # r6
-    "q_json_extract_agg",  # r6
-    "q_approx_distinct_kmv",  # r6
-    "q_rollup_revenue",  # r6
-    "q_quantiles_disc",  # r6
-    "q_corr_regression",  # r6
-    "q_skew_salted_agg",  # r6
-    "q_rfm_segmentation",  # r6
-    "q_shipping_lag",  # r6
-    "q_basket_pairs",  # r6
-    "q_yoy_seasonality",  # r6
-    "q_price_volatility",  # r6
-    "q_concurrency_sweep",  # r6
-    "q_missing_value_profile",  # r6
-    "q_active_users",  # r6
-    "q_minmax_scale",  # r6
-    "q_top_movers",  # r6
+    # changed this round (--lead): driver must re-check
+    "q_recursive_soc",
+    "q_ewma_anomaly_rcte",
+    "q_text_stats",
+    "q_lang_id",
+    "q_interpolate_cubic",
+    "q_triangle_count",
+    "q_fuzzy_dedup_names",
+    "q_scd2_apply",
+    "q_calendar_scaffold",
+    "q_semdedup_pairs",
+    "q_pq_encode",
+    "q_pq_adc_topk",
+    "q_kmeans_refine",
+    "q_seasonality_strength",
+    "q_remove_duplicate_spans",
+    "q_boilerplate_strip",
+    "q_repetition_signals",
+    "q_nearest_station",
+    "q_dedup_embedding_cosine",
+    "q_curation_pipeline",
+    # checked names, stalest latest-green first (as of r10)
     "q_growth_accounting",  # r6
     "q_postgrest_filter_project",  # r6
     "q_postgrest_aggregate",  # r6
@@ -103,9 +73,7 @@ _DRIVER_PRIORITY = [
     "q_customers_without_orders",  # r6
     "q_incremental_since_watermark",  # r6
     "q_multiway_full_outer",  # r6
-    "q_repetition_signals",  # r6
     "q_topk_per_group",  # r6
-    "q_scd2_apply",  # r6
     "q_quantiles_cont",  # r7
     "q_stream_stream_join",  # r7
     "q_neighbour_pairs",  # r7
@@ -115,13 +83,8 @@ _DRIVER_PRIORITY = [
     "q_ann_bruteforce_topk",  # r7
     "q_ann_lsh_buckets",  # r7
     "q_multimodal_decode",  # r7
-    "q_dedup_embedding_cosine",  # r7
     "q_ann_ivf_probe",  # r7
-    "q_semdedup_pairs",  # r7
     "q_image_dhash",  # r7
-    "q_kmeans_refine",  # r7
-    "q_text_stats",  # r7
-    "q_lang_id",  # r7
     "q_dedup_exact",  # r7
     "q_dedup_ngram_jaccard",  # r7
     "q_minhash_signatures",  # r7
@@ -132,17 +95,14 @@ _DRIVER_PRIORITY = [
     "q_stratified_sample",  # r7
     "q_token_pack",  # r7
     "q_quality_filters",  # r7
-    "q_curation_pipeline",  # r7
     "q_sample_fixed_k",  # r7
     "q_decontaminate",  # r7
     "q_pii_scrub",  # r7
     "q_domain_stats",  # r7
-    "q_boilerplate_strip",  # r7
     "q_duplicate_spans",  # r7
     "q_dedup_groups",  # r7
     "q_mixture_sample",  # r7
     "q_dedup_purge",  # r7
-    "q_remove_duplicate_spans",  # r7
     "q1_pricing_summary",  # r7
     "q_melt_part_measures",  # r7
     "q_melt_wide_chunked",  # r7
@@ -170,8 +130,6 @@ _DRIVER_PRIORITY = [
     "q_ks_drift",  # r8
     "q_grafana_unixepoch",  # r8
     "q_rolling_median",  # r8
-    "q_triangle_count",  # r8
-    "q_seasonality_strength",  # r8
     "q_cross_correlation",  # r8
     "q_churn_hazard",  # r8
     "q_forecast_backtest",  # r8
@@ -197,7 +155,6 @@ _DRIVER_PRIORITY = [
     "q_date_arithmetic",  # r8
     "q_tz_roundtrip",  # r8
     "q_unit_conversions",  # r8
-    "q_interpolate_cubic",  # r8
     "q_null_handling",  # r8
     "q_tfidf_topk",  # r8
     "q_bm25_search",  # r8
@@ -210,7 +167,6 @@ _DRIVER_PRIORITY = [
     "q_grouping_sets",  # r9
     "q_heatmap_dow_hour",  # r9
     "q_week_over_week",  # r9
-    "q_fuzzy_dedup_names",  # r9
     "q_load_duration_curve",  # r9
     "q_anomaly_outliers",  # r9
     "q_pagerank",  # r9
@@ -233,12 +189,8 @@ _DRIVER_PRIORITY = [
     "q_market_hhi",  # r9
     "q_abc_classification",  # r9
     "q_benford_audit",  # r9
-    "q_calendar_scaffold",  # r9
     "q_gini_coefficient",  # r9
-    "q_nearest_station",  # r9
     "q_polygon_area",  # r9
-    "q_pq_encode",  # r9
-    "q_pq_adc_topk",  # r9
     "q_bigram_lm_score",  # r9
     "q_shuffle_shards",  # r9
     "q_train_val_test_split",  # r9
@@ -251,11 +203,59 @@ _DRIVER_PRIORITY = [
     "q_order_count_distribution",  # r9
     "q_top_revenue_suppliers",  # r9
     "q_idle_rich_customers",  # r9
-    "q_recursive_soc",  # r9
     "q_lateral_topk",  # r9
-    "q_ewma_anomaly_rcte",  # r9
     "q_running_sum",  # r9
     "q_snapshot_at_latest",  # r9
+    "q_time_bucket_hourly",  # r10
+    "q_multi_measure_by_type",  # r10
+    "q_watermark_probe",  # r10
+    "q_distinct_dims",  # r10
+    "q_dedup_keep_first",  # r10
+    "q_value_histogram",  # r10
+    "q_catalog_stats",  # r10
+    "q_net_generation",  # r10
+    "q_union_cte_count",  # r10
+    "q_json_extract_agg",  # r10
+    "q_approx_distinct_kmv",  # r10
+    "q_rollup_revenue",  # r10
+    "q_quantiles_disc",  # r10
+    "q_corr_regression",  # r10
+    "q_skew_salted_agg",  # r10
+    "q_rfm_segmentation",  # r10
+    "q_shipping_lag",  # r10
+    "q_basket_pairs",  # r10
+    "q_yoy_seasonality",  # r10
+    "q_price_volatility",  # r10
+    "q_concurrency_sweep",  # r10
+    "q_missing_value_profile",  # r10
+    "q_active_users",  # r10
+    "q_minmax_scale",  # r10
+    "q_top_movers",  # r10
+    "q_chunk_documents",  # r10
+    "q_char_diversity",  # r10
+    "q_snapshot_diff",  # r10
+    "q_table_fingerprint",  # r10
+    "q_min_cost_supplier",  # r10
+    "q_order_priority_check",  # r10
+    "q_forecast_revenue_delta",  # r10
+    "q_volume_shipping",  # r10
+    "q_market_share",  # r10
+    "q_product_profit",  # r10
+    "q_returned_items",  # r10
+    "q_important_volume_parts",  # r10
+    "q_late_priority_lines",  # r10
+    "q_promo_revenue_share",  # r10
+    "q_supplier_count_by_part",  # r10
+    "q_bracketed_revenue",  # r10
+    "q_excess_shippers",  # r10
+    "q_cdc_current_snapshot",  # r10
+    "q_accent_fold",  # r10
+    "q_scd2_history",  # r10
+    "q_percent_rank",  # r10
+    "q_weighted_moving_average",  # r10
+    "q_runs_detection",  # r10
+    "q_mode_per_group",  # r10
+    "q_ewma",  # r10
 ]
 
 

@@ -5,8 +5,14 @@ ordered oldest-latest-green first — so the driver's 50-slot window
 always covers the never-checked set plus the stalest rows, and no row
 ages past ~2 rounds (round-5 verdict bookkeeping items #1/#3).
 
+``--lead name1,name2,...`` puts the given queries FIRST (before the
+never-checked set): an optimization round must land its CHANGED
+queries inside the driver's 50-slot correctness window, or the round's
+rewrites ship driver-unchecked (round-10 verdict item #2).
+
 Usage (repo root, start of each round):
-    PYTHONPATH=. python tools/rotate_driver_priority.py [--dry-run]
+    PYTHONPATH=. python tools/rotate_driver_priority.py [--dry-run] \
+        [--lead q_a,q_b,...]
 """
 
 from __future__ import annotations
@@ -47,21 +53,29 @@ def latest_rounds() -> dict[str, int]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--lead", default="", help="comma-separated names to place first")
     args = ap.parse_args()
 
     from open_energy_data_server_spark.queries import QUERIES
 
+    lead = [q for q in args.lead.split(",") if q]
+    unknown = [q for q in lead if q not in QUERIES]
+    if unknown:
+        raise SystemExit(f"--lead names not registered: {unknown}")
     latest = latest_rounds()
-    never = [q for q in QUERIES if q not in latest]
+    never = [q for q in QUERIES if q not in latest and q not in lead]
     reg_idx = {q: i for i, q in enumerate(QUERIES)}
     checked = sorted(
-        (q for q in QUERIES if q in latest),
+        (q for q in QUERIES if q in latest and q not in lead),
         key=lambda q: (latest[q], reg_idx[q]),
     )
-    ordered = never + checked
+    ordered = lead + never + checked
     cur_round = max(latest.values(), default=0)
 
     lines = [BEGIN]
+    if lead:
+        lines.append("    # changed this round (--lead): driver must re-check")
+        lines += [f'    "{q}",' for q in lead]
     if never:
         lines.append("    # never driver-checked (no CORRECTNESS_r* row)")
         lines += [f'    "{q}",' for q in never]
