@@ -93,12 +93,13 @@ def _wakeup_us() -> float:
     import threading
 
     vals = []
+    n = 2000
     for _ in range(3):
         e1, e2 = threading.Event(), threading.Event()
-        n = 2000
+        rounds = n
 
         def _echo() -> None:
-            for _ in range(n):
+            for _ in range(rounds):
                 e1.wait()
                 e1.clear()
                 e2.set()
@@ -106,13 +107,19 @@ def _wakeup_us() -> float:
         t = threading.Thread(target=_echo, daemon=True)
         t.start()
         t0 = time.perf_counter()
-        for _ in range(n):
+        for _ in range(rounds):
             e1.set()
             e2.wait()
             e2.clear()
-        vals.append((time.perf_counter() - t0) / n * 1e6)
+        vals.append((time.perf_counter() - t0) / rounds * 1e6)
         t.join()
-    return round(sorted(vals)[1], 1)
+        # wall-clock budget (round-10 ADVICE): on a degraded boot
+        # (60-75 µs/roundtrip) three full passes cost ~1.3 s per bench
+        # invocation; once latency is clearly elevated, fewer
+        # roundtrips resolve the verdict just as well
+        if vals[-1] > 30.0:
+            n = 500
+    return round(sorted(vals)[len(vals) // 2], 1)
 
 
 def _setup_session(sf: float, sf_dir: str, app_name: str):

@@ -319,6 +319,23 @@ def nearest_point_join(
     """
     if not stations:
         raise ValueError("nearest_point_join needs at least one station")
+    if len({int(s[0]) for s in stations}) != len(stations):
+        # d2_by_sid is keyed by id — a duplicate would silently keep
+        # only the last coordinate (the old struct-sort form kept both
+        # and picked the nearer one); make the uniqueness invariant
+        # explicit instead of changing behavior silently
+        raise ValueError("nearest_point_join: duplicate station ids")
+    if len(stations) > 256:
+        # each CASE branch embeds the full least(...) over all
+        # |stations| distances: O(|stations|²) expression nodes in the
+        # unresolved plan (deduped at runtime by subexpression
+        # elimination, but analysis/codegen cost grows quadratically).
+        # The docstring's pre-bucketing pattern is the scale path.
+        raise ValueError(
+            "nearest_point_join: station list too large for the "
+            "plan-embedded argmin (O(n²) expression nodes); pre-bucket "
+            "on a coarse grid and embed per-bucket subsets"
+        )
     from pyspark.sql import functions as F
 
     d2_by_sid: dict[int, "F.Column"] = {}

@@ -165,7 +165,16 @@ def blocked_pairs(
     float64 ops instead of d interpreted fold steps. At 100 TB a
     bucketed-by-block layout makes the exchange disappear entirely
     (same story as the relational form — the kernel only changes the
-    per-pair arithmetic, not the data movement)."""
+    per-pair arithmetic, not the data movement).
+
+    Block-size caveat (round-10 verdict): the kernel loops over rows
+    in Python with vectorized inner ops, so a block of n rows pays
+    n−1 interpreter iterations ON TOP of the O(n²·d) float work. The
+    caller's blocking (clustering / LSH bucket) bounds n by
+    construction everywhere this is used; a pathological single-block
+    input would degrade linearly in Python overhead before the float
+    work dominates — re-block upstream rather than raising the
+    per-task volume."""
     import numpy as np
     import pandas as pd
 

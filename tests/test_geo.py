@@ -137,6 +137,20 @@ def test_nearest_point_join_semantics(spark):
     with pytest.raises(ValueError):
         nearest_point_join(pts, "lon", "lat", [])
 
+    # round-10 ADVICE: duplicate station ids would silently keep only
+    # the last coordinate — must raise instead
+    with pytest.raises(ValueError, match="duplicate station ids"):
+        nearest_point_join(
+            pts, "lon", "lat", [(1, 0.0, 0.0), (1, 5.0, 5.0)]
+        )
+    # O(n²) plan-size guard: oversized station lists must be rejected
+    # toward the documented pre-bucketing path
+    with pytest.raises(ValueError, match="pre-bucket"):
+        nearest_point_join(
+            pts, "lon", "lat",
+            [(i, float(i), 0.0) for i in range(257)],
+        )
+
 
 def test_polygon_areas_drops_degenerate_rings(spark):
     """<2-vertex / unparseable rings are omitted (matching the SQL

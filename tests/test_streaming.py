@@ -1353,3 +1353,29 @@ def test_stream_dedup_into_ledger_sink_e2e(spark, tmp_path):
     ids = sorted(r.doc_id for r in sink.read(spark).collect())
     assert ids == ["a1", "b1"]
     assert len(sink.committed()) >= 2
+
+
+def test_size_state_partitions_derives_from_volume(spark):
+    """State partitions derive from per-trigger volume (bounded by
+    session parallelism), not the core count — and the env override
+    wins."""
+    import os
+
+    from open_energy_data_server_spark.streaming import size_state_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        par = spark.sparkContext.defaultParallelism
+        assert size_state_partitions(spark, 5_000) == max(2, min(par, 5))
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == max(
+            2, min(par, 5)
+        )
+        assert size_state_partitions(spark, 10_000_000) == par
+        assert size_state_partitions(spark, 0) == 2
+        os.environ["SPARK_OEDS_STREAM_STATE_PARTITIONS"] = "7"
+        try:
+            assert size_state_partitions(spark, 10_000_000) == 7
+        finally:
+            del os.environ["SPARK_OEDS_STREAM_STATE_PARTITIONS"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

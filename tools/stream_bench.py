@@ -129,6 +129,7 @@ def run_cdc(n_batches: int, files_per_trigger: int) -> None:
     from open_energy_data_server_spark.operators.cdc import (
         cdc_op_from_event_type,
     )
+    from open_energy_data_server_spark.streaming import size_state_partitions
     from open_energy_data_server_spark.streaming.cdc import stream_cdc_apply
 
     spark = get_spark(app_name="spark-oeds-streambench-cdc")
@@ -170,6 +171,11 @@ def run_cdc(n_batches: int, files_per_trigger: int) -> None:
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    # state partitions sized to per-trigger volume, not core count
+    # (guide §2/§5; see streaming.size_state_partitions rationale)
+    n_state = size_state_partitions(
+        spark, rows_in * files_per_trigger // n_batches
+    )
     t_start = time.perf_counter()
     q = (
         stream_cdc_apply(
@@ -199,6 +205,7 @@ def run_cdc(n_batches: int, files_per_trigger: int) -> None:
         "rows_out": spark.read.parquet(out).count(),
         "replicas": n_batches,
         "files_per_trigger": files_per_trigger,
+        "state_partitions": n_state,
         "sf_dir": sf_dir,
     }
     _publish(record)
@@ -219,6 +226,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from open_energy_data_server_spark import get_spark
+    from open_energy_data_server_spark.streaming import size_state_partitions
     from open_energy_data_server_spark.streaming.dedup import (
         stream_content_dedup,
         stream_minhash_dedup,
@@ -256,6 +264,11 @@ def main() -> None:
 
     rows_in = base_n * replicas
 
+    # state partitions sized to per-trigger volume, not core count
+    # (guide §2/§5; see streaming.size_state_partitions rationale —
+    # measured 2.0k → 5.7k rows/s on this exact config)
+    n_state = size_state_partitions(spark, base_n * files_per_trigger)
+
     stream = (
         spark.readStream.schema("doc_id long, text string, ts timestamp")
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -291,6 +304,7 @@ def main() -> None:
         "rows_out": spark.read.parquet(out).count(),
         "replicas": replicas,
         "files_per_trigger": files_per_trigger,
+        "state_partitions": n_state,
         "sf_dir": sf_dir,
     }
     _publish(record)
