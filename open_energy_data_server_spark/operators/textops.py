@@ -54,6 +54,46 @@ def stopword_count(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Colu
     return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
 
 
+def _ws_normalized(col: Column | str) -> Column:
+    r"""``tokens()`` rebuilt as a string: lower+trim, every ``\s+`` run
+    collapsed to one space — so token boundaries are exactly the single
+    spaces and membership tests become anchored regex counts."""
+    return F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+
+
+def token_length_sum_text(col: Column | str) -> Column:
+    r"""Codegen twin of ``token_length_sum(tokens(col))`` computed on
+    the raw text: the sum of token lengths is the character count of
+    the text with all ``\s`` removed (split consumes exactly the
+    ``\s+`` runs; lower() is applied in both forms so any locale
+    length edge hits both sides identically). Replaces an interpreted
+    transform+aggregate HOF fold (CodegenFallback, one lambda eval per
+    token) with one codegen regex pass — guide §4.1. Equality pinned
+    bit-for-bit by tests/test_textkernel.py::test_codegen_text_twins
+    (adversarial corpus incl. tabs/newlines/empty/NULL + sf0.01)."""
+    return F.length(F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", "")).cast(
+        "bigint"
+    )
+
+
+def stopword_count_text(
+    col: Column | str, stopwords: tuple[str, ...] = STOPWORDS
+) -> Column:
+    r"""Codegen twin of ``stopword_count(tokens(col), stopwords)``
+    computed on the raw text: pad the whitespace-normalized string
+    with spaces and count ``" word"`` matches with a ``(?= )``
+    lookahead, so every token equal to a stopword — including adjacent
+    repeats ("a a") — counts exactly once and substrings ("father",
+    "the.") never match. Java regex backtracks within the alternation,
+    so prefix-ordered lists ("a"|"an"|"and") still match the longest
+    token (membership is anchored on both sides). One codegen regex
+    pass instead of an interpreted per-token ArrayFilter lambda —
+    guide §4.1. Equality pinned by test_codegen_text_twins."""
+    padded = F.concat(F.lit(" "), _ws_normalized(col), F.lit(" "))
+    pat = " (?:" + "|".join(stopwords) + ")(?= )"
+    return F.size(F.regexp_extract_all(padded, F.lit(pat), F.lit(0)))
+
+
 def punct_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(_c(col), F.lit(r"[.,;:!?]"), F.lit(0)))
 

@@ -181,11 +181,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_stats_relational(docs: DataFrame) -> DataFrame:
     """The retained relational form of q_text_stats — the exactness
-    pin target for the Arrow kernel (tests/test_textkernel.py) and the
-    drop-in fallback if a future Spark makes the folds codegen."""
+    pin target for the Arrow kernel (tests/test_textkernel.py).
+    Round-11: the two interpreted HOF folds (token_length_sum
+    aggregate, stopword ArrayFilter) are replaced by their codegen
+    regex twins on the raw text (textops.*_text; equality pinned by
+    test_codegen_text_twins) so the whole projection is
+    whole-stage-codegen — measured 0.283 → 0.231 s solo at sf0.1."""
     t = textops.tokens("text")
     n_tokens = F.size(t)
-    n_stop = textops.stopword_count(t)
+    n_stop = textops.stopword_count_text("text")
     n_punct = textops.punct_count("text")
     n_chars = F.length("text")
     return docs.select(
@@ -193,7 +197,7 @@ def text_stats_relational(docs: DataFrame) -> DataFrame:
         n_tokens.cast("bigint").alias("n_tokens"),
         textops.word_count_regex("text").cast("bigint").alias("n_words"),
         n_chars.cast("bigint").alias("n_chars"),
-        textops.token_length_sum(t).alias("token_len_sum"),
+        textops.token_length_sum_text("text").alias("token_len_sum"),
         n_stop.cast("bigint").alias("n_stop"),
         n_punct.cast("bigint").alias("n_punct"),
         textops.quality_score(n_tokens, n_chars, n_stop, n_punct).alias("quality"),
@@ -252,22 +256,24 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lang_id_relational(docs: DataFrame) -> DataFrame:
     """The retained relational form of q_lang_id — the exactness pin
-    target for the Arrow kernel (tests/test_textkernel.py)."""
-    # materialize the token array (generator barrier) then the score
-    # columns (second barrier) so the argmax CASE chain references
-    # plain columns instead of re-evaluating each score 2^k times
-    tok = docs.select(
-        "doc_id", "lang", F.explode(F.array(textops.tokens("text"))).alias("toks")
-    )
-    score_cols = {
-        lang: textops.stopword_count(F.col("toks"), markers).alias(f"score_{lang}")
-        for lang, markers in textops.LANG_MARKERS.items()
-    }
-    scored = tok.select(
+    target for the Arrow kernel (tests/test_textkernel.py).
+    Round-11: the five per-language interpreted ArrayFilter folds are
+    replaced by codegen regex counts on the raw text
+    (textops.stopword_count_text; equality pinned by
+    test_codegen_text_twins), dropping the explode/struct generator
+    barriers the fold form needed — the scores are now plain
+    projection columns (CollapseProject keeps non-cheap aliases
+    referenced by the argmax CASE chain un-inlined, verified by
+    test_lang_id_regex_not_duplicated) and the whole plan is one
+    codegen projection. Measured 0.222 → 0.186 s solo at sf0.1."""
+    scored = docs.select(
         "doc_id",
         "lang",
-        F.explode(F.array(F.struct(*score_cols.values()))).alias("s"),
-    ).select("doc_id", "lang", "s.*")
+        *[
+            textops.stopword_count_text("text", markers).alias(f"score_{lang}")
+            for lang, markers in textops.LANG_MARKERS.items()
+        ],
+    )
     pred = textops.predict_lang_from_scores(
         {lang: F.col(f"score_{lang}") for lang in textops.LANG_MARKERS}
     )

@@ -74,6 +74,17 @@ WS_ADVERSARIAL = ADVERSARIAL + [
     (24, "\x0bvtab separated\x0btokens"),
     (25, "UPPER lower MiXeD 123 a1b2"),
     (26, "trailing tab\t"),
+    # regex-twin edges (textops.*_text): adjacent stopwords must each
+    # count (zero-width lookahead), substrings/punct-glued tokens must
+    # not ("father", "the."), prefix-ordered alternation must still
+    # take the longer token ("an", "and"), regex metachars in the TEXT
+    # are subject-side only, and stopwords at string edges hit the pad
+    (27, "the the the"),
+    (28, "father of and androids"),
+    (29, "a an and of A AN"),
+    (30, "(the) [a] {of} the. ?a !an"),
+    (31, "the\nof\tand\x0cin"),
+    (32, "the"),
 ]
 
 
@@ -113,6 +124,64 @@ def test_lang_id_kernel_equals_relational(spark):
     got = _rows(textkernel.lang_id(real, "doc_id", "lang", "text"))
     want = _rows(lang_id_relational(real))
     _assert_bitwise_equal(got, want, "lang_id sf0.01")
+
+
+def test_codegen_text_twins(spark):
+    """The round-11 codegen regex twins (textops.token_length_sum_text
+    / stopword_count_text) must equal the interpreted HOF fold forms
+    BIT-FOR-BIT — including NULL placement — on the adversarial corpus
+    and on the real sf0.01 corpus. These pins are what license the
+    relational forms using the twins."""
+    from pyspark.sql import functions as F
+
+    def both(docs):
+        t = textops.tokens("text")
+        fold = docs.select(
+            "doc_id",
+            textops.token_length_sum(t).alias("tls"),
+            textops.stopword_count(t).cast("bigint").alias("n_stop"),
+            *[
+                textops.stopword_count(t, m).cast("bigint").alias(f"s_{lang}")
+                for lang, m in textops.LANG_MARKERS.items()
+            ],
+        )
+        twin = docs.select(
+            "doc_id",
+            textops.token_length_sum_text("text").alias("tls"),
+            textops.stopword_count_text("text").cast("bigint").alias("n_stop"),
+            *[
+                textops.stopword_count_text("text", m)
+                .cast("bigint")
+                .alias(f"s_{lang}")
+                for lang, m in textops.LANG_MARKERS.items()
+            ],
+        )
+        return fold, twin
+
+    docs = spark.createDataFrame(WS_ADVERSARIAL, "doc_id bigint, text string")
+    fold, twin = both(docs)
+    _assert_bitwise_equal(_rows(twin), _rows(fold), "twins adversarial")
+
+    real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fold, twin = both(real.select("doc_id", "text"))
+    _assert_bitwise_equal(_rows(twin), _rows(fold), "twins sf0.01")
+
+
+def test_lang_id_regex_not_duplicated(spark):
+    """The argmax CASE chain references each score column ~4×; the
+    optimizer must NOT inline the non-cheap regexp_extract_all into
+    the chain (2^k blowup). Exactly one extraction per language in
+    the executed plan."""
+    from open_energy_data_server_spark.queries.llm_text import (
+        lang_id_relational,
+    )
+
+    docs = _lang_docs(spark, [(i, t) for i, t in WS_ADVERSARIAL])
+    plan = (
+        lang_id_relational(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    n = plan.count("regexp_extract_all")
+    assert n == len(textops.LANG_MARKERS), (n, plan[:2000])
 
 
 def test_repetition_signals_kernel_plan_shape(spark):
