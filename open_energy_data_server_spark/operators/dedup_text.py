@@ -437,9 +437,25 @@ def winnow_fingerprints(
     hashed = tok.select("doc", F.explode(F.array(F.transform(grams, hash60))).alias("hs"))
     hs = F.col("hs")
     n = F.size(hs)
+    # window minimum as least() over w direct element_at lookups, not
+    # array_min(slice(...)): the slice form copied a w-element array
+    # per window (one allocation + an interpreted array_min per window
+    # inside the transform fold); least() is a flat expression over w
+    # reads. element_at past the array end yields NULL (ANSI off) and
+    # least() skips NULLs, which reproduces the n<w whole-array window
+    # exactly (j=1, min over the n real elements). Hash values are
+    # never NULL (md5 of non-null gram strings), so least ≡ array_min
+    # on every in-range window. Bit-identical by construction — pinned
+    # vs the slice form on adversarial shapes + sf0.01 by
+    # tests/test_llm_ops.py::test_winnow_least_form_equals_slice_form;
+    # measured 0.202 → 0.097 s solo at sf0.1 (round-11, guide §4.1).
     wins = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(hs, j, F.least(F.lit(w), n))),
+        lambda j: (
+            F.element_at(hs, j)  # least() needs >=2 args
+            if w == 1
+            else F.least(*[F.element_at(hs, j + i) for i in range(w)])
+        ),
     )
     fp = F.when(n > 0, F.array_sort(F.array_distinct(wins))).otherwise(
         F.array().cast("array<bigint>")

@@ -121,6 +121,91 @@ def test_winnow_fingerprints_semantics(spark):
     assert out[3]["fp"] == [] and out[3]["n_fp"] == 0
 
 
+def test_winnow_least_form_equals_slice_form(spark):
+    """Round-11 pin: the shipped least(element_at...) window minimum
+    must equal the original array_min(slice(...)) fold BIT-FOR-BIT —
+    adversarial shapes (short docs, all-duplicate grams, empty/NULL,
+    n<w) and the real sf0.01 corpus, across w (incl. the w=1 branch
+    and w > max gram count)."""
+    from pyspark.sql import functions as F
+
+    from open_energy_data_server_spark.io import local_df
+    from open_energy_data_server_spark.operators.dedup_text import (
+        _spread,
+        hash60,
+        tokens,
+        winnow_fingerprints,
+    )
+
+    def slice_form(df, id_col, text_col, k=3, w=4):
+        tok = _spread(df).select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array(tokens(text_col))).alias("toks"),
+        )
+        toks = F.col("toks")
+        idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+        grams = F.when(
+            F.size(toks) >= k,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        hashed = tok.select(
+            "doc", F.explode(F.array(F.transform(grams, hash60))).alias("hs")
+        )
+        hs = F.col("hs")
+        n = F.size(hs)
+        wins = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(hs, j, F.least(F.lit(w), n))),
+        )
+        fp = F.when(n > 0, F.array_sort(F.array_distinct(wins))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        return hashed.select("doc", fp.alias("fp"), F.size(fp).alias("n_fp"))
+
+    adv = local_df(
+        spark,
+        [
+            (1, "a b a b a b"),
+            (2, "x y z"),
+            (3, "w"),
+            (4, None),
+            (5, ""),
+            (6, "a  b"),
+            (7, "  "),
+            (8, "q q q q q q q q q q"),
+            (9, "one two three four five six seven eight"),
+            (10, "t1 t2 t3 t4"),
+        ],
+        "doc_id bigint, text string",
+    )
+    for w in (1, 2, 4, 16):
+        got = {
+            r["doc"]: (list(r["fp"]), r["n_fp"])
+            for r in winnow_fingerprints(adv, "doc_id", "text", w=w).collect()
+        }
+        want = {
+            r["doc"]: (list(r["fp"]), r["n_fp"])
+            for r in slice_form(adv, "doc_id", "text", w=w).collect()
+        }
+        assert got == want, f"w={w}"
+
+    real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        r["doc"]: (list(r["fp"]), r["n_fp"])
+        for r in winnow_fingerprints(real, "doc_id", "text").collect()
+    }
+    want = {
+        r["doc"]: (list(r["fp"]), r["n_fp"])
+        for r in slice_form(real, "doc_id", "text").collect()
+    }
+    assert got == want
+
+
 def test_ivf_assign_and_recall(spark):
     """IVF: every vector lands in exactly one of the 16 clusters;
     probing 2/16 lists still recovers most of the exact top-5 (the
