@@ -34,6 +34,7 @@ _DRIVER_PRIORITY = [
     "q_ewma_anomaly_rcte",
     "q_text_stats",
     "q_lang_id",
+    "q_doc_fingerprint_winnow",
     "q_interpolate_cubic",
     "q_triangle_count",
     "q_fuzzy_dedup_names",
@@ -91,7 +92,6 @@ _DRIVER_PRIORITY = [
     "q_dedup_minhash_lsh",  # r7
     "q_simhash",  # r7
     "q_simhash_pairs",  # r7
-    "q_doc_fingerprint_winnow",  # r7
     "q_stratified_sample",  # r7
     "q_token_pack",  # r7
     "q_quality_filters",  # r7
